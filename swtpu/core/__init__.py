@@ -1,0 +1,2 @@
+from swtpu.core.scoring import ScoringParams, DNA_111, dna_matrix  # noqa: F401
+from swtpu.core.encode import pack_2bit, unpack_2bit, random_dna, mutate  # noqa: F401

@@ -1,0 +1,100 @@
+"""XLA (lax.scan) batched Smith-Waterman — the portable reference engine.
+
+TPU-first design notes
+----------------------
+The reference's fastest family is the *inter-sequence batch* kernel
+(source.cpp:1227-1522): make the batch the vector axis so every lane does
+useful work and no shuffles appear in the inner loop. This engine keeps that
+insight but schedules the DP over **anti-diagonals** (no intra-step
+dependency at all), which XLA compiles to a clean `scan` of full-width VPU
+ops: carries are two [B, n+1] diagonals + the running best, all static
+shapes, no data-dependent control flow.
+
+Out-of-matrix ("phantom") cells are never masked: query is padded with char
+4, target with char 5, and the extended substitution table scores any pad
+involvement at -2^20, so phantom cells are always ≤ some real cell's value
+and can never win the running max. This also gives variable-length batches
+for free: pad each sequence to the block length and the result is exactly
+the per-pair score of the unpadded problem.
+
+Semantics ≙ ``SmithWaterman`` (source.cpp:35-60): linear gap, zero floor,
+score = max over all cells.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swtpu.core.scoring import ScoringParams
+
+#: Pad codes: queries pad with 4, targets with 5 — never equal, and both
+#: outside the real alphabet, so padded positions can only lose.
+Q_PAD = 4
+T_PAD = 5
+_NEG = -(2**20)
+
+
+def _extended_table(params: ScoringParams) -> np.ndarray:
+    """[8, 8] int32 substitution table; any index ≥ alphabet scores _NEG."""
+    A = params.alphabet_size
+    if A > 8:
+        raise NotImplementedError("DNA-sized alphabets only in this engine")
+    ext = np.full((8, 8), _NEG, dtype=np.int32)
+    ext[:A, :A] = params.matrix
+    return ext
+
+
+@functools.partial(jax.jit, static_argnames=("gap",))
+def _sw_batch_diag_impl(qs, ts, table, gap):
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = qs.astype(jnp.int32)
+    ts = ts.astype(jnp.int32)
+
+    # q characters aligned with the diagonal vector index i in [0, n]:
+    # slot i holds q[i-1]; slot 0 is pad (boundary row).
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=Q_PAD)  # [B, n+1]
+    # reversed target padded so that for diagonal d the chars t[d-i-1] for
+    # i in [0, n] are the contiguous window ts_rev_pad[:, m - d + n + i - n]
+    # → dynamic_slice at offset (m - d + n), length n+1, always in bounds.
+    ts_rev = ts[:, ::-1]
+    ts_rev_pad = jnp.pad(
+        ts_rev, ((0, 0), (n + 1, n + 1)), constant_values=T_PAD
+    )  # [B, m + 2n + 2]
+
+    flat_table = table.reshape(-1)  # [64] int32
+
+    def step(carry, d):
+        prev1, prev2, best = carry
+        # chars of t on diagonal d, aligned with slot i: t[d - i - 1]
+        off = m - d + n + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
+        s = jnp.take(flat_table, q_slot * 8 + t_diag, axis=0)  # [B, n+1]
+        shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+        cur = jnp.maximum(
+            jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),
+            jnp.maximum(prev1 - gap, 0),
+        )
+        best = jnp.maximum(best, cur.max(axis=1))
+        return (cur, prev1, best), None
+
+    prev = jnp.zeros((B, n + 1), dtype=jnp.int32)
+    best0 = jnp.zeros((B,), dtype=jnp.int32)
+    ds = jnp.arange(2, n + m + 1)
+    (c1, c2, best), _ = jax.lax.scan(step, (prev, prev, best0), ds)
+    return best
+
+
+def sw_batch_diag(qs, ts, params: ScoringParams):
+    """Batched local-alignment scores on device.
+
+    qs: [B, n] uint8 (pad with 4), ts: [B, m] uint8 (pad with 5).
+    Returns [B] int32 scores, bit-equal to :func:`swtpu.oracle.sw_score` on
+    each (unpadded) pair.
+    """
+    table = jnp.asarray(_extended_table(params))
+    return _sw_batch_diag_impl(qs, ts, table, int(params.gap))

@@ -1,0 +1,73 @@
+"""Honest device timing over the axon TPU tunnel.
+
+Three hazards when timing through the remote-execution relay:
+1. dispatch is async and ``block_until_ready`` can resolve before the device
+   work is actually finished;
+2. repeated calls with identical (executable, args) can be served from a
+   result cache;
+3. fetching non-trivial outputs pays a slow host<->device tunnel transfer
+   (~1 GB/s), which swamps kernel time.
+
+The fix used here: run the kernel K times *inside one jit* as a serial
+``lax.scan`` chain (each step consumes a value derived from the previous
+step's output, so steps cannot be elided or reordered), salt the chain with
+a fresh scalar every call (defeats result caching), reduce the output to a
+single scalar on device (fetch cost ~nothing), and force the fetch with
+``np.asarray``. Overhead (dispatch + scalar fetch) is measured with a K=1
+chain and subtracted.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _chain(fn: Callable, k: int):
+    """Build jitted salted serial chain running fn k times."""
+
+    @jax.jit
+    def run(salt, *args):
+        def step(carry, _):
+            # salt the first arg with a truly runtime-dependent bit so the
+            # body can't be hoisted out of the scan (x % 1 or x & 0 would be
+            # constant-folded); the perturbation changes results, which is
+            # fine — this is a timing chain, not a correctness check
+            a0 = args[0] + (carry & 1).astype(args[0].dtype)
+            out = fn(a0, *args[1:])
+            red = jnp.sum(out.astype(jnp.int32)) if out.dtype != jnp.float32 else jnp.sum(out)
+            return carry + red.astype(jnp.int32), None
+
+        total, _ = jax.lax.scan(step, salt, None, length=k)
+        return total
+
+    return run
+
+
+def time_kernel(
+    fn: Callable,
+    args: Sequence,
+    k: int = 16,
+    reps: int = 3,
+) -> float:
+    """Median wall seconds per single fn(*args) execution on device."""
+    run_k = _chain(fn, k)
+    run_1 = _chain(fn, 1)
+    # warmup/compile both
+    np.asarray(run_k(jnp.int32(0), *args))
+    np.asarray(run_1(jnp.int32(0), *args))
+
+    def measure(run, salt):
+        t0 = time.perf_counter()
+        np.asarray(run(jnp.int32(salt), *args))
+        return time.perf_counter() - t0
+
+    salt = int(time.time() * 1e3) % 100000
+    tk = [measure(run_k, salt + i) for i in range(reps)]
+    t1 = [measure(run_1, salt + 1000 + i) for i in range(reps)]
+    per = (np.median(tk) - np.median(t1)) / (k - 1)
+    return float(max(per, 1e-9))
