@@ -1,0 +1,5 @@
+from swtpu.batch.traceback import (  # noqa: F401
+    sw_align_batch,
+    semiglobal_align_batch,
+    banded_align_batch,
+)

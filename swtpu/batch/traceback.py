@@ -1,0 +1,190 @@
+"""Alignment-with-traceback engines: device forward pass + host traceback.
+
+The reference's split for its banded family (source.cpp:1978-2162): the
+vectorized forward pass fills a band history; a scalar pass walks it
+backwards. Here: the TPU computes scores / endpoints / band history in
+batch; the host walks paths (numpy now, C++ walker in swtpu.native for the
+hot path). All tie-breaks mirror the reference: diag → up → left
+(source.cpp:1558-1567, 2149-2158), argmax = first maximum in row-major
+scan order.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from swtpu.core.scoring import ScoringParams
+from swtpu.oracle.semiglobal import MINUS_INF
+
+
+def sw_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    params: ScoringParams,
+    engine=None,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Batched local alignment with traceback.
+
+    Device computes all scores; the host recomputes the DP per pair to walk
+    the path (≙ SmithWaterman_111_long semantics, source.cpp:1526-1576).
+    Returns [(score, path)] per pair.
+    """
+    from swtpu.oracle.sw import sw_traceback
+
+    if engine is None:
+        from swtpu.kernels.xla import sw_batch_diag
+
+        engine = lambda q, t: sw_batch_diag(q, t, params)
+    scores = np.asarray(engine(qs, ts))
+    out = []
+    for b in range(qs.shape[0]):
+        sc, path = sw_traceback(qs[b], ts[b], params)
+        assert sc == scores[b], (
+            f"device/host score mismatch at pair {b}: {scores[b]} vs {sc}"
+        )
+        out.append((sc, path))
+    return out
+
+
+def semiglobal_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Batched semi-global alignment with traceback (full matrix).
+
+    Device computes scores + endpoints; host walks each path.
+    """
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
+    from swtpu.oracle.semiglobal import semiglobal_full
+
+    score, ei, ej = (
+        np.asarray(x)
+        for x in semiglobal_batch_diag(qs, ts, match, mismatch, gap)
+    )
+    out = []
+    for b in range(qs.shape[0]):
+        sc, path = semiglobal_full(qs[b], ts[b], match, mismatch, gap)
+        assert sc == score[b] and path[-1] == (ei[b], ej[b])
+        out.append((sc, path))
+    return out
+
+
+def banded_traceback(
+    q: np.ndarray,
+    t: np.ndarray,
+    band_history: np.ndarray,
+    pos_y: np.ndarray,
+    n_rounds: int,
+    max_round: int,
+    max_score_off: int,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    bandwidth: int = 32,
+) -> List[Tuple[int, int]]:
+    """Walk one alignment's path from its band history.
+
+    Mirrors the reference's traceback over the stored band
+    (source.cpp:1944-1973): Get(y, x) reconstructs a cell from
+    (band_history, pos_y); dead/out-of-band cells read as -inf; the start
+    cell is the top-right-most cell of the best round holding the max;
+    moves tie-break diag → up → left. ``max_score_off`` is the
+    offset-inclusive max (score + x_threshold).
+    """
+    n, m = len(q), len(t)
+    W = bandwidth
+
+    def get(y: int, x: int) -> int:
+        if y < 0 or y > n or x < 0 or x > m:
+            return MINUS_INF
+        r = y + x
+        if r >= n_rounds:
+            return MINUS_INF
+        k = (W - 1) - (y - pos_y[r])
+        if k < 0 or k >= W:
+            return MINUS_INF
+        v = band_history[r, k]
+        return MINUS_INF if v == 0 else int(v)
+
+    my = int(pos_y[max_round])
+    mx = int(max_round - my)  # unpadded x: y + x == round
+    while get(my, mx) != max_score_off:
+        my += 1
+        mx -= 1
+
+    path = [(my, mx)]
+    i, j = my, mx
+    while i or j:
+        v = get(i, j)
+        if (
+            i
+            and j
+            and v == get(i - 1, j - 1) + (match if q[i - 1] == t[j - 1] else -mismatch)
+        ):
+            i, j = i - 1, j - 1
+        elif i and v == get(i - 1, j) - gap:
+            i -= 1
+        elif j and v == get(i, j - 1) - gap:
+            j -= 1
+        else:  # pragma: no cover
+            raise AssertionError("inconsistent banded traceback")
+        path.append((i, j))
+    path.reverse()
+    return path
+
+
+def banded_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    bandwidth: int = 32,
+    x_threshold: int = 70,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Batched adaptive-banded X-drop alignment with traceback.
+
+    Device forward pass (band history on device, one anti-diagonal per
+    round), host walks paths from the history. Output per pair is
+    bit-identical to swtpu.oracle.banded_xdrop.
+    """
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+
+    res = banded_xdrop_batch(
+        qs,
+        ts,
+        lens_q,
+        lens_t,
+        match,
+        mismatch,
+        gap,
+        bandwidth,
+        x_threshold,
+    )
+    B = qs.shape[0]
+    lens_q = [qs.shape[1]] * B if lens_q is None else list(lens_q)
+    lens_t = [ts.shape[1]] * B if lens_t is None else list(lens_t)
+    out = []
+    for b in range(B):
+        path = banded_traceback(
+            qs[b, : lens_q[b]],
+            ts[b, : lens_t[b]],
+            res.band_history[:, b],
+            res.pos_y[:, b],
+            int(res.n_rounds[b]),
+            int(res.max_round[b]),
+            int(res.score[b]) + x_threshold,
+            match,
+            mismatch,
+            gap,
+            bandwidth,
+        )
+        out.append((int(res.score[b]), path))
+    return out

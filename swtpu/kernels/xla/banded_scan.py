@@ -1,0 +1,205 @@
+"""XLA batched adaptive-banded X-drop semi-global alignment (forward pass).
+
+Behavioral mirror of the scalar banded oracle
+(``SemiGlobal_AdaptiveBanded_XDrop_111_32_70``, source.cpp:1836-1976) —
+which *is* the contract for this family (the reference validates its SIMD
+marks against the banded scalar, not the full matrix, source.cpp:2773-2784)
+— vectorized over a batch of alignments.
+
+Per round (one anti-diagonal per round, y + x == round):
+- direction: right iff band[0] < band[W-1], ties go down (source.cpp:1891);
+- band state shifts (horizontal/vertical/diagonal) exactly as
+  source.cpp:1893-1907, with 0 = dead cell that never propagates
+  (source.cpp:1922-1924);
+- scores offset by +x_threshold; X-dropped cells zeroed; an all-dead round
+  or a boundary overrun ends that alignment (masked "done", since lanes in
+  a batch finish at different rounds);
+- band history + per-round positions are returned for the host traceback
+  pass (swtpu.batch.traceback.banded_traceback), the same forward/traceback
+  split as the reference (SIMD forward, scalar traceback,
+  source.cpp:2130-2162).
+
+This engine runs the full round cap with masking (no data-dependent early
+exit inside jit); the batch driver buckets by length so the cap is tight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class BandedBatchResult:
+    score: np.ndarray  # [B] final scores (offset removed)
+    max_round: np.ndarray  # [B]
+    n_rounds: np.ndarray  # [B] rounds actually written (history valid below)
+    band_history: np.ndarray  # [R, B, W]
+    pos_y: np.ndarray  # [R, B]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "bandwidth", "x_threshold"),
+)
+def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
+    B = qp.shape[0]
+    W = bandwidth
+    X = x_threshold
+    R = (jnp.maximum(n, m).max() + 1) * 2 - 1  # traced; cap below is static
+    # static round cap from padded array sizes
+    n_max = qp.shape[1] - W - 1
+    m_max = tp.shape[1] - 2 * W
+    R_cap = (max(n_max, m_max) + 1) * 2 - 1
+
+    off = (W - 1) - jnp.arange(W)[None, :]  # [1, W]
+
+    def shift_down(a):  # horizontal[i] = a[i-1], [0] = 0
+        return jnp.pad(a, ((0, 0), (1, 0)))[:, :-1]
+
+    def shift_up(a):  # vertical[i] = a[i+1], [W-1] = 0
+        return jnp.pad(a, ((0, 0), (0, 1)))[:, 1:]
+
+    result0 = jnp.zeros((B, W), jnp.int32).at[:, W - 1].set(X)
+
+    state0 = dict(
+        result=result0,
+        horizontal=jnp.zeros((B, W), jnp.int32),
+        vertical=jnp.zeros((B, W), jnp.int32),
+        now_y=jnp.zeros((B,), jnp.int32),
+        now_x=jnp.full((B,), W - 1, jnp.int32),
+        max_score=jnp.full((B,), X, jnp.int32),
+        max_round=jnp.zeros((B,), jnp.int32),
+        n_rounds=jnp.ones((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+    )
+
+    def step(state, r):
+        res = state["result"]
+        right = res[:, 0] < res[:, W - 1]
+        diagonal = jnp.where(right[:, None], state["vertical"], state["horizontal"])
+        horizontal = jnp.where(right[:, None], res, shift_down(res))
+        vertical = jnp.where(right[:, None], shift_up(res), res)
+        now_x = state["now_x"] + right.astype(jnp.int32)
+        now_y = state["now_y"] + (~right).astype(jnp.int32)
+
+        # boundary overrun ends the alignment BEFORE this round is recorded
+        # (source.cpp:1898-1900, 1909-1911)
+        overrun = jnp.where(
+            right, now_x > (W + m + (W - 1)), now_y > (n + 1)
+        )
+        done_pre = state["done"] | overrun
+        active = ~done_pre
+
+        yc = jnp.take_along_axis(qp, now_y[:, None] + off, axis=1)
+        xc = jnp.take_along_axis(tp, now_x[:, None] - off, axis=1)
+        valid = (yc >= 0) & (xc >= 0)
+        sc = jnp.where(valid & (yc == xc), match, -mismatch)
+
+        r_new = jnp.zeros((B, W), jnp.int32)
+        r_new = jnp.where(
+            diagonal != 0, jnp.maximum(r_new, diagonal + sc), r_new
+        )
+        r_new = jnp.where(
+            horizontal != 0, jnp.maximum(r_new, horizontal - gap), r_new
+        )
+        r_new = jnp.where(
+            vertical != 0, jnp.maximum(r_new, vertical - gap), r_new
+        )
+        round_max = r_new.max(axis=1)
+
+        upd = active & (state["max_score"] < round_max)
+        max_score = jnp.where(upd, round_max, state["max_score"])
+        max_round = jnp.where(upd, r, state["max_round"])
+
+        r_new = jnp.where(r_new < (max_score[:, None] - X), 0, r_new)
+
+        # freeze state for finished lanes
+        keep = lambda new, old: jnp.where(active[:, None], new, old)
+        keep1 = lambda new, old: jnp.where(active, new, old)
+        state = dict(
+            result=keep(r_new, res),
+            horizontal=keep(horizontal, state["horizontal"]),
+            vertical=keep(vertical, state["vertical"]),
+            now_y=keep1(now_y, state["now_y"]),
+            now_x=keep1(now_x, state["now_x"]),
+            max_score=max_score,
+            max_round=max_round,
+            n_rounds=keep1(
+                jnp.full((B,), r + 1, jnp.int32), state["n_rounds"]
+            ),
+            done=done_pre | (active & (round_max == 0)),
+        )
+        hist = keep(r_new, jnp.zeros((B, W), jnp.int32))
+        posy = keep1(now_y, jnp.zeros((B,), jnp.int32))
+        return state, (hist, posy)
+
+    rounds = jnp.arange(1, R_cap)
+    state, (hist, posy) = jax.lax.scan(step, state0, rounds)
+    # prepend round 0
+    hist = jnp.concatenate([result0[None], hist], axis=0)  # [R_cap, B, W]
+    posy = jnp.concatenate([jnp.zeros((1, B), jnp.int32), posy], axis=0)
+    return (
+        state["max_score"] - X,
+        state["max_round"],
+        state["n_rounds"],
+        hist,
+        posy,
+    )
+
+
+def banded_xdrop_batch(
+    qs,
+    ts,
+    lens_q=None,
+    lens_t=None,
+    match=1,
+    mismatch=1,
+    gap=1,
+    bandwidth=32,
+    x_threshold=70,
+) -> BandedBatchResult:
+    """Batched adaptive-banded X-drop forward pass.
+
+    qs: [B, n] uint8, ts: [B, m] uint8; optional per-pair lengths (defaults
+    full width). Returns a BandedBatchResult whose per-alignment contents
+    are bit-equal to swtpu.oracle.banded_xdrop(..., return_state=True).
+    """
+    qs = np.asarray(qs)
+    ts = np.asarray(ts)
+    B, n = qs.shape
+    m = ts.shape[1]
+    W = bandwidth
+    lens_q = np.full(B, n) if lens_q is None else np.asarray(lens_q)
+    lens_t = np.full(B, m) if lens_t is None else np.asarray(lens_t)
+
+    # padded sequences (pad = -1 ≙ 0xF0): q: 1 front + W back;
+    # t: W front + W back (see oracle)
+    qp = np.full((B, 1 + n + W), -1, dtype=np.int32)
+    tp = np.full((B, W + m + W), -1, dtype=np.int32)
+    for b in range(B):
+        qp[b, 1 : 1 + lens_q[b]] = qs[b, : lens_q[b]]
+        tp[b, W : W + lens_t[b]] = ts[b, : lens_t[b]]
+
+    score, max_round, n_rounds, hist, posy = _banded_impl(
+        jnp.asarray(qp),
+        jnp.asarray(tp),
+        jnp.asarray(lens_q),
+        jnp.asarray(lens_t),
+        int(match),
+        int(mismatch),
+        int(gap),
+        int(bandwidth),
+        int(x_threshold),
+    )
+    return BandedBatchResult(
+        score=np.asarray(score),
+        max_round=np.asarray(max_round),
+        n_rounds=np.asarray(n_rounds),
+        band_history=np.asarray(hist),
+        pos_y=np.asarray(posy),
+    )

@@ -1,0 +1,108 @@
+"""XLA batched semi-global alignment: scores + argmax endpoints.
+
+Semantics ≙ ``SemiGlobal_111`` (source.cpp:1776-1834) generalized: no zero
+floor, alignment anchored at the top-left corner, score/endpoint at the
+matrix-wide maximum. The device pass returns (score, end_i, end_j); the
+traceback walk itself is a host-side pass (see swtpu.batch.traceback) —
+the same forward/traceback split the reference uses for its banded family
+(SIMD forward, scalar traceback, source.cpp:2130-2162).
+
+Anti-diagonal schedule over slot vectors indexed by DP row i (0..n):
+diagonal d holds cells (i, d-i). Boundary cells (row 0 / col 0) are gap
+chains written by masks each step; phantom slots start at -inf and can only
+decay. Argmax endpoint reproduces the reference's exact tie-break (first
+maximum in row-major scan order with strict '<' update, source.cpp:1804):
+per-slot (i) we track the best value and its smallest j (strict-> update as
+d ascends); the final cross-slot reduction prefers the smallest i on ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Q_PAD = 4
+T_PAD = 5
+_NEG = -(2**20)
+MINUS_INF = -(2**30)
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
+def _semiglobal_impl(qs, ts, match, mismatch, gap):
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = qs.astype(jnp.int32)
+    ts = ts.astype(jnp.int32)
+
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=Q_PAD)
+    ts_rev_pad = jnp.pad(
+        ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=T_PAD
+    )
+
+    iota = jnp.arange(n + 1)[None, :]  # slot index == DP row i
+
+    minus_inf = jnp.int32(MINUS_INF)
+
+    def step(carry, d):
+        prev1, prev2, best_v, best_j = carry
+        off = m - d + n + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
+        # mismatch is a penalty (positive), scored as -mismatch, matching
+        # the oracle / reference (source.cpp:1801, 1919-1920)
+        valid_chars = (q_slot < 4) & (t_diag < 4)
+        s = jnp.where(
+            valid_chars & (q_slot == t_diag), match, -mismatch
+        ).astype(jnp.int32)
+        shift1 = lambda x: jnp.pad(
+            x, ((0, 0), (1, 0)), constant_values=MINUS_INF
+        )[:, :-1]
+        cur = jnp.maximum(
+            jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),
+            prev1 - gap,
+        )
+        # boundary gap chains: H[0, d] = H[d, 0] = -d*gap (while in range)
+        cur = jnp.where(iota == 0, jnp.where(d <= m, -d * gap, minus_inf), cur)
+        cur = jnp.where(iota == d, jnp.where(d <= n, -d * gap, cur), cur)
+        # clamp phantoms (j < 0 or j > m) hard to -inf
+        j_of = d - iota
+        cur = jnp.where((j_of < 0) | (j_of > m), minus_inf, cur)
+        upd = cur > best_v
+        best_v = jnp.where(upd, cur, best_v)
+        best_j = jnp.where(upd, j_of, best_j)
+        return (cur, prev1, best_v, best_j), None
+
+    prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
+    d0 = jnp.zeros((B, n + 1), jnp.int32)
+    d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
+    best_v0 = jnp.where(
+        iota == 0, 0, MINUS_INF
+    ) * jnp.ones((B, 1), jnp.int32)
+    best_j0 = jnp.zeros((B, n + 1), jnp.int32)
+    ds = jnp.arange(1, n + m + 1)
+    (p1, p2, best_v, best_j), _ = jax.lax.scan(
+        step, (d0, prev_init, best_v0, best_j0), ds
+    )
+    # cross-slot reduction: max value, ties -> smallest i (slot index)
+    score = best_v.max(axis=1)
+    is_max = best_v == score[:, None]
+    big = jnp.int32(n + m + 2)
+    slot_key = jnp.where(is_max, jnp.arange(n + 1)[None, :], big)
+    end_i = slot_key.min(axis=1)
+    end_j = jnp.take_along_axis(best_j, end_i[:, None], axis=1)[:, 0]
+    return score, end_i, end_j
+
+
+def semiglobal_batch_diag(qs, ts, match=1, mismatch=1, gap=1):
+    """Batched semi-global scores + argmax endpoints.
+
+    qs: [B, n] uint8, ts: [B, m] uint8 (no padding support yet — semi-global
+    boundary conditions are length-dependent). Returns (score, end_i, end_j)
+    int32 arrays, matching swtpu.oracle.semiglobal_full's score and argmax
+    cell (1-based DP coords).
+    """
+    return _semiglobal_impl(
+        jnp.asarray(qs), jnp.asarray(ts), int(match), int(mismatch), int(gap)
+    )

@@ -1,0 +1,104 @@
+"""Differential tests for the semi-global, banded, wavefront and traceback
+engines (device vs oracle, fixed seed)."""
+
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.core import random_dna, mutate
+from swtpu.core.scoring import DNA_10_30_15, DNA_111
+from swtpu.oracle import (
+    sw_score_batch,
+    sw_traceback,
+    semiglobal_full,
+    banded_xdrop,
+)
+from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
+from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+from swtpu.kernels.pallas.sw_wavefront import sw_wavefront_pallas
+from swtpu.batch import sw_align_batch, banded_align_batch
+
+
+def test_semiglobal_scores_and_endpoints(rng):
+    for trial in range(4):
+        L1, L2 = [(60, 60), (100, 80), (33, 47), (64, 64)][trial]
+        q = random_dna(rng, (4, L1))
+        t = np.stack(
+            [mutate(rng, q[b], out_len=L2) for b in range(2)]
+            + [random_dna(rng, (L2,)) for _ in range(2)]
+        )
+        s, ei, ej = (np.asarray(x) for x in semiglobal_batch_diag(q, t))
+        for b in range(4):
+            sc, path = semiglobal_full(q[b], t[b])
+            assert (int(s[b]), int(ei[b]), int(ej[b])) == (
+                sc,
+                path[-1][0],
+                path[-1][1],
+            )
+
+
+def test_banded_forward_state_parity(rng):
+    """Device band history / positions / rounds == scalar oracle state."""
+    B = 4
+    qs = random_dna(rng, (B, 200))
+    ts = np.stack([mutate(rng, qs[b], out_len=200) for b in range(B)])
+    res = banded_xdrop_batch(qs, ts)
+    for b in range(B):
+        orc = banded_xdrop(qs[b], ts[b], return_state=True)
+        nr = int(res.n_rounds[b])
+        assert nr == orc.n_rounds
+        assert int(res.score[b]) == orc.score
+        assert int(res.max_round[b]) == orc.max_round
+        assert np.array_equal(res.band_history[:nr, b], orc.band_history)
+        assert np.array_equal(res.pos_y[:nr, b], orc.pos_y)
+
+
+def test_banded_align_paths(rng):
+    B = 3
+    qs = random_dna(rng, (B, 300))
+    ts = np.stack([mutate(rng, qs[b], out_len=300) for b in range(B)])
+    got = banded_align_batch(qs, ts)
+    for b in range(B):
+        assert got[b] == banded_xdrop(qs[b], ts[b])
+
+
+def test_banded_varlen(rng):
+    """Mixed lengths in one padded batch."""
+    B = 3
+    qs = random_dna(rng, (B, 256))
+    ts = random_dna(rng, (B, 256))
+    lens_q = [256, 100, 180]
+    lens_t = [256, 120, 60]
+    for b in range(1, B):
+        ts[b, : lens_t[b]] = mutate(
+            rng, qs[b, : lens_q[b]], out_len=lens_t[b]
+        )
+    got = banded_align_batch(qs, ts, lens_q, lens_t)
+    for b in range(B):
+        want = banded_xdrop(qs[b, : lens_q[b]], ts[b, : lens_t[b]])
+        assert got[b] == want
+
+
+def test_wavefront_schedule_parity(rng):
+    qs = random_dna(rng, (8, 128))
+    ts = random_dna(rng, (8, 128))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(sw_wavefront_pallas(qs, ts, DNA_10_30_15))
+    orc = sw_score_batch(qs, ts, DNA_10_30_15)
+    assert np.array_equal(out, orc.astype(np.int32))
+
+
+def test_wavefront_rectangular(rng):
+    qs = random_dna(rng, (8, 100))
+    ts = random_dna(rng, (8, 150))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(sw_wavefront_pallas(qs, ts, DNA_111))
+    orc = sw_score_batch(qs, ts, DNA_111)
+    assert np.array_equal(out, orc.astype(np.int32))
+
+
+def test_sw_align_batch_paths(rng):
+    qs = random_dna(rng, (4, 80))
+    ts = random_dna(rng, (4, 96))
+    got = sw_align_batch(qs, ts, DNA_111)
+    for b in range(4):
+        assert got[b] == sw_traceback(qs[b], ts[b], DNA_111)
