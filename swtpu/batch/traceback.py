@@ -31,6 +31,7 @@ def sw_align_batch(
     the path (≙ SmithWaterman_111_long semantics, source.cpp:1526-1576).
     Returns [(score, path)] per pair.
     """
+    from swtpu import native
     from swtpu.oracle.sw import sw_traceback
 
     if engine is None:
@@ -38,9 +39,15 @@ def sw_align_batch(
 
         engine = lambda q, t: sw_batch_diag(q, t, params)
     scores = np.asarray(engine(qs, ts))
+    use_native = native.available()
     out = []
     for b in range(qs.shape[0]):
-        sc, path = sw_traceback(qs[b], ts[b], params)
+        if use_native:
+            sc, path = native.sw_traceback(
+                qs[b], ts[b], params.matrix, params.gap
+            )
+        else:
+            sc, path = sw_traceback(qs[b], ts[b], params)
         assert sc == scores[b], (
             f"device/host score mismatch at pair {b}: {scores[b]} vs {sc}"
         )
@@ -59,6 +66,7 @@ def semiglobal_align_batch(
 
     Device computes scores + endpoints; host walks each path.
     """
+    from swtpu import native
     from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
     from swtpu.oracle.semiglobal import semiglobal_full
 
@@ -66,9 +74,14 @@ def semiglobal_align_batch(
         np.asarray(x)
         for x in semiglobal_batch_diag(qs, ts, match, mismatch, gap)
     )
+    walker = (
+        (lambda q, t: native.semiglobal_traceback(q, t, match, mismatch, gap))
+        if native.available()
+        else (lambda q, t: semiglobal_full(q, t, match, mismatch, gap))
+    )
     out = []
     for b in range(qs.shape[0]):
-        sc, path = semiglobal_full(qs[b], ts[b], match, mismatch, gap)
+        sc, path = walker(qs[b], ts[b])
         assert sc == score[b] and path[-1] == (ei[b], ej[b])
         out.append((sc, path))
     return out
@@ -168,12 +181,15 @@ def banded_align_batch(
         bandwidth,
         x_threshold,
     )
+    from swtpu import native
+
     B = qs.shape[0]
     lens_q = [qs.shape[1]] * B if lens_q is None else list(lens_q)
     lens_t = [ts.shape[1]] * B if lens_t is None else list(lens_t)
+    walker = native.banded_traceback if native.available() else banded_traceback
     out = []
     for b in range(B):
-        path = banded_traceback(
+        path = walker(
             qs[b, : lens_q[b]],
             ts[b, : lens_t[b]],
             res.band_history[:, b],

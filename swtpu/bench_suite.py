@@ -1,0 +1,190 @@
+"""Full benchmark suite: every kernel variant, reference-format output.
+
+Reproduces the reference's harness family:
+- SpeedTest (source.cpp:3032-3147): every SW schedule on 1M-alignment-
+  equivalent workloads, "<name>: <ms> ms / <N>" lines.
+- speedtest111x32 (source.cpp:3189-3273): the (1,1,1) batch workload.
+- SpeedtestSemiGlobal (source.cpp:2804-2860): the banded family.
+- InfinitySW (source.cpp:3149-3170): --forever loops one kernel for an
+  external profiler.
+
+Also emits one structured JSON record per run (kernel, batch, dtype, wall
+ms, GCUPS, parity status) — the observability format promised in
+SURVEY.md §5.
+
+Run: python -m swtpu.bench_suite [--quick] [--forever VARIANT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _inputs(batch, n, m, seed=10000):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(0, 4, size=(batch, n)).astype(np.uint8),
+        rng.integers(0, 4, size=(batch, m)).astype(np.uint8),
+    )
+
+
+def bench_sw_variants(quick=False):
+    import jax
+
+    from swtpu.core.scoring import DNA_10_30_15, DNA_111
+    from swtpu.ops import VARIANTS
+    from swtpu.oracle import sw_score_batch
+    from swtpu.utils import time_kernel
+
+    n = m = 128
+    results = []
+    for params, pname in ((DNA_10_30_15, "10_-30_15"), (DNA_111, "111")):
+        for name, fn in VARIANTS.items():
+            if name == "oracle":
+                batch = 64 if quick else 256
+                qs, ts = _inputs(batch, n, m)
+                t0 = time.perf_counter()
+                out = fn(qs, ts, params)
+                dt = (time.perf_counter() - t0) / batch
+                parity = True  # oracle is the definition
+            else:
+                batch = 1024 if quick else 8192
+                if name == "wavefront":
+                    batch = min(batch, 2048)  # small-batch schedule
+                qs, ts = _inputs(batch, n, m)
+                dq, dt_ = jax.device_put(qs), jax.device_put(ts)
+                out = np.asarray(fn(dq, dt_, params))
+                parity = bool(
+                    np.array_equal(
+                        out[:64],
+                        sw_score_batch(qs[:64], ts[:64], params).astype(
+                            np.int32
+                        ),
+                    )
+                )
+                per_call = time_kernel(
+                    lambda a, b: fn(a, b, params), (dq, dt_), k=4 if quick else 8
+                )
+                dt = per_call / batch
+            ms_per_1m = dt * 1e6 * 1e3
+            gcups = n * m / dt / 1e9
+            line_name = f"sw_{pname}_{name}"
+            print(f"{line_name}: {ms_per_1m:.0f} ms / 1M")
+            rec = dict(
+                kernel=line_name,
+                batch=batch,
+                dtype="int32",
+                wall_ms_per_1m=round(ms_per_1m, 1),
+                gcups=round(gcups, 2),
+                parity=parity,
+                device=str(jax.devices()[0].device_kind),
+            )
+            print("JSON:", json.dumps(rec))
+            results.append(rec)
+    return results
+
+
+def bench_semiglobal(quick=False):
+    import jax
+
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.core.encode import mutate
+
+    rng = np.random.default_rng(10000)
+    L = 512 if quick else 2048
+    B = 64 if quick else 256
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+
+    t0 = time.perf_counter()
+    res = banded_xdrop_batch(qs, ts)
+    wall = time.perf_counter() - t0
+    # cells actually computed: bandwidth * rounds per alignment
+    cells = int(res.n_rounds.sum()) * 32
+    rec = dict(
+        kernel="banded_xdrop_32_70",
+        batch=B,
+        seq_len=L,
+        wall_ms=round(wall * 1e3, 1),
+        band_gcups=round(cells / wall / 1e9, 3),
+        alignments_per_s=round(B / wall, 1),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(f"banded_xdrop: {wall*1e3/B*1e4:.0f} ms / 10K")
+    print("JSON:", json.dumps(rec))
+    return [rec]
+
+
+def bench_unpack(quick=False):
+    from swtpu.core.encode import pack_2bit, unpack_2bit
+
+    rng = np.random.default_rng(10000)
+    seqs = rng.integers(0, 4, size=(10000, 128)).astype(np.uint8)
+    packed = pack_2bit(seqs)
+    reps = 10 if quick else 100
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = unpack_2bit(packed)
+    wall = (time.perf_counter() - t0) / reps
+    rec = dict(
+        kernel="unpack_2bit_host",
+        bytes_per_s=round(seqs.size / wall / 1e9, 3),
+        unit="GB/s",
+    )
+    print(f"unpack: {wall*1e3:.2f} ms / 10K x 128")
+    print("JSON:", json.dumps(rec))
+    return [rec]
+
+
+def forever(variant_name: str):
+    """Infinite loop of one kernel for external profilers (≙ InfinitySW,
+    source.cpp:3149-3170). Ctrl-C to stop."""
+    import jax
+
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.ops import get_variant
+
+    fn = get_variant(variant_name)
+    qs, ts = _inputs(8192, 128, 128)
+    dq, dts = jax.device_put(qs), jax.device_put(ts)
+    i = 0
+    while True:
+        out = fn(dq, dts, DNA_10_30_15)
+        if hasattr(out, "block_until_ready"):
+            out.block_until_ready()
+        i += 1
+        if i % 100 == 0:
+            print(i, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--forever", default=None, metavar="VARIANT")
+    ap.add_argument(
+        "--suite",
+        default="all",
+        choices=["all", "sw", "semiglobal", "unpack"],
+    )
+    args = ap.parse_args()
+    if args.forever:
+        forever(args.forever)
+        return
+    results = []
+    if args.suite in ("all", "sw"):
+        results += bench_sw_variants(args.quick)
+    if args.suite in ("all", "semiglobal"):
+        results += bench_semiglobal(args.quick)
+    if args.suite in ("all", "unpack"):
+        results += bench_unpack(args.quick)
+    json.dump(results, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

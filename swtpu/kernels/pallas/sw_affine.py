@@ -1,0 +1,180 @@
+"""Pallas batched affine-gap (Gotoh) Smith-Waterman row-scan.
+
+Same TPU schedule as the linear flagship (swtpu.kernels.pallas.sw_batch):
+batch on a (8,128) int32 tile, chunked columns, two-row unroll. The affine
+extension adds the Gotoh E/F recurrences: F (vertical gap) depends only on
+the previous row, so it is chunk-wide; E (horizontal gap) joins H in the
+serial left-to-right chain:
+    e_k = max(e_{k-1} - ext, h_{k-1} - open)
+    h_k = max(pre_k, e_k),  pre = max(diag + s, F, 0) (chunk-wide)
+max/sub chains remain reassociable, so the compiler can still collapse the
+serial chain to log depth. VMEM cost: one extra row buffer for F.
+
+Reference linkage: the reference is linear-gap only (source.cpp:69);
+affine is the BASELINE-mandated extension, and gap_open == gap_extend
+degenerates bit-exactly to the linear kernels (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.core.scoring import ScoringParams
+from swtpu.kernels.pallas.sw_batch import (
+    CHUNK,
+    LANE,
+    ROWS,
+    SUB,
+    TILE_PAIRS,
+    Q_PAD,
+    T_PAD,
+    _at,
+    _last,
+    _prepare,
+    _shift_down,
+    _uniform_match_mismatch,
+)
+
+NEG_EF = -(2**29)
+
+
+def _kernel(
+    q_ref, t_ref, out_ref, yh_ref, yf_ref, *, n, m, match, mismatch, go, ge
+):
+    zero = jnp.zeros((SUB, LANE), jnp.int32)
+    zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
+    negs = jnp.full((SUB, LANE), NEG_EF, jnp.int32)
+    go32, ge32 = jnp.int32(go), jnp.int32(ge)
+    match32, mm32 = jnp.int32(match), jnp.int32(mismatch)
+
+    yh_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
+    yf_ref[:] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
+
+    n_chunks = m // CHUNK
+    n_rowpairs = n // ROWS
+
+    def score(t, q_col):
+        return jnp.where((q_col ^ t) == 0, match32, mm32)
+
+    def serial_chain(pre, h_left, e_left):
+        hs = []
+        h, e = h_left, e_left
+        for k in range(CHUNK):
+            e = jnp.maximum(e - ge32, h - go32)
+            h = jnp.maximum(_at(pre, k), e)
+            hs.append(h)
+        return jnp.stack(hs), h, e
+
+    def row_body(i2, best_c):
+        ia = i2 * ROWS
+        qa = q_ref[ia][None]
+        qb = q_ref[ia + 1][None]
+
+        def chunk_body(jc, carry):
+            hla, ela, hlb, elb, dina, dinb, best_c = carry
+            j0 = jc * CHUNK
+            t = t_ref[pl.ds(j0, CHUNK)]
+            up_h = yh_ref[pl.ds(j0, CHUNK)]  # H of row ia-1
+            up_f = yf_ref[pl.ds(j0, CHUNK)]  # F of row ia-1
+
+            # row a
+            f_a = jnp.maximum(up_f - ge32, up_h - go32)
+            diag_a = _shift_down(up_h, dina)
+            pre_a = jnp.maximum(
+                jnp.maximum(diag_a + score(t, qa), f_a), 0
+            )
+            new_a, hla, ela = serial_chain(pre_a, hla, ela)
+
+            # row b (uses row a's fresh H and F)
+            f_b = jnp.maximum(f_a - ge32, new_a - go32)
+            diag_b = _shift_down(new_a, dinb)
+            pre_b = jnp.maximum(
+                jnp.maximum(diag_b + score(t, qb), f_b), 0
+            )
+            new_b, hlb, elb = serial_chain(pre_b, hlb, elb)
+
+            yh_ref[pl.ds(j0, CHUNK)] = new_b
+            yf_ref[pl.ds(j0, CHUNK)] = f_b
+            best_c = jnp.maximum(best_c, jnp.maximum(new_a, new_b))
+            return (hla, ela, hlb, elb, _last(up_h), _last(new_a), best_c)
+
+        init = (zero, negs, zero, negs, zero, zero, best_c)
+        out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        return out[-1]
+
+    best_c = jax.lax.fori_loop(0, n_rowpairs, row_body, zero_c)
+    out_ref[0] = best_c.max(axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "match", "mismatch", "go", "ge")
+)
+def _sw_affine_pallas_impl(qsT, tsT, n, m, match, mismatch, go, ge):
+    T = qsT.shape[0] // n
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, n=n, m=m, match=match, mismatch=mismatch, go=go, ge=ge
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (m, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, SUB, LANE), jnp.int32),
+            pltpu.VMEM((m, SUB, LANE), jnp.int32),
+        ],
+    )(qsT, tsT)
+
+
+def sw_affine_pallas(qs, ts, params: ScoringParams):
+    """Batched affine-gap scores via the Pallas row-scan kernel.
+
+    Same layout/padding contract as sw_batch_pallas. Returns [B] int32 ==
+    swtpu.oracle.affine.sw_affine_score per pair.
+    """
+    mm = _uniform_match_mismatch(params)
+    if mm is None:
+        raise NotImplementedError(
+            "general matrices route to the XLA affine engine"
+        )
+    match, mismatch = mm
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), Q_PAD, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    mp = -(-m // CHUNK) * CHUNK
+    if mp != m:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, mp - m), T_PAD, ts.dtype)], axis=1
+        )
+        m = mp
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
+    qsT, tsT = _prepare(qs, ts, n, m)
+    out = _sw_affine_pallas_impl(
+        qsT, tsT, n, m, match, mismatch,
+        int(params.gap_open), int(params.gap_extend),
+    )
+    return out.reshape(Bp)[:B]

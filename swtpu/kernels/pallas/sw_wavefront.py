@@ -78,18 +78,22 @@ def _kernel(prof_ref, tins_ref, out_ref, *, n_steps, gap):
         # rotate wavefront: d-1 becomes d-2 (rolled form already computed)
         return (win, h, hr, h1r, best)
 
-    init = (
+    # Peel step 0 out of the loop: a loop carry whose init is a splat
+    # constant gets a "replicated" vector layout from Mosaic, and the
+    # back-edge (normal -> replicated) is an invalid relayout on v5e.
+    # Running the first step inline makes every carry a computed value.
+    init0 = (
         jnp.full((SUB, LANE), T_PAD, jnp.int32),
         zero,
         zero,
         zero,
         zero,
     )
-    _, _, _, _, best = jax.lax.fori_loop(0, n_steps, step, init)
-    # per-pair max over the 128 lanes (lane-broadcast result)
-    out_ref[0] = jnp.broadcast_to(
-        jnp.max(best, axis=1, keepdims=True), (SUB, LANE)
-    )
+    init = step(0, init0)
+    _, _, _, _, best = jax.lax.fori_loop(1, n_steps, step, init)
+    # per-pair lane reduction happens outside the kernel (a lane-reduce +
+    # broadcast inside trips a Mosaic relayout bug on v5e)
+    out_ref[0] = best
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "gap"))
@@ -171,4 +175,4 @@ def sw_wavefront_pallas(qs, ts, params: ScoringParams):
     table = jnp.asarray(_profile_table(params))
     prof, tins = _prepare(qs, ts, table, int(params.gap), n, m)
     out = _sw_wavefront_impl(prof, tins, n, m, int(params.gap))
-    return out[:, :, 0].reshape(Bp)[:B]
+    return out.max(axis=2).reshape(Bp)[:B]

@@ -31,19 +31,28 @@ import numpy as np
 
 from swtpu.core.scoring import ScoringParams
 
-#: Pad codes: queries pad with 4, targets with 5 — never equal, and both
-#: outside the real alphabet, so padded positions can only lose.
+#: Pad codes: queries pad with alphabet_size, targets with alphabet_size+1
+#: (DNA: 4/5, protein: 24/25) — never equal, and both outside the real
+#: alphabet, so padded positions can only lose.
 Q_PAD = 4
 T_PAD = 5
 _NEG = -(2**20)
 
 
-def _extended_table(params: ScoringParams) -> np.ndarray:
-    """[8, 8] int32 substitution table; any index ≥ alphabet scores _NEG."""
+def pad_codes(params: ScoringParams):
+    """(query_pad, target_pad) for this alphabet."""
     A = params.alphabet_size
-    if A > 8:
-        raise NotImplementedError("DNA-sized alphabets only in this engine")
-    ext = np.full((8, 8), _NEG, dtype=np.int32)
+    return A, A + 1
+
+
+def _extended_table(params: ScoringParams) -> np.ndarray:
+    """[stride, stride] int32 substitution table; stride is 8 for DNA-sized
+    alphabets, 32 for protein; any index ≥ alphabet scores _NEG."""
+    A = params.alphabet_size
+    stride = 8 if A <= 6 else 32
+    if A + 2 > stride:
+        raise NotImplementedError(f"alphabet of {A} letters unsupported")
+    ext = np.full((stride, stride), _NEG, dtype=np.int32)
     ext[:A, :A] = params.matrix
     return ext
 
@@ -52,28 +61,30 @@ def _extended_table(params: ScoringParams) -> np.ndarray:
 def _sw_batch_diag_impl(qs, ts, table, gap):
     B, n = qs.shape
     m = ts.shape[1]
-    qs = qs.astype(jnp.int32)
-    ts = ts.astype(jnp.int32)
+    stride = table.shape[0]
+    q_pad, t_pad = stride - 2, stride - 1  # safe out-of-alphabet codes
+    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
 
     # q characters aligned with the diagonal vector index i in [0, n]:
     # slot i holds q[i-1]; slot 0 is pad (boundary row).
-    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=Q_PAD)  # [B, n+1]
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=q_pad)  # [B, n+1]
     # reversed target padded so that for diagonal d the chars t[d-i-1] for
     # i in [0, n] are the contiguous window ts_rev_pad[:, m - d + n + i - n]
     # → dynamic_slice at offset (m - d + n), length n+1, always in bounds.
     ts_rev = ts[:, ::-1]
     ts_rev_pad = jnp.pad(
-        ts_rev, ((0, 0), (n + 1, n + 1)), constant_values=T_PAD
+        ts_rev, ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )  # [B, m + 2n + 2]
 
-    flat_table = table.reshape(-1)  # [64] int32
+    flat_table = table.reshape(-1)
 
     def step(carry, d):
         prev1, prev2, best = carry
         # chars of t on diagonal d, aligned with slot i: t[d - i - 1]
         off = m - d + n + 1
         t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
-        s = jnp.take(flat_table, q_slot * 8 + t_diag, axis=0)  # [B, n+1]
+        s = jnp.take(flat_table, q_slot * stride + t_diag, axis=0)
         shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
         cur = jnp.maximum(
             jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),

@@ -1,0 +1,179 @@
+"""Native (C++) host runtime: traceback walkers + 2-bit codec.
+
+Compiled lazily with g++ on first use (cached under native/_build/), bound
+via ctypes. Every function is semantics-identical to its numpy twin in
+swtpu.oracle / swtpu.core.encode and is differential-tested against it;
+the batch engines prefer the native path when the toolchain is available
+(`swtpu.native.available()`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "swnative.cpp")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libswnative.so")
+
+_lib = None
+_load_error: Optional[str] = None
+
+
+def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(
+        _LIB_PATH
+    ) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        _SRC,
+        "-o",
+        _LIB_PATH,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _get_lib():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        lib = ctypes.CDLL(_build())
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+
+        lib.sw_pack_2bit.argtypes = [i8p, i64, i8p]
+        lib.sw_unpack_2bit.argtypes = [i8p, i64, i8p]
+        lib.sw_traceback.restype = i64
+        lib.sw_traceback.argtypes = [i8p, i64, i8p, i64, i32p, i32, i32p, i32p]
+        lib.semiglobal_traceback.restype = i64
+        lib.semiglobal_traceback.argtypes = [
+            i8p, i64, i8p, i64, i32, i32, i32, i32p, i32p,
+        ]
+        lib.banded_traceback.restype = i64
+        lib.banded_traceback.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32, i32, i32,
+            i32, i32p,
+        ]
+        _lib = lib
+    except Exception as e:  # toolchain missing etc.
+        _load_error = str(e)
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _u8(a):
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32(a):
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def pack_2bit(seq: np.ndarray) -> np.ndarray:
+    lib = _get_lib()
+    seq, sp = _u8(seq.reshape(-1))
+    out = np.empty(len(seq) // 4, np.uint8)
+    _, op = _u8(out)
+    op = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.sw_pack_2bit(sp, len(seq), op)
+    return out
+
+
+def unpack_2bit(packed: np.ndarray) -> np.ndarray:
+    lib = _get_lib()
+    packed, pp = _u8(packed.reshape(-1))
+    out = np.empty(len(packed) * 4, np.uint8)
+    op = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    lib.sw_unpack_2bit(pp, len(packed), op)
+    return out
+
+
+def sw_traceback(
+    q: np.ndarray, t: np.ndarray, matrix: np.ndarray, gap: int
+) -> Tuple[int, List[Tuple[int, int]]]:
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    mat, mp = _i32(matrix.reshape(-1))
+    path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
+    _, pp = _i32(path)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    score = ctypes.c_int32(0)
+    ln = lib.sw_traceback(
+        qp, len(q), tp, len(t), mp, int(gap), pp, ctypes.byref(score)
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return int(score.value), [tuple(map(int, p)) for p in pairs]
+
+
+def semiglobal_traceback(
+    q: np.ndarray, t: np.ndarray, match: int, mismatch: int, gap: int
+) -> Tuple[int, List[Tuple[int, int]]]:
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    score = ctypes.c_int32(0)
+    ln = lib.semiglobal_traceback(
+        qp, len(q), tp, len(t), int(match), int(mismatch), int(gap), pp,
+        ctypes.byref(score),
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native semiglobal traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return int(score.value), [tuple(map(int, p)) for p in pairs]
+
+
+def banded_traceback(
+    q: np.ndarray,
+    t: np.ndarray,
+    band_history: np.ndarray,
+    pos_y: np.ndarray,
+    n_rounds: int,
+    max_round: int,
+    max_score_off: int,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    bandwidth: int = 32,
+) -> List[Tuple[int, int]]:
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    hist, hp = _i32(band_history[:n_rounds])
+    py, pyp = _i32(pos_y[:n_rounds])
+    path = np.empty(2 * (len(q) + len(t) + 2 * bandwidth + 4), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    ln = lib.banded_traceback(
+        qp, len(q), tp, len(t), hp, pyp, int(n_rounds), int(max_round),
+        int(max_score_off), int(match), int(mismatch), int(gap),
+        int(bandwidth), pp,
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native banded traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return [tuple(map(int, p)) for p in pairs]

@@ -1,0 +1,222 @@
+// swtpu native host runtime: traceback walkers + 2-bit codec.
+//
+// The TPU computes forward passes (scores, endpoints, band histories); the
+// host walks alignment paths — the same split as the reference's banded
+// family (SIMD forward / scalar traceback, source.cpp:1978-2162). These
+// are the C++ hot-path equivalents of swtpu/batch/traceback.py and
+// swtpu/core/encode.py, exact to the reference semantics:
+//  - traceback tie-break order diag -> up -> left (source.cpp:1558-1567,
+//    2149-2158)
+//  - argmax = first maximum in row-major scan order (source.cpp:1545)
+//  - banded Get() reconstruction with 0 = dead cell (source.cpp:1944-1951)
+//  - 2-bit codec byte/bit layout (source.cpp:1580-1583)
+//
+// Exposed as a C ABI for ctypes; see swtpu/native/__init__.py.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ---------------------------------------------------------------- codec --
+
+void sw_pack_2bit(const uint8_t* src, int64_t n, uint8_t* dst) {
+  for (int64_t i = 0; i < n / 4; ++i) {
+    dst[i] = (uint8_t)((src[4 * i] & 3) | ((src[4 * i + 1] & 3) << 2) |
+                       ((src[4 * i + 2] & 3) << 4) |
+                       ((src[4 * i + 3] & 3) << 6));
+  }
+}
+
+void sw_unpack_2bit(const uint8_t* src, int64_t n_packed, uint8_t* dst) {
+  for (int64_t i = 0; i < n_packed; ++i) {
+    const uint8_t b = src[i];
+    dst[4 * i] = b & 3;
+    dst[4 * i + 1] = (b >> 2) & 3;
+    dst[4 * i + 2] = (b >> 4) & 3;
+    dst[4 * i + 3] = (b >> 6) & 3;
+  }
+}
+
+// ---------------------------------------------- local SW with traceback --
+
+// Full-matrix recompute + walk. matrix: 16 int32 row-major (q*4 + t).
+// path_out receives (i, j) pairs (1-based DP coords); returns path length.
+// Caller provides path_out sized 2*(n+m+2).
+int64_t sw_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
+                     int64_t m, const int32_t* matrix, int32_t gap,
+                     int32_t* path_out, int32_t* out_score) {
+  std::vector<int32_t> dp((n + 1) * (m + 1), 0);
+  const int64_t stride = m + 1;
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    const int32_t* srow = matrix + q[i - 1] * 4;
+    int32_t left = 0;
+    for (int64_t j = 1; j <= m; ++j) {
+      int32_t v = 0;
+      v = std::max(v, dp[(i - 1) * stride + (j - 1)] + srow[t[j - 1]]);
+      v = std::max(v, dp[(i - 1) * stride + j] - gap);
+      v = std::max(v, left - gap);
+      dp[i * stride + j] = v;
+      left = v;
+      if (v > best) {  // strict: first max in row-major scan order
+        best = v;
+        bi = i;
+        bj = j;
+      }
+    }
+  }
+  *out_score = best;
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)bi;
+  path_out[2 * len + 1] = (int32_t)bj;
+  ++len;
+  int64_t i = bi, j = bj;
+  while (i || j) {
+    const int32_t v = dp[i * stride + j];
+    if (v == 0) break;
+    if (i && j &&
+        v == dp[(i - 1) * stride + (j - 1)] + matrix[q[i - 1] * 4 + t[j - 1]]) {
+      --i;
+      --j;
+    } else if (i && v == dp[(i - 1) * stride + j] - gap) {
+      --i;
+    } else if (j && v == dp[i * stride + (j - 1)] - gap) {
+      --j;
+    } else {
+      return -1;  // inconsistent
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  // reverse pairs in place
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
+// ------------------------------------------- semi-global with traceback --
+
+// Full-matrix semi-global (no zero floor, start at (0,0), end at argmax).
+int64_t semiglobal_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
+                             int64_t m, int32_t match, int32_t mismatch,
+                             int32_t gap, int32_t* path_out,
+                             int32_t* out_score) {
+  const int32_t MINF = INT32_MIN / 2;
+  const int64_t stride = m + 1;
+  std::vector<int32_t> dp((n + 1) * stride, MINF);
+  dp[0] = 0;
+  for (int64_t j = 1; j <= m; ++j) dp[j] = (int32_t)(-gap * j);
+  for (int64_t i = 1; i <= n; ++i) dp[i * stride] = (int32_t)(-gap * i);
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    for (int64_t j = 1; j <= m; ++j) {
+      const int32_t s = (q[i - 1] == t[j - 1]) ? match : -mismatch;
+      int32_t v = dp[(i - 1) * stride + (j - 1)] + s;
+      v = std::max(v, dp[(i - 1) * stride + j] - gap);
+      v = std::max(v, dp[i * stride + (j - 1)] - gap);
+      dp[i * stride + j] = v;
+      if (v > best) {
+        best = v;
+        bi = i;
+        bj = j;
+      }
+    }
+  }
+  *out_score = best;
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)bi;
+  path_out[2 * len + 1] = (int32_t)bj;
+  ++len;
+  int64_t i = bi, j = bj;
+  while (i || j) {
+    const int32_t v = dp[i * stride + j];
+    const int32_t s =
+        (i && j && q[i - 1] == t[j - 1]) ? match : -mismatch;
+    if (i && j && v == dp[(i - 1) * stride + (j - 1)] + s) {
+      --i;
+      --j;
+    } else if (i && v == dp[(i - 1) * stride + j] - gap) {
+      --i;
+    } else if (j && v == dp[i * stride + (j - 1)] - gap) {
+      --j;
+    } else {
+      return -1;
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
+// --------------------------------------------------- banded traceback ----
+
+// Walk one alignment's path from its device-computed band history.
+// hist: [n_rounds, W] int32, pos_y: [n_rounds] int32.
+// max_score_off = score + x_threshold (offset-inclusive).
+int64_t banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
+                         int64_t m, const int32_t* hist,
+                         const int32_t* pos_y, int64_t n_rounds,
+                         int64_t max_round, int32_t max_score_off,
+                         int32_t match, int32_t mismatch, int32_t gap,
+                         int32_t W, int32_t* path_out) {
+  const int32_t MINF = INT32_MIN / 2;
+  auto get = [&](int64_t y, int64_t x) -> int32_t {
+    if (y < 0 || y > n || x < 0 || x > m) return MINF;
+    const int64_t r = y + x;
+    if (r >= n_rounds) return MINF;
+    const int64_t k = (W - 1) - (y - pos_y[r]);
+    if (k < 0 || k >= W) return MINF;
+    const int32_t v = hist[r * W + k];
+    return v == 0 ? MINF : v;
+  };
+  int64_t my = pos_y[max_round];
+  int64_t mx = max_round - my;
+  while (get(my, mx) != max_score_off) {
+    ++my;
+    --mx;
+    if (my > n + (int64_t)W) return -1;
+  }
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)my;
+  path_out[2 * len + 1] = (int32_t)mx;
+  ++len;
+  int64_t i = my, j = mx;
+  while (i || j) {
+    const int32_t v = get(i, j);
+    const int32_t s =
+        (i && j && q[i - 1] == t[j - 1]) ? match : -mismatch;
+    if (i && j && v == get(i - 1, j - 1) + s) {
+      --i;
+      --j;
+    } else if (i && v == get(i - 1, j) - gap) {
+      --i;
+    } else if (j && v == get(i, j - 1) - gap) {
+      --j;
+    } else {
+      return -1;
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
+}  // extern "C"

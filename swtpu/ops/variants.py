@@ -1,0 +1,68 @@
+"""Kernel-variant registry: the swtpu analog of the reference's ladder.
+
+The reference keeps every schedule refinement callable side by side
+(simd1..simd9, 8bit, x32 mark1..3 — source.cpp:62-1522) and benchmarks them
+against each other (SpeedTest, source.cpp:3032-3147). swtpu keeps the same
+discipline: each entry computes identical scores for the same problem and
+is differential-tested against the scalar oracle; the bench suite
+(swtpu.bench_suite) reports them side by side in the reference's
+"<name>: <ms> ms / <N>" format.
+
+Variants (schedule lineage, slow → fast):
+  oracle        — numpy scalar full-matrix (≙ SmithWaterman, :35)
+  xla_diag      — XLA lax.scan over anti-diagonals, batch-vectorized
+                  (the lax.scan tier of SURVEY.md §7.3)
+  wavefront     — Pallas intra-pair parallelogram, 8 pairs × 128 lanes
+                  (≙ the simd1-9 family, :62-1071)
+  rowscan       — Pallas inter-pair row scan, 1024 pairs/tile, chunked
+                  columns + 2-row unroll (≙ the x32 family, :1227-1522);
+                  the flagship
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+from swtpu.core.scoring import ScoringParams
+
+
+def _oracle(qs, ts, params: ScoringParams):
+    from swtpu.oracle import sw_score_batch
+
+    return sw_score_batch(np.asarray(qs), np.asarray(ts), params).astype(
+        np.int32
+    )
+
+
+def _xla_diag(qs, ts, params):
+    from swtpu.kernels.xla import sw_batch_diag
+
+    return sw_batch_diag(qs, ts, params)
+
+
+def _wavefront(qs, ts, params):
+    from swtpu.kernels.pallas.sw_wavefront import sw_wavefront_pallas
+
+    return sw_wavefront_pallas(qs, ts, params)
+
+
+def _rowscan(qs, ts, params):
+    from swtpu.kernels.pallas import sw_batch_pallas
+
+    return sw_batch_pallas(qs, ts, params)
+
+
+VARIANTS: Dict[str, Callable] = {
+    "oracle": _oracle,
+    "xla_diag": _xla_diag,
+    "wavefront": _wavefront,
+    "rowscan": _rowscan,
+}
+
+
+def get_variant(name: str) -> Callable:
+    if name not in VARIANTS:
+        raise KeyError(f"unknown variant {name!r}; have {sorted(VARIANTS)}")
+    return VARIANTS[name]

@@ -3,3 +3,9 @@ from swtpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     data_parallel_scores,
 )
+from swtpu.parallel.search import (  # noqa: F401
+    all_vs_all_topk,
+    sharded_all_vs_all_topk,
+    SearchCheckpoint,
+    init_distributed,
+)

@@ -1,0 +1,238 @@
+"""Pod-scale all-vs-all database search (BASELINE config 5).
+
+Queries are replicated; the target database is sharded over the mesh's data
+axis. Each device scores its target shard against every query with the
+flagship batch kernel, reduces to a per-shard top-k, and the shard top-ks
+are merged deterministically (sort key: score desc, then target id asc —
+the multi-host determinism rule from SURVEY.md §7).
+
+Aux subsystems mandated by SURVEY.md §5, reference-equivalents of which do
+not exist in the single-process reference:
+- failure recovery: each target chunk is retried on failure
+  (embarrassingly parallel ⇒ recompute is cheap and deterministic);
+- checkpoint/resume: per-shard cursor + partial top-k persisted to an .npz
+  after every chunk, so a restarted host resumes at its chunk cursor;
+- observability: per-chunk structured JSON records.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from swtpu.core.scoring import ScoringParams
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize jax.distributed for a multi-host pod (no-op single-host).
+
+    On a real pod slice each host calls this before building the global
+    mesh; under a single process it does nothing.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+@dataclasses.dataclass
+class SearchCheckpoint:
+    """Per-shard cursor + partial results, persisted after every chunk."""
+
+    path: str
+
+    def load(self):
+        if not os.path.exists(self.path):
+            return None
+        z = np.load(self.path)
+        return dict(
+            cursor=int(z["cursor"]),
+            scores=z["scores"],
+            ids=z["ids"],
+        )
+
+    def save(self, cursor: int, scores: np.ndarray, ids: np.ndarray):
+        tmp = self.path + ".tmp"
+        np.savez(tmp, cursor=cursor, scores=scores, ids=ids)
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, self.path)
+
+
+def _merge_topk(
+    scores_a, ids_a, scores_b, ids_b, k
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k merge: score desc, then id asc."""
+    s = np.concatenate([scores_a, scores_b], axis=1)
+    i = np.concatenate([ids_a, ids_b], axis=1)
+    order = np.lexsort((i, -s), axis=1)[:, :k]
+    return (
+        np.take_along_axis(s, order, axis=1),
+        np.take_along_axis(i, order, axis=1),
+    )
+
+
+def _score_chunk(queries_dev, chunk_dev, params, engine):
+    """Scores [Nq, C] of every query against every chunk target."""
+    Nq = queries_dev.shape[0]
+    C = chunk_dev.shape[0]
+    n = queries_dev.shape[1]
+    m = chunk_dev.shape[1]
+    qs = jnp.broadcast_to(queries_dev[:, None, :], (Nq, C, n)).reshape(-1, n)
+    ts = jnp.broadcast_to(chunk_dev[None, :, :], (Nq, C, m)).reshape(-1, m)
+    return engine(qs, ts).reshape(Nq, C)
+
+
+def all_vs_all_topk(
+    queries: np.ndarray,
+    targets: np.ndarray,
+    params: ScoringParams,
+    k: int = 10,
+    chunk_size: int = 1024,
+    engine: Optional[Callable] = None,
+    checkpoint: Optional[SearchCheckpoint] = None,
+    max_retries: int = 2,
+    log: Optional[Callable[[str], None]] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-k target hits per query over the (locally sharded) database.
+
+    queries: [Nq, n] uint8, targets: [Nt, m] uint8 — the *local shard* of
+    the database (each host passes its own shard plus an id offset via
+    `SearchCheckpoint`/caller bookkeeping; single-host: the whole DB).
+    Returns (scores [Nq, k], target_ids [Nq, k]) int32/int64, deterministic.
+    """
+    if engine is None:
+        try:
+            from swtpu.kernels.pallas import sw_batch_pallas
+
+            engine = lambda q, t: sw_batch_pallas(q, t, params)
+        except Exception:
+            from swtpu.kernels.xla import sw_batch_diag
+
+            engine = lambda q, t: sw_batch_diag(q, t, params)
+
+    Nq, Nt = queries.shape[0], targets.shape[0]
+    best_s = np.full((Nq, k), -1, np.int32)
+    best_i = np.full((Nq, k), np.iinfo(np.int32).max, np.int32)
+    start = 0
+    if checkpoint is not None:
+        state = checkpoint.load()
+        if state is not None:
+            start = state["cursor"]
+            best_s, best_i = state["scores"], state["ids"]
+
+    queries_dev = jax.device_put(queries)
+    for c0 in range(start, Nt, chunk_size):
+        chunk = targets[c0 : c0 + chunk_size]
+        # pad the tail chunk so compiled shapes stay constant
+        C = chunk.shape[0]
+        if C < chunk_size:
+            pad = np.full(
+                (chunk_size - C, chunk.shape[1]), 5, dtype=chunk.dtype
+            )
+            chunk = np.concatenate([chunk, pad])
+        t0 = time.perf_counter()
+        for attempt in range(max_retries + 1):
+            try:
+                scores = np.asarray(
+                    _score_chunk(
+                        queries_dev, jax.device_put(chunk), params, engine
+                    )
+                )
+                break
+            except Exception:
+                if attempt == max_retries:
+                    raise
+        scores = scores[:, :C]
+        ids = np.arange(c0, c0 + C, dtype=np.int32)[None, :].repeat(Nq, 0)
+        best_s, best_i = _merge_topk(best_s, best_i, scores, ids, k)
+        if checkpoint is not None:
+            checkpoint.save(c0 + chunk_size, best_s, best_i)
+        if log is not None:
+            log(
+                json.dumps(
+                    dict(
+                        event="search_chunk",
+                        cursor=c0,
+                        chunk=C,
+                        wall_ms=round((time.perf_counter() - t0) * 1e3, 1),
+                        pairs=Nq * C,
+                    )
+                )
+            )
+    return best_s, best_i
+
+
+def sharded_all_vs_all_topk(
+    queries: np.ndarray,
+    targets: np.ndarray,
+    params: ScoringParams,
+    mesh: Mesh,
+    k: int = 10,
+    axis: str = "pairs",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Single-controller sharded search: target DB split over the mesh axis,
+    queries replicated, per-shard scores reduced to top-k on device, shard
+    top-ks merged deterministically.
+
+    Demonstrates the ICI-riding layout (scores gathered, not raw DP) on any
+    mesh, incl. the virtual CPU mesh used in tests.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = mesh.devices.size
+    Nq = queries.shape[0]
+    Nt = targets.shape[0]
+    assert Nt % n_dev == 0, "shard the DB evenly (pad it) before calling"
+    shard = Nt // n_dev
+
+    from swtpu.kernels.xla.sw_scan import _extended_table, _sw_batch_diag_impl
+
+    table = jnp.asarray(_extended_table(params))
+    gap = int(params.gap)
+
+    def local(qs, ts_shard):
+        # ts_shard: [1?, shard, m] local block
+        ts_local = ts_shard.reshape(shard, -1)
+        n = qs.shape[1]
+        m = ts_local.shape[1]
+        qq = jnp.broadcast_to(qs[:, None, :], (Nq, shard, n)).reshape(-1, n)
+        tt = jnp.broadcast_to(
+            ts_local[None, :, :], (Nq, shard, m)
+        ).reshape(-1, m)
+        scores = _sw_batch_diag_impl(qq, tt, table, gap).reshape(Nq, shard)
+        top_s, top_i = jax.lax.top_k(scores, min(k, shard))
+        my = jax.lax.axis_index(axis)
+        top_i = top_i + my * shard
+        # gather every shard's top-k: [n_dev * k] per query over ICI
+        gs = jax.lax.all_gather(top_s, axis, axis=1).reshape(Nq, -1)
+        gi = jax.lax.all_gather(top_i, axis, axis=1).reshape(Nq, -1)
+        return gs, gi
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    gs, gi = fn(jnp.asarray(queries), jnp.asarray(targets))
+    gs, gi = np.asarray(gs), np.asarray(gi)
+    order = np.lexsort((gi, -gs), axis=1)[:, :k]
+    return (
+        np.take_along_axis(gs, order, axis=1),
+        np.take_along_axis(gi, order, axis=1),
+    )

@@ -1,0 +1,52 @@
+"""Affine-gap (Gotoh) engines vs oracle; linear degenerate-case parity."""
+
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.core import random_dna
+from swtpu.core.scoring import ScoringParams, dna_matrix, DNA_10_30_15
+from swtpu.oracle import sw_score_batch
+from swtpu.oracle.affine import sw_affine_score, sw_affine_score_batch
+from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
+from swtpu.kernels.pallas.sw_affine import sw_affine_pallas
+
+AFF = ScoringParams(dna_matrix(10, -30), gap_open=20, gap_extend=5)
+AFF111 = ScoringParams(dna_matrix(1, -1), gap_open=3, gap_extend=1)
+
+
+def test_affine_oracle_batch_matches_scalar(rng):
+    qs = random_dna(rng, (6, 48))
+    ts = random_dna(rng, (6, 56))
+    for params in (AFF, AFF111):
+        b = sw_affine_score_batch(qs, ts, params)
+        for i in range(6):
+            assert b[i] == sw_affine_score(qs[i], ts[i], params)
+
+
+def test_affine_xla_parity(rng):
+    qs = random_dna(rng, (16, 96))
+    ts = random_dna(rng, (16, 96))
+    for params in (AFF, AFF111):
+        dev = np.asarray(sw_affine_batch_diag(qs, ts, params))
+        assert np.array_equal(
+            dev, sw_affine_score_batch(qs, ts, params).astype(np.int32)
+        )
+
+
+def test_affine_degenerates_to_linear(rng):
+    qs = random_dna(rng, (8, 64))
+    ts = random_dna(rng, (8, 64))
+    dev = np.asarray(sw_affine_batch_diag(qs, ts, DNA_10_30_15))
+    assert np.array_equal(
+        dev, sw_score_batch(qs, ts, DNA_10_30_15).astype(np.int32)
+    )
+
+
+def test_affine_pallas_parity(rng):
+    qs = random_dna(rng, (64, 64))
+    ts = random_dna(rng, (64, 64))
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_affine_pallas(qs, ts, AFF))
+    assert np.array_equal(
+        dev, sw_affine_score_batch(qs, ts, AFF).astype(np.int32)
+    )

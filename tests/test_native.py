@@ -1,0 +1,56 @@
+"""Native C++ layer vs numpy oracles (exact parity)."""
+
+import numpy as np
+import pytest
+
+from swtpu import native
+from swtpu.core import random_dna, mutate, pack_2bit, unpack_2bit
+from swtpu.core.scoring import DNA_111, DNA_10_30_15
+from swtpu.oracle import sw_traceback, semiglobal_full, banded_xdrop
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_codec(rng):
+    seq = random_dna(rng, (512,))
+    p = pack_2bit(seq)
+    assert np.array_equal(native.pack_2bit(seq), p)
+    assert np.array_equal(native.unpack_2bit(p), seq)
+
+
+def test_native_sw_traceback(rng):
+    for params in (DNA_111, DNA_10_30_15):
+        for _ in range(4):
+            q = random_dna(rng, (90,))
+            t = random_dna(rng, (110,))
+            assert native.sw_traceback(
+                q, t, params.matrix, params.gap
+            ) == sw_traceback(q, t, params)
+
+
+def test_native_semiglobal(rng):
+    for _ in range(4):
+        q = random_dna(rng, (120,))
+        t = mutate(rng, q, out_len=120)
+        assert native.semiglobal_traceback(q, t, 1, 1, 1) == semiglobal_full(
+            q, t
+        )
+
+
+def test_native_banded_walker(rng):
+    for _ in range(3):
+        q = random_dna(rng, (250,))
+        t = mutate(rng, q, out_len=250)
+        res = banded_xdrop(q, t, return_state=True)
+        path = native.banded_traceback(
+            q,
+            t,
+            res.band_history,
+            res.pos_y,
+            res.n_rounds,
+            res.max_round,
+            res.score + 70,
+        )
+        assert path == res.path

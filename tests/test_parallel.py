@@ -1,0 +1,101 @@
+"""Distributed-layer tests on the virtual 8-device CPU mesh.
+
+The reference has no multi-node code; SURVEY.md §4.7 prescribes validating
+sharded results against single-host results on a virtual mesh.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+
+from swtpu.core import random_dna
+from swtpu.core.scoring import DNA_111, DNA_10_30_15
+from swtpu.kernels.xla import sw_batch_diag
+from swtpu.oracle import sw_score_batch
+from swtpu.parallel import (
+    make_mesh,
+    data_parallel_scores,
+    all_vs_all_topk,
+    sharded_all_vs_all_topk,
+    SearchCheckpoint,
+)
+
+
+def _brute_topk(Q, T, params, k):
+    ref = np.stack(
+        [
+            sw_score_batch(np.repeat(Q[i : i + 1], len(T), 0), T, params)
+            for i in range(len(Q))
+        ]
+    )
+    ids = np.arange(len(T))[None, :].repeat(len(Q), 0)
+    order = np.lexsort((ids, -ref), axis=1)[:, :k]
+    return np.take_along_axis(ref, order, axis=1).astype(np.int32), order
+
+
+def test_data_parallel_matches_single_host(rng):
+    mesh = make_mesh(8)
+    qs = random_dna(rng, (64, 48))
+    ts = random_dna(rng, (64, 48))
+    with mesh:
+        sharded = np.asarray(data_parallel_scores(qs, ts, DNA_10_30_15, mesh))
+    single = np.asarray(sw_batch_diag(qs, ts, DNA_10_30_15))
+    assert np.array_equal(sharded, single)
+
+
+def test_all_vs_all_topk_deterministic(rng):
+    Q = random_dna(rng, (4, 64))
+    T = random_dna(rng, (48, 64))
+    engine = lambda q, t: sw_batch_diag(q, t, DNA_111)
+    s, i = all_vs_all_topk(Q, T, DNA_111, k=5, chunk_size=16, engine=engine)
+    rs, ri = _brute_topk(Q, T, DNA_111, 5)
+    assert np.array_equal(s, rs) and np.array_equal(i, ri)
+
+
+def test_sharded_topk_matches_brute(rng):
+    mesh = make_mesh(8)
+    Q = random_dna(rng, (4, 64))
+    T = random_dna(rng, (64, 64))
+    s, i = sharded_all_vs_all_topk(Q, T, DNA_111, mesh, k=5)
+    rs, ri = _brute_topk(Q, T, DNA_111, 5)
+    assert np.array_equal(s, rs) and np.array_equal(i, ri)
+
+
+def test_search_checkpoint_resume(rng):
+    Q = random_dna(rng, (2, 48))
+    T = random_dna(rng, (32, 48))
+    engine = lambda q, t: sw_batch_diag(q, t, DNA_111)
+    path = os.path.join(tempfile.mkdtemp(), "cursor.npz")
+    ckpt = SearchCheckpoint(path)
+    full_s, full_i = all_vs_all_topk(
+        Q, T, DNA_111, k=4, chunk_size=8, engine=engine
+    )
+    # run chunks 0..1, then "crash" and resume
+    s, i = all_vs_all_topk(
+        Q, T[:16], DNA_111, k=4, chunk_size=8, engine=engine, checkpoint=ckpt
+    )
+    assert ckpt.load()["cursor"] == 16
+    # resume against full DB from the recorded cursor + partial state
+    s2, i2 = all_vs_all_topk(
+        Q, T, DNA_111, k=4, chunk_size=8, engine=engine, checkpoint=ckpt
+    )
+    assert np.array_equal(s2, full_s) and np.array_equal(i2, full_i)
+
+
+def test_chunk_retry_on_transient_failure(rng):
+    """A flaky engine succeeds on retry and the result is unaffected."""
+    Q = random_dna(rng, (2, 48))
+    T = random_dna(rng, (16, 48))
+    calls = {"n": 0}
+
+    def flaky(q, t):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected fault")
+        return sw_batch_diag(q, t, DNA_111)
+
+    s, i = all_vs_all_topk(Q, T, DNA_111, k=3, chunk_size=8, engine=flaky)
+    good = lambda q, t: sw_batch_diag(q, t, DNA_111)
+    s2, i2 = all_vs_all_topk(Q, T, DNA_111, k=3, chunk_size=8, engine=good)
+    assert np.array_equal(s, s2) and np.array_equal(i, i2)
