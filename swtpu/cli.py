@@ -1,0 +1,270 @@
+"""swtpu command-line interface.
+
+The reference's "config system" is comment-toggling calls in main()
+(source.cpp:3275-3301) and constants baked into function names (_111,
+_32_70). swtpu replaces that with a real CLI: every name-encoded constant
+is a validated flag (scoring, gap model, band geometry, kernel variant,
+batch size), while jax.jit static arguments keep the
+specialized-constant-compilation property the reference got from C++
+constexpr.
+
+Usage:
+  python -m swtpu align    --random 1024x128x128 --scoring 10,-30 --gap 15
+  python -m swtpu align    --queries q.fa --targets t.fa --traceback
+  python -m swtpu semiglobal --random 8x200x200
+  python -m swtpu banded   --random 8x2048x2048 --bandwidth 32 --x-drop 70
+  python -m swtpu search   --queries q.fa --targets db.fa --topk 10
+  python -m swtpu bench    [--quick]
+  python -m swtpu selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_pair_inputs(args, pad_q=4, pad_t=5):
+    from swtpu.core.io import load_fasta_batch
+
+    if args.random:
+        b, n, m = (int(x) for x in args.random.split("x"))
+        rng = np.random.default_rng(args.seed)
+        hi = 4 if args.alphabet == "dna" else 20
+        qs = rng.integers(0, hi, size=(b, n)).astype(np.uint8)
+        ts = rng.integers(0, hi, size=(b, m)).astype(np.uint8)
+        names = [f"pair{i}" for i in range(b)]
+        return names, qs, ts, np.full(b, n), np.full(b, m)
+    if not (args.queries and args.targets):
+        raise SystemExit("need --random BxNxM or --queries/--targets FASTA")
+    qn, qs, ql = load_fasta_batch(
+        args.queries, args.alphabet, pad_code=pad_q
+    )
+    tn, ts, tl = load_fasta_batch(
+        args.targets, args.alphabet, pad_code=pad_t
+    )
+    if len(qs) != len(ts):
+        raise SystemExit(
+            f"pairwise mode needs equal counts, got {len(qs)} vs {len(ts)}"
+        )
+    return [f"{a}|{b}" for a, b in zip(qn, tn)], qs, ts, ql, tl
+
+
+def _scoring(args):
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+
+    if args.alphabet == "protein":
+        from swtpu.core.protein import BLOSUM62
+
+        mat = BLOSUM62
+    else:
+        match, mismatch = (int(x) for x in args.scoring.split(","))
+        mat = dna_matrix(match, mismatch)
+    if args.gap_open is not None:
+        return ScoringParams(
+            mat, gap_open=args.gap_open, gap_extend=args.gap_extend
+        )
+    return ScoringParams.linear(mat, args.gap)
+
+
+def cmd_align(args):
+    names, qs, ts, ql, tl = _load_pair_inputs(args)
+    params = _scoring(args)
+    if args.traceback:
+        from swtpu.batch import sw_align_batch
+
+        for name, (score, path) in zip(
+            names, sw_align_batch(qs, ts, params)
+        ):
+            print(json.dumps(dict(pair=name, score=score, path=path)))
+        return
+    if params.is_linear and args.engine != "xla":
+        try:
+            from swtpu.ops import get_variant
+
+            scores = np.asarray(get_variant(args.engine)(qs, ts, params))
+        except (KeyError, NotImplementedError):
+            from swtpu.kernels.xla import sw_batch_diag
+
+            scores = np.asarray(sw_batch_diag(qs, ts, params))
+    elif params.is_linear:
+        from swtpu.kernels.xla import sw_batch_diag
+
+        scores = np.asarray(sw_batch_diag(qs, ts, params))
+    else:
+        from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
+
+        scores = np.asarray(sw_affine_batch_diag(qs, ts, params))
+    for name, s in zip(names, scores):
+        print(json.dumps(dict(pair=name, score=int(s))))
+
+
+def cmd_semiglobal(args):
+    names, qs, ts, ql, tl = _load_pair_inputs(args)
+    from swtpu.batch import semiglobal_align_batch
+
+    match, mismatch = (int(x) for x in args.scoring.split(","))
+    for name, (score, path) in zip(
+        names, semiglobal_align_batch(qs, ts, match, abs(mismatch), args.gap)
+    ):
+        rec = dict(pair=name, score=score, start=path[0], end=path[-1])
+        if args.traceback:
+            rec["path"] = path
+        print(json.dumps(rec))
+
+
+def cmd_banded(args):
+    names, qs, ts, ql, tl = _load_pair_inputs(args)
+    from swtpu.batch import banded_align_batch
+
+    match, mismatch = (int(x) for x in args.scoring.split(","))
+    out = banded_align_batch(
+        qs,
+        ts,
+        list(ql),
+        list(tl),
+        match=match,
+        mismatch=abs(mismatch),
+        gap=args.gap,
+        bandwidth=args.bandwidth,
+        x_threshold=args.x_drop,
+    )
+    for name, (score, path) in zip(names, out):
+        rec = dict(pair=name, score=score, start=path[0], end=path[-1])
+        if args.traceback:
+            rec["path"] = path
+        print(json.dumps(rec))
+
+
+def cmd_search(args):
+    from swtpu.core.io import load_fasta_batch
+    from swtpu.parallel.search import all_vs_all_topk, SearchCheckpoint
+    from swtpu.utils.obs import RunLog
+
+    params = _scoring(args)
+    if args.random:
+        nq, nt, L = (int(x) for x in args.random.split("x"))
+        rng = np.random.default_rng(args.seed)
+        Q = rng.integers(0, 4, size=(nq, L)).astype(np.uint8)
+        T = rng.integers(0, 4, size=(nt, L)).astype(np.uint8)
+        qn = [f"q{i}" for i in range(nq)]
+        tn = [f"t{i}" for i in range(nt)]
+    else:
+        qn, Q, _ = load_fasta_batch(args.queries, args.alphabet, pad_code=4)
+        tn, T, _ = load_fasta_batch(args.targets, args.alphabet, pad_code=5)
+    log = RunLog()
+    ckpt = SearchCheckpoint(args.checkpoint) if args.checkpoint else None
+    scores, ids = all_vs_all_topk(
+        Q,
+        T,
+        params,
+        k=args.topk,
+        chunk_size=args.chunk,
+        checkpoint=ckpt,
+        log=log.emit if args.verbose else None,
+    )
+    for i, name in enumerate(qn):
+        hits = [
+            dict(target=tn[j] if j < len(tn) else int(j), score=int(s))
+            for s, j in zip(scores[i], ids[i])
+            if s >= 0
+        ]
+        print(json.dumps(dict(query=name, hits=hits)))
+
+
+def cmd_bench(args):
+    from swtpu import bench_suite
+
+    sys.argv = ["bench_suite"] + (["--quick"] if args.quick else [])
+    bench_suite.main()
+
+
+def cmd_selftest(args):
+    """Quick end-to-end differential check (oracle vs engines)."""
+    from swtpu.core import random_dna
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.kernels.xla import sw_batch_diag
+    from swtpu.oracle import sw_score_batch
+
+    rng = np.random.default_rng(10000)
+    qs, ts = random_dna(rng, (32, 128)), random_dna(rng, (32, 128))
+    dev = np.asarray(sw_batch_diag(qs, ts, DNA_10_30_15))
+    ok = bool(
+        np.array_equal(dev, sw_score_batch(qs, ts, DNA_10_30_15))
+    )
+    print(json.dumps(dict(selftest="xla_vs_oracle", ok=ok)))
+    if not ok:
+        raise SystemExit(1)
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="swtpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--queries", help="FASTA of query sequences")
+        p.add_argument("--targets", help="FASTA of target sequences")
+        p.add_argument(
+            "--random",
+            help="BxNxM: generate B random pairs of lengths N, M",
+        )
+        p.add_argument("--seed", type=int, default=10000)
+        p.add_argument(
+            "--alphabet", choices=["dna", "protein"], default="dna"
+        )
+        p.add_argument(
+            "--scoring",
+            default="1,-1",
+            help="match,mismatch (DNA; protein uses BLOSUM62)",
+        )
+        p.add_argument("--gap", type=int, default=1)
+        p.add_argument("--gap-open", type=int, default=None)
+        p.add_argument("--gap-extend", type=int, default=1)
+        p.add_argument("--traceback", action="store_true")
+
+    p = sub.add_parser("align", help="local (Smith-Waterman) alignment")
+    common(p)
+    p.add_argument(
+        "--engine",
+        default="xla_diag",
+        help="kernel variant (oracle|xla_diag|wavefront|rowscan)",
+    )
+    p.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("semiglobal", help="semi-global alignment")
+    common(p)
+    p.set_defaults(fn=cmd_semiglobal)
+
+    p = sub.add_parser("banded", help="adaptive-banded X-drop semi-global")
+    common(p)
+    p.add_argument("--bandwidth", type=int, default=32)
+    p.add_argument("--x-drop", type=int, default=70)
+    p.set_defaults(fn=cmd_banded)
+
+    p = sub.add_parser("search", help="all-vs-all top-k database search")
+    common(p)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--chunk", type=int, default=1024)
+    p.add_argument("--checkpoint", help="resume cursor .npz path")
+    p.add_argument("--verbose", action="store_true")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("bench", help="benchmark suite")
+    p.add_argument("--quick", action="store_true")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("selftest", help="quick differential self-check")
+    p.set_defaults(fn=cmd_selftest)
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,3 +9,4 @@ from swtpu.parallel.search import (  # noqa: F401
     SearchCheckpoint,
     init_distributed,
 )
+from swtpu.parallel.longpair import longpair_sw_score  # noqa: F401

@@ -1,0 +1,230 @@
+"""Sequence-parallel long-pair alignment: one DP matrix across devices.
+
+The domain's "context parallelism" (SURVEY.md §5 long-context): a single
+huge Smith-Waterman matrix is split by *query strips* over the mesh's `sp`
+axis; target columns are processed in blocks. Device d computes tile
+(strip d, block b) at pipeline step s = d + b (a classic wavefront
+pipeline), then passes its strip-boundary row — the reference's ``yoko``
+strip boundary (source.cpp:126, 1000) lifted to the inter-chip level — to
+device d+1 over ICI via ``ppermute``. The diagonal corner each tile needs
+is simply the last element of the boundary row received one step earlier,
+so the only communication is one [C]-row ppermute per step.
+
+Tile internals use an anti-diagonal scan with explicit boundary-row/column
+I/O so tiles compose exactly; the composed score is bit-equal to the
+single-device oracle (tested on the virtual CPU mesh per SURVEY.md §4.7).
+
+Linear gap, match/mismatch scoring (the reference's model).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swtpu.core.scoring import ScoringParams
+
+NEGB = -(2**20)  # "outside the tile" marker
+
+
+def _tile_scan(q, t, top_row, left_col, corner, match, mismatch, gap):
+    """One R x C tile of linear-gap local SW with explicit boundaries.
+
+    q: [R] strip chars; t: [C] block chars (int32, values 0..3 or pads);
+    top_row: [C] = H[i0-1, j0 .. j0+C-1] (row above the tile);
+    left_col: [R] = H[i0 .. i0+R-1, j0-1] (column left of the tile);
+    corner: H[i0-1, j0-1].
+    Returns (bottom_row [C], right_col [R], best) where bottom_row is the
+    tile's last row and right_col its last column.
+    """
+    R, C = q.shape[0], t.shape[0]
+    iota = jnp.arange(R + 1)
+
+    # Slot vector over i in [0, R]: slot 0 carries the top boundary row;
+    # slots 1..R are tile rows. Local coords: cell (i, j), i in [1,R],
+    # j in [1,C]; at diagonal d, slot i holds cell (i, d - i).
+    q_slot = jnp.concatenate([jnp.array([6], jnp.int32), q])  # ghost char
+    t_rev_pad = jnp.concatenate(
+        [
+            jnp.full((R + 1,), 7, jnp.int32),
+            t[::-1],
+            jnp.full((R + 1,), 7, jnp.int32),
+        ]
+    )
+    # extended left boundary: index i gives H[i0-1+i, j0-1]
+    left_ext = jnp.concatenate([corner[None], left_col])  # [R+1]
+    # extended top boundary: index j gives H[i0-1, j0-1+j]
+    top_ext = jnp.concatenate([corner[None], top_row])  # [C+1]
+    top_ext_pad = jnp.concatenate(
+        [top_ext, jnp.full((R + 2,), NEGB, jnp.int32)]
+    )
+
+    def step(carry, d):
+        prev1, prev2, best = carry
+        # chars for slot i: t[(d - i) - 1] = t_rev[C - d + i]
+        off = C - d + R + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
+        s = jnp.where((q_slot == t_diag) & (q_slot < 4), match, mismatch)
+
+        shift1 = lambda x: jnp.concatenate(
+            [jnp.array([NEGB], jnp.int32), x[:-1]]
+        )
+        # With slot i <-> cell (i, d-i):
+        #   (i-1, j-1): diag d-2, slot i-1 -> shift1(prev2)
+        #   (i-1, j):   diag d-1, slot i-1 -> shift1(prev1)
+        #   (i, j-1):   diag d-1, slot i   -> prev1
+        diag_n = shift1(prev2)
+        upper_n = shift1(prev1)
+        left_n = prev1
+        # inject left-boundary ghosts where j-1 == 0 (i == d - 1):
+        is_j1 = iota == (d - 1)
+        left_n = jnp.where(is_j1, left_ext, left_n)
+        diag_n = jnp.where(is_j1, shift1(left_ext), diag_n)
+        cur = jnp.maximum(
+            jnp.maximum(diag_n + s, upper_n - gap),
+            jnp.maximum(left_n - gap, 0),
+        )
+        # slot 0 = top boundary row value H[i0-1, j0-1+d]
+        top_d = jax.lax.dynamic_index_in_dim(
+            top_ext_pad, jnp.minimum(d, C + R + 1), keepdims=False
+        )
+        cur = jnp.where(iota == 0, top_d, cur)
+        # slots outside the tile (j < 1 or j > C) read NEGB
+        j_of = d - iota
+        cur = jnp.where(
+            (iota > 0) & ((j_of < 1) | (j_of > C)), NEGB, cur
+        )
+        best = jnp.maximum(
+            best, jnp.where(iota > 0, cur, NEGB).max()
+        )
+        bottom = jax.lax.dynamic_index_in_dim(cur, R, keepdims=False)
+        right = jax.lax.dynamic_index_in_dim(
+            cur, jnp.clip(d - C, 0, R), keepdims=False
+        )
+        return (cur, prev1, best), (bottom, right)
+
+    init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
+    (_, _, best), (bots, rights) = jax.lax.scan(
+        step,
+        (init_vec, init_vec, jnp.int32(0)),
+        jnp.arange(1, R + C + 1),
+    )
+    # bottom_row[j-1] = H[R, j] emitted at diagonal d = R + j
+    bottom_row = jax.lax.dynamic_slice_in_dim(bots, R, C)
+    # right_col[i-1] = H[i, C] emitted at diagonal d = C + i
+    right_col = jax.lax.dynamic_slice_in_dim(rights, C, R)
+    return bottom_row, right_col, best
+
+
+def tile_sw_reference(q, t, top_row, left_col, corner, match, mismatch, gap):
+    """numpy mirror of _tile_scan for unit tests."""
+    R, C = len(q), len(t)
+    H = np.zeros((R + 1, C + 1), np.int64)
+    H[0, 0] = corner
+    H[0, 1:] = top_row
+    H[1:, 0] = left_col
+    best = 0
+    for i in range(1, R + 1):
+        for j in range(1, C + 1):
+            s = match if q[i - 1] == t[j - 1] else mismatch
+            H[i, j] = max(
+                0, H[i - 1, j - 1] + s, H[i - 1, j] - gap, H[i, j - 1] - gap
+            )
+            best = max(best, H[i, j])
+    return H[R, 1:], H[1:, C], best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "block", "mesh", "axis"),
+)
+def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    R = q.shape[0] // n_dev
+    C = block
+    n_blocks = t.shape[0] // C
+    n_steps = n_blocks + n_dev - 1
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def per_device(q_strip):
+        q_strip = q_strip.reshape(-1).astype(jnp.int32)
+        my = jax.lax.axis_index(axis)
+        tt = t.astype(jnp.int32)
+        zero_c = jnp.zeros((C,), jnp.int32)
+        zero_r = jnp.zeros((R,), jnp.int32)
+
+        def step(carry, s):
+            top_in, prev_top_last, left_col, best = carry
+            b = s - my
+            active = (b >= 0) & (b < n_blocks)
+            bsafe = jnp.clip(b, 0, n_blocks - 1)
+            t_block = jax.lax.dynamic_slice_in_dim(tt, bsafe * C, C)
+            top = jnp.where(my == 0, zero_c, top_in)
+            left = jnp.where(b == 0, zero_r, left_col)
+            corner = jnp.where(
+                (my == 0) | (b == 0), jnp.int32(0), prev_top_last
+            )
+            bot, right, tile_best = _tile_scan(
+                q_strip, t_block, top, left, corner,
+                jnp.int32(match), jnp.int32(mismatch), jnp.int32(gap),
+            )
+            best = jnp.where(active, jnp.maximum(best, tile_best), best)
+            left_new = jnp.where(active, right, left_col)
+            ptl_new = jnp.where(active, top[C - 1], prev_top_last)
+            send = jnp.where(active, bot, zero_c)
+            top_next = jax.lax.ppermute(send, axis, perm)
+            return (top_next, ptl_new, left_new, best), None
+
+        (_, _, _, best), _ = jax.lax.scan(
+            step,
+            (zero_c, jnp.int32(0), zero_r, jnp.int32(0)),
+            jnp.arange(n_steps),
+        )
+        return jax.lax.pmax(best, axis)[None]
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    return fn(q)
+
+
+def longpair_sw_score(
+    q: np.ndarray,
+    t: np.ndarray,
+    params: ScoringParams,
+    mesh,
+    axis: str = "sp",
+    block: int = 256,
+) -> int:
+    """Local-alignment score of ONE long pair, query sharded over `axis`.
+
+    len(q) must divide evenly by the mesh size, len(t) by `block`.
+    Returns the same score as the single-device engines / oracle.
+    """
+    from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+
+    mm = _uniform_match_mismatch(params)
+    if mm is None or not params.is_linear:
+        raise NotImplementedError("longpair: linear match/mismatch only")
+    match, mismatch = mm
+    out = _longpair_impl(
+        jnp.asarray(q, dtype=jnp.int32),
+        jnp.asarray(t, dtype=jnp.int32),
+        match,
+        mismatch,
+        int(params.gap),
+        block,
+        mesh,
+        axis,
+    )
+    return int(np.asarray(out).max())

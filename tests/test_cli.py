@@ -1,0 +1,94 @@
+"""CLI end-to-end tests (JSON-lines output, FASTA I/O, config flags)."""
+
+import contextlib
+import io
+import json
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from swtpu.cli import main
+from swtpu.core.io import (
+    encode_dna,
+    decode_dna,
+    load_fasta_batch,
+    read_fasta,
+    write_fasta,
+)
+from swtpu.core.scoring import DNA_10_30_15
+from swtpu.oracle import sw_score
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(argv)
+    return [json.loads(l) for l in buf.getvalue().splitlines()]
+
+
+@pytest.fixture
+def fastas(rng, tmp_path):
+    def seq(n):
+        return decode_dna(rng.integers(0, 4, n))
+
+    q = tmp_path / "q.fa"
+    t = tmp_path / "t.fa"
+    write_fasta(q, [(f"q{i}", seq(80)) for i in range(3)])
+    write_fasta(t, [(f"t{i}", seq(90)) for i in range(3)])
+    return str(q), str(t)
+
+
+def test_fasta_roundtrip(rng, tmp_path):
+    seqs = [("a", "ACGTACGT"), ("b", "GGGTTTCA")]
+    p = tmp_path / "x.fa"
+    write_fasta(p, seqs)
+    assert list(read_fasta(p)) == seqs
+    names, batch, lens = load_fasta_batch(str(p))
+    assert names == ["a", "b"] and batch.shape == (2, 8)
+    assert np.array_equal(batch[0], encode_dna("ACGTACGT"))
+
+
+def test_cli_align_scores_match_oracle(fastas):
+    q, t = fastas
+    recs = _run(
+        ["align", "--queries", q, "--targets", t,
+         "--scoring", "10,-30", "--gap", "15"]
+    )
+    _, qs, ql = load_fasta_batch(q)
+    _, ts, tl = load_fasta_batch(t, pad_code=5)
+    for i, rec in enumerate(recs):
+        assert rec["score"] == sw_score(qs[i], ts[i], DNA_10_30_15)
+
+
+def test_cli_align_traceback(fastas):
+    q, t = fastas
+    recs = _run(["align", "--queries", q, "--targets", t, "--traceback"])
+    assert all("path" in r and r["path"] for r in recs)
+
+
+def test_cli_banded_and_semiglobal():
+    recs = _run(["banded", "--random", "2x200x200"])
+    assert all("score" in r and "end" in r for r in recs)
+    recs = _run(["semiglobal", "--random", "2x50x50"])
+    assert all(r["start"] == [0, 0] for r in recs)
+
+
+def test_cli_search(fastas):
+    q, t = fastas
+    recs = _run(
+        ["search", "--queries", q, "--targets", t, "--topk", "2",
+         "--chunk", "2"]
+    )
+    assert len(recs) == 3
+    assert all(len(r["hits"]) == 2 for r in recs)
+    # hits sorted by score desc
+    for r in recs:
+        ss = [h["score"] for h in r["hits"]]
+        assert ss == sorted(ss, reverse=True)
+
+
+def test_cli_selftest():
+    recs = _run(["selftest"])
+    assert recs[0]["ok"] is True
