@@ -3,3 +3,4 @@ from swtpu.batch.traceback import (  # noqa: F401
     semiglobal_align_batch,
     banded_align_batch,
 )
+from swtpu.batch.bucketing import sw_scores_bucketed, bucket_edges  # noqa: F401

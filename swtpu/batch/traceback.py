@@ -161,6 +161,7 @@ def banded_align_batch(
     gap: int = 1,
     bandwidth: int = 32,
     x_threshold: int = 70,
+    compress_history: bool = False,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """Batched adaptive-banded X-drop alignment with traceback.
 
@@ -180,6 +181,7 @@ def banded_align_batch(
         gap,
         bandwidth,
         x_threshold,
+        compress_history=compress_history,
     )
     from swtpu import native
 
@@ -192,7 +194,7 @@ def banded_align_batch(
         path = walker(
             qs[b, : lens_q[b]],
             ts[b, : lens_t[b]],
-            res.band_history[:, b],
+            res.history_for(b),
             res.pos_y[:, b],
             int(res.n_rounds[b]),
             int(res.max_round[b]),

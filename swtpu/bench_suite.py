@@ -68,7 +68,7 @@ def bench_sw_variants(quick=False):
                     )
                 )
                 per_call = time_kernel(
-                    lambda a, b: fn(a, b, params), (dq, dt_), k=4 if quick else 8
+                    lambda a, b: fn(a, b, params), (dq, dt_), k=8
                 )
                 dt = per_call / batch
             ms_per_1m = dt * 1e6 * 1e3
@@ -101,6 +101,8 @@ def bench_semiglobal(quick=False):
     qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
 
+    banded_xdrop_batch(qs[:, :64], ts[:, :64])  # warm the compile cache
+    res = banded_xdrop_batch(qs, ts)  # compile for the real shape
     t0 = time.perf_counter()
     res = banded_xdrop_batch(qs, ts)
     wall = time.perf_counter() - t0

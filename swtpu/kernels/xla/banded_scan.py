@@ -38,8 +38,22 @@ class BandedBatchResult:
     score: np.ndarray  # [B] final scores (offset removed)
     max_round: np.ndarray  # [B]
     n_rounds: np.ndarray  # [B] rounds actually written (history valid below)
-    band_history: np.ndarray  # [R, B, W]
+    band_history: np.ndarray  # [R, B, W] int32, or uint8 if compressed
     pos_y: np.ndarray  # [R, B]
+    #: per-round offsets when the history is 8-bit compressed (else None).
+    #: Live cells store v - offset[r] + 1 in [1, X+1]; 0 = dead. This is the
+    #: reference's own 8-bit trick: X-drop guarantees live values lie within
+    #: x_threshold of the running max, so a per-round offset rebias keeps the
+    #: band in 8 bits (offset_diff accumulation, source.cpp:2105-2119).
+    offsets: "np.ndarray | None" = None
+
+    def history_for(self, b: int) -> np.ndarray:
+        """Reconstructed int32 band history for alignment b."""
+        if self.offsets is None:
+            return self.band_history[:, b]
+        h = self.band_history[:, b].astype(np.int32)
+        off = self.offsets[:, b][:, None]
+        return np.where(h > 0, h - 1 + off, 0)
 
 
 @functools.partial(
@@ -136,19 +150,24 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
         )
         hist = keep(r_new, jnp.zeros((B, W), jnp.int32))
         posy = keep1(now_y, jnp.zeros((B,), jnp.int32))
-        return state, (hist, posy)
+        # live cells sit in (max_score - X, max_score]; the offset rebias
+        # below is what lets callers keep the history in 8 bits
+        offs = max_score - X
+        return state, (hist, posy, offs)
 
     rounds = jnp.arange(1, R_cap)
-    state, (hist, posy) = jax.lax.scan(step, state0, rounds)
+    state, (hist, posy, offs) = jax.lax.scan(step, state0, rounds)
     # prepend round 0
     hist = jnp.concatenate([result0[None], hist], axis=0)  # [R_cap, B, W]
     posy = jnp.concatenate([jnp.zeros((1, B), jnp.int32), posy], axis=0)
+    offs = jnp.concatenate([jnp.zeros((1, B), jnp.int32), offs], axis=0)
     return (
         state["max_score"] - X,
         state["max_round"],
         state["n_rounds"],
         hist,
         posy,
+        offs,
     )
 
 
@@ -162,6 +181,7 @@ def banded_xdrop_batch(
     gap=1,
     bandwidth=32,
     x_threshold=70,
+    compress_history=False,
 ) -> BandedBatchResult:
     """Batched adaptive-banded X-drop forward pass.
 
@@ -185,7 +205,7 @@ def banded_xdrop_batch(
         qp[b, 1 : 1 + lens_q[b]] = qs[b, : lens_q[b]]
         tp[b, W : W + lens_t[b]] = ts[b, : lens_t[b]]
 
-    score, max_round, n_rounds, hist, posy = _banded_impl(
+    score, max_round, n_rounds, hist, posy, offs = _banded_impl(
         jnp.asarray(qp),
         jnp.asarray(tp),
         jnp.asarray(lens_q),
@@ -196,10 +216,26 @@ def banded_xdrop_batch(
         int(bandwidth),
         int(x_threshold),
     )
+    hist = np.asarray(hist)
+    offs = np.asarray(offs)
+    if compress_history:
+        if x_threshold > 254:
+            raise ValueError("8-bit history needs x_threshold <= 254")
+        comp = np.where(
+            hist > 0, hist - offs[:, :, None] + 1, 0
+        ).astype(np.uint8)
+        return BandedBatchResult(
+            score=np.asarray(score),
+            max_round=np.asarray(max_round),
+            n_rounds=np.asarray(n_rounds),
+            band_history=comp,
+            pos_y=np.asarray(posy),
+            offsets=offs,
+        )
     return BandedBatchResult(
         score=np.asarray(score),
         max_round=np.asarray(max_round),
         n_rounds=np.asarray(n_rounds),
-        band_history=np.asarray(hist),
+        band_history=hist,
         pos_y=np.asarray(posy),
     )

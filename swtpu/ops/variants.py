@@ -14,6 +14,9 @@ Variants (schedule lineage, slow → fast):
                   (the lax.scan tier of SURVEY.md §7.3)
   wavefront     — Pallas intra-pair parallelogram, 8 pairs × 128 lanes
                   (≙ the simd1-9 family, :62-1071)
+  colscan       — XLA column-parallel schedule with associative-scan gap
+                  propagation: the TPU-native Farrar-striped equivalent
+                  (the striped citation is README.md:15)
   rowscan       — Pallas inter-pair row scan, 1024 pairs/tile, chunked
                   columns + 2-row unroll (≙ the x32 family, :1227-1522);
                   the flagship
@@ -48,6 +51,12 @@ def _wavefront(qs, ts, params):
     return sw_wavefront_pallas(qs, ts, params)
 
 
+def _colscan(qs, ts, params):
+    from swtpu.kernels.xla.colscan import sw_batch_colscan
+
+    return sw_batch_colscan(qs, ts, params)
+
+
 def _rowscan(qs, ts, params):
     from swtpu.kernels.pallas import sw_batch_pallas
 
@@ -58,6 +67,7 @@ VARIANTS: Dict[str, Callable] = {
     "oracle": _oracle,
     "xla_diag": _xla_diag,
     "wavefront": _wavefront,
+    "colscan": _colscan,
     "rowscan": _rowscan,
 }
 

@@ -102,3 +102,15 @@ def test_sw_align_batch_paths(rng):
     got = sw_align_batch(qs, ts, DNA_111)
     for b in range(4):
         assert got[b] == sw_traceback(qs[b], ts[b], DNA_111)
+
+
+def test_colscan_schedule_parity(rng):
+    from swtpu.kernels.xla.colscan import sw_batch_colscan
+
+    qs = random_dna(rng, (8, 100))
+    ts = random_dna(rng, (8, 130))
+    for params in (DNA_10_30_15, DNA_111):
+        dev = np.asarray(sw_batch_colscan(qs, ts, params))
+        assert np.array_equal(
+            dev, sw_score_batch(qs, ts, params).astype(np.int32)
+        )

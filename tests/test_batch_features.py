@@ -1,0 +1,51 @@
+"""Bucketing, compressed band history, device codec."""
+
+import numpy as np
+
+from swtpu.core import random_dna, mutate, pack_2bit
+from swtpu.core.scoring import DNA_111
+from swtpu.batch import sw_scores_bucketed, banded_align_batch, bucket_edges
+from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+from swtpu.kernels.xla.unpack import unpack_2bit_device, pack_2bit_device
+from swtpu.oracle import sw_score, banded_xdrop
+
+
+def test_bucketed_scores(rng):
+    pairs = [
+        (
+            random_dna(rng, (int(rng.integers(10, 150)),)),
+            random_dna(rng, (int(rng.integers(10, 200)),)),
+        )
+        for _ in range(16)
+    ]
+    got = sw_scores_bucketed(pairs, DNA_111)
+    want = np.array([sw_score(q, t, DNA_111) for q, t in pairs], np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_bucket_edges_monotone():
+    e = bucket_edges(1000)
+    assert e == sorted(set(e)) and e[-1] == 1000
+
+
+def test_compressed_band_history(rng):
+    B = 3
+    qs = random_dna(rng, (B, 250))
+    ts = np.stack([mutate(rng, qs[b], out_len=250) for b in range(B)])
+    res = banded_xdrop_batch(qs, ts, compress_history=True)
+    assert res.band_history.dtype == np.uint8
+    for b in range(B):
+        orc = banded_xdrop(qs[b], ts[b], return_state=True)
+        nr = int(res.n_rounds[b])
+        assert np.array_equal(res.history_for(b)[:nr], orc.band_history)
+    # and the full traceback path still bit-matches
+    got = banded_align_batch(qs, ts, compress_history=True)
+    for b in range(B):
+        assert got[b] == banded_xdrop(qs[b], ts[b])
+
+
+def test_device_codec(rng):
+    s = random_dna(rng, (4, 256))
+    p = pack_2bit(s)
+    assert np.array_equal(np.asarray(unpack_2bit_device(p)), s)
+    assert np.array_equal(np.asarray(pack_2bit_device(s)), p)
