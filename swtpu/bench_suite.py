@@ -101,10 +101,12 @@ def bench_semiglobal(quick=False):
     qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
 
-    banded_xdrop_batch(qs[:, :64], ts[:, :64])  # warm the compile cache
-    res = banded_xdrop_batch(qs, ts)  # compile for the real shape
+    # score-only mode: the band history (GBs) would otherwise dominate the
+    # host transfer; traceback workloads pay it only for selected pairs
+    kw = dict(with_history=False)
+    res = banded_xdrop_batch(qs, ts, **kw)  # compile
     t0 = time.perf_counter()
-    res = banded_xdrop_batch(qs, ts)
+    res = banded_xdrop_batch(qs, ts, **kw)
     wall = time.perf_counter() - t0
     # cells actually computed: bandwidth * rounds per alignment
     cells = int(res.n_rounds.sum()) * 32

@@ -38,7 +38,7 @@ class BandedBatchResult:
     score: np.ndarray  # [B] final scores (offset removed)
     max_round: np.ndarray  # [B]
     n_rounds: np.ndarray  # [B] rounds actually written (history valid below)
-    band_history: np.ndarray  # [R, B, W] int32, or uint8 if compressed
+    band_history: "np.ndarray | None"  # [R, B, W] int32 / uint8 / None
     pos_y: np.ndarray  # [R, B]
     #: per-round offsets when the history is 8-bit compressed (else None).
     #: Live cells store v - offset[r] + 1 in [1, X+1]; 0 = dead. This is the
@@ -58,9 +58,18 @@ class BandedBatchResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap", "bandwidth", "x_threshold"),
+    static_argnames=(
+        "match", "mismatch", "gap", "bandwidth", "x_threshold",
+        "with_history", "compress", "gap_open", "gap_extend",
+    ),
 )
-def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
+def _banded_impl(
+    qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold,
+    with_history=True, compress=False, gap_open=None, gap_extend=None,
+):
+    affine = gap_open is not None and gap_open != gap_extend
+    EF_DEAD = -(2**28)
+    MINF = -(2**30)
     B = qp.shape[0]
     W = bandwidth
     X = x_threshold
@@ -80,17 +89,27 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
 
     result0 = jnp.zeros((B, W), jnp.int32).at[:, W - 1].set(X)
 
+    # band-aligned character windows, maintained by shift+insert instead of
+    # per-round 32-wide gathers (which are pathologically slow on TPU):
+    # q_win[k] = qp[now_y + W-1-k], t_win[k] = tp[now_x - W+1+k]
     state0 = dict(
         result=result0,
         horizontal=jnp.zeros((B, W), jnp.int32),
         vertical=jnp.zeros((B, W), jnp.int32),
         now_y=jnp.zeros((B,), jnp.int32),
         now_x=jnp.full((B,), W - 1, jnp.int32),
+        q_win=qp[:, :W][:, ::-1],
+        t_win=tp[:, :W],
         max_score=jnp.full((B,), X, jnp.int32),
         max_round=jnp.zeros((B,), jnp.int32),
         n_rounds=jnp.ones((B,), jnp.int32),
         done=jnp.zeros((B,), jnp.bool_),
     )
+    if affine:
+        state0["e_band"] = jnp.full((B, W), EF_DEAD, jnp.int32)
+        state0["f_band"] = jnp.full((B, W), EF_DEAD, jnp.int32)
+    qp_last = qp.shape[1] - 1
+    tp_last = tp.shape[1] - 1
 
     def step(state, r):
         res = state["result"]
@@ -109,8 +128,24 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
         done_pre = state["done"] | overrun
         active = ~done_pre
 
-        yc = jnp.take_along_axis(qp, now_y[:, None] + off, axis=1)
-        xc = jnp.take_along_axis(tp, now_x[:, None] - off, axis=1)
+        # slide char windows: one [B,1] gather per sequence per round
+        iq = jnp.take_along_axis(
+            qp, jnp.minimum(now_y + W - 1, qp_last)[:, None], axis=1
+        )
+        it = jnp.take_along_axis(
+            tp, jnp.minimum(now_x, tp_last)[:, None], axis=1
+        )
+        q_win = jnp.where(
+            right[:, None],
+            state["q_win"],
+            jnp.concatenate([iq, state["q_win"][:, :-1]], axis=1),
+        )
+        t_win = jnp.where(
+            right[:, None],
+            jnp.concatenate([state["t_win"][:, 1:], it], axis=1),
+            state["t_win"],
+        )
+        yc, xc = q_win, t_win
         valid = (yc >= 0) & (xc >= 0)
         sc = jnp.where(valid & (yc == xc), match, -mismatch)
 
@@ -118,12 +153,44 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
         r_new = jnp.where(
             diagonal != 0, jnp.maximum(r_new, diagonal + sc), r_new
         )
-        r_new = jnp.where(
-            horizontal != 0, jnp.maximum(r_new, horizontal - gap), r_new
-        )
-        r_new = jnp.where(
-            vertical != 0, jnp.maximum(r_new, vertical - gap), r_new
-        )
+        if affine:
+            # Gotoh E/F with dead-cell blocking (see oracle/banded_affine)
+            eb, fb = state["e_band"], state["f_band"]
+            he = jnp.where(
+                right[:, None],
+                eb,
+                jnp.pad(eb, ((0, 0), (1, 0)), constant_values=EF_DEAD)[
+                    :, :-1
+                ],
+            )
+            vf = jnp.where(
+                right[:, None],
+                jnp.pad(fb, ((0, 0), (0, 1)), constant_values=EF_DEAD)[
+                    :, 1:
+                ],
+                fb,
+            )
+            e_new = jnp.maximum(
+                jnp.where(he > EF_DEAD // 2, he - gap_extend, MINF),
+                jnp.where(horizontal != 0, horizontal - gap_open, MINF),
+            )
+            f_new = jnp.maximum(
+                jnp.where(vf > EF_DEAD // 2, vf - gap_extend, MINF),
+                jnp.where(vertical != 0, vertical - gap_open, MINF),
+            )
+            r_new = jnp.maximum(
+                r_new, jnp.where(e_new > MINF // 2, e_new, 0)
+            )
+            r_new = jnp.maximum(
+                r_new, jnp.where(f_new > MINF // 2, f_new, 0)
+            )
+        else:
+            r_new = jnp.where(
+                horizontal != 0, jnp.maximum(r_new, horizontal - gap), r_new
+            )
+            r_new = jnp.where(
+                vertical != 0, jnp.maximum(r_new, vertical - gap), r_new
+            )
         round_max = r_new.max(axis=1)
 
         upd = active & (state["max_score"] < round_max)
@@ -141,6 +208,8 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
             vertical=keep(vertical, state["vertical"]),
             now_y=keep1(now_y, state["now_y"]),
             now_x=keep1(now_x, state["now_x"]),
+            q_win=keep(q_win, state["q_win"]),
+            t_win=keep(t_win, state["t_win"]),
             max_score=max_score,
             max_round=max_round,
             n_rounds=keep1(
@@ -148,6 +217,11 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
             ),
             done=done_pre | (active & (round_max == 0)),
         )
+        if affine:
+            e_keep = jnp.where(r_new == 0, EF_DEAD, e_new)
+            f_keep = jnp.where(r_new == 0, EF_DEAD, f_new)
+            state["e_band"] = keep(e_keep, eb)
+            state["f_band"] = keep(f_keep, fb)
         hist = keep(r_new, jnp.zeros((B, W), jnp.int32))
         posy = keep1(now_y, jnp.zeros((B,), jnp.int32))
         # live cells sit in (max_score - X, max_score]; the offset rebias
@@ -161,6 +235,15 @@ def _banded_impl(qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold):
     hist = jnp.concatenate([result0[None], hist], axis=0)  # [R_cap, B, W]
     posy = jnp.concatenate([jnp.zeros((1, B), jnp.int32), posy], axis=0)
     offs = jnp.concatenate([jnp.zeros((1, B), jnp.int32), offs], axis=0)
+    if not with_history:
+        # scoring-only: XLA dead-code-eliminates the history stacking, and
+        # nothing large crosses the (slow) host link
+        hist = posy = offs = None
+    elif compress:
+        # compress ON DEVICE so the host transfer is uint8 (4x smaller)
+        hist = jnp.where(
+            hist > 0, hist - offs[:, :, None] + 1, 0
+        ).astype(jnp.uint8)
     return (
         state["max_score"] - X,
         state["max_round"],
@@ -182,8 +265,15 @@ def banded_xdrop_batch(
     bandwidth=32,
     x_threshold=70,
     compress_history=False,
+    with_history=True,
+    gap_open=None,
+    gap_extend=None,
 ) -> BandedBatchResult:
     """Batched adaptive-banded X-drop forward pass.
+
+    with_history=False returns scores/endpoint-rounds only (band_history
+    None): the fast path for scoring workloads — nothing big crosses the
+    host link and XLA removes the history stacking entirely.
 
     qs: [B, n] uint8, ts: [B, m] uint8; optional per-pair lengths (defaults
     full width). Returns a BandedBatchResult whose per-alignment contents
@@ -215,23 +305,31 @@ def banded_xdrop_batch(
         int(gap),
         int(bandwidth),
         int(x_threshold),
+        with_history=with_history,
+        compress=compress_history,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
     )
-    hist = np.asarray(hist)
-    offs = np.asarray(offs)
-    if compress_history:
-        if x_threshold > 254:
-            raise ValueError("8-bit history needs x_threshold <= 254")
-        comp = np.where(
-            hist > 0, hist - offs[:, :, None] + 1, 0
-        ).astype(np.uint8)
+    if not with_history:
         return BandedBatchResult(
             score=np.asarray(score),
             max_round=np.asarray(max_round),
             n_rounds=np.asarray(n_rounds),
-            band_history=comp,
-            pos_y=np.asarray(posy),
-            offsets=offs,
+            band_history=None,
+            pos_y=None,
         )
+    if compress_history:
+        if x_threshold > 254:
+            raise ValueError("8-bit history needs x_threshold <= 254")
+        return BandedBatchResult(
+            score=np.asarray(score),
+            max_round=np.asarray(max_round),
+            n_rounds=np.asarray(n_rounds),
+            band_history=np.asarray(hist),
+            pos_y=np.asarray(posy),
+            offsets=np.asarray(offs),
+        )
+    hist = np.asarray(hist)
     return BandedBatchResult(
         score=np.asarray(score),
         max_round=np.asarray(max_round),

@@ -50,3 +50,52 @@ def test_affine_pallas_parity(rng):
     assert np.array_equal(
         dev, sw_affine_score_batch(qs, ts, AFF).astype(np.int32)
     )
+
+
+def test_banded_affine_oracle_degenerates_to_linear(rng):
+    from swtpu.core import mutate
+    from swtpu.oracle import banded_xdrop
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    for _ in range(3):
+        q = random_dna(rng, (200,))
+        t = mutate(rng, q, out_len=200)
+        assert banded_affine_xdrop(
+            q, t, gap_open=1, gap_extend=1
+        ) == banded_xdrop(q, t)
+
+
+def test_banded_affine_device_scores(rng):
+    from swtpu.core import mutate
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    B = 3
+    qs = random_dna(rng, (B, 200))
+    ts = np.stack([mutate(rng, qs[b], out_len=200) for b in range(B)])
+    res = banded_xdrop_batch(
+        qs, ts, gap_open=3, gap_extend=1, with_history=False
+    )
+    for b in range(B):
+        sc, path = banded_affine_xdrop(qs[b], ts[b], gap_open=3, gap_extend=1)
+        assert sc == int(res.score[b])
+
+
+def test_banded_affine_path_rescoring(rng):
+    from swtpu.core import mutate
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    q = random_dna(rng, (300,))
+    t = mutate(rng, q, out_len=300)
+    sc, path = banded_affine_xdrop(q, t, gap_open=3, gap_extend=1)
+    s, run = 0, None
+    for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        d = (i1 - i0, j1 - j0)
+        if d == (1, 1):
+            s += 1 if q[i1 - 1] == t[j1 - 1] else -1
+            run = None
+        else:
+            kind = "up" if d == (1, 0) else "left"
+            s -= 3 if run != kind else 1
+            run = kind
+    assert s == sc
