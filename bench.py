@@ -67,9 +67,12 @@ def main():
 
     # time_kernel runs the kernel as a salted serial chain inside one jit:
     # immune to async-dispatch lies, relay result caching, and slow
-    # host<->device tunnel transfers (see swtpu/utils/timing.py)
-    best = time_kernel(fn, (qs, ts), k=args.iters)
-    times = [best]
+    # host<->device tunnel transfers (see swtpu/utils/timing.py).
+    # median of 3 independent measurements for stability
+    import statistics
+
+    times = [time_kernel(fn, (qs, ts), k=args.iters) for _ in range(3)]
+    best = statistics.median(times)
 
     cells = args.batch * args.n * args.m
     gcups = cells / best / 1e9

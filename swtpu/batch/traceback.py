@@ -66,14 +66,29 @@ def semiglobal_align_batch(
 
     Device computes scores + endpoints; host walks each path.
     """
+    import jax
+
     from swtpu import native
     from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
     from swtpu.oracle.semiglobal import semiglobal_full
 
-    score, ei, ej = (
-        np.asarray(x)
-        for x in semiglobal_batch_diag(qs, ts, match, mismatch, gap)
+    B, n = qs.shape
+    m = ts.shape[1]
+    use_pallas = (
+        jax.devices()[0].platform == "tpu"
+        and B % 1024 == 0
+        and n % 2 == 0
+        and m % 16 == 0
     )
+    if use_pallas:
+        from swtpu.kernels.pallas.semiglobal_batch import (
+            semiglobal_batch_pallas,
+        )
+
+        fwd = semiglobal_batch_pallas(qs, ts, match, mismatch, gap)
+    else:
+        fwd = semiglobal_batch_diag(qs, ts, match, mismatch, gap)
+    score, ei, ej = (np.asarray(x) for x in fwd)
     walker = (
         (lambda q, t: native.semiglobal_traceback(q, t, match, mismatch, gap))
         if native.available()

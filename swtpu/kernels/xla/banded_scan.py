@@ -230,7 +230,11 @@ def _banded_impl(
         return state, (hist, posy, offs)
 
     rounds = jnp.arange(1, R_cap)
-    state, (hist, posy, offs) = jax.lax.scan(step, state0, rounds)
+    # unroll: the per-round tensors are small, so XLA loop overhead
+    # dominates; unrolling amortizes it
+    state, (hist, posy, offs) = jax.lax.scan(
+        step, state0, rounds, unroll=8
+    )
     # prepend round 0
     hist = jnp.concatenate([result0[None], hist], axis=0)  # [R_cap, B, W]
     posy = jnp.concatenate([jnp.zeros((1, B), jnp.int32), posy], axis=0)

@@ -114,3 +114,20 @@ def test_colscan_schedule_parity(rng):
         assert np.array_equal(
             dev, sw_score_batch(qs, ts, params).astype(np.int32)
         )
+
+
+def test_semiglobal_pallas_matches_xla(rng):
+    from swtpu.kernels.pallas.semiglobal_batch import semiglobal_batch_pallas
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
+
+    qs = random_dna(rng, (1024, 64))
+    ts = random_dna(rng, (1024, 64))
+    ts[:4] = np.stack([mutate(rng, qs[b], out_len=64) for b in range(4)])
+    with pltpu.force_tpu_interpret_mode():
+        s1, i1, j1 = (
+            np.asarray(x) for x in semiglobal_batch_pallas(qs, ts)
+        )
+    s2, i2, j2 = (np.asarray(x) for x in semiglobal_batch_diag(qs, ts))
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(i1, i2)
+    assert np.array_equal(j1, j2)
