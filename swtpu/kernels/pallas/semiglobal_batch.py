@@ -26,7 +26,6 @@ from jax.experimental.pallas import tpu as pltpu
 from swtpu.kernels.pallas.sw_batch import (
     CHUNK,
     LANE,
-    ROWS,
     SUB,
     TILE_PAIRS,
     _at,
@@ -34,6 +33,8 @@ from swtpu.kernels.pallas.sw_batch import (
     _prepare,
     _shift_down,
 )
+
+ROWS = 2  # this kernel's own row unroll (decoupled from the flagship's)
 
 MINF = -(2**29)
 

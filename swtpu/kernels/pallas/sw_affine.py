@@ -29,7 +29,6 @@ from swtpu.core.scoring import ScoringParams
 from swtpu.kernels.pallas.sw_batch import (
     CHUNK,
     LANE,
-    ROWS,
     SUB,
     TILE_PAIRS,
     Q_PAD,
@@ -40,6 +39,8 @@ from swtpu.kernels.pallas.sw_batch import (
     _shift_down,
     _uniform_match_mismatch,
 )
+
+ROWS = 2  # this kernel's own row unroll (decoupled from the flagship's)
 
 NEG_EF = -(2**29)
 

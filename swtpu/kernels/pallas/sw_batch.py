@@ -9,24 +9,32 @@ the *batch* the vector axis so every lane computes an independent alignment
 the DP matrix; the previous-row boundary (the reference's ``yoko``,
 source.cpp:1255) lives in VMEM scratch.
 
-Schedule:
-- The column loop runs in chunks of CHUNK=16 cells: everything that does
-  not depend on the left neighbor is computed chunk-wide (the
-  match/mismatch score via one xor-compare-select — replacing the
-  reference's ``pshufb`` LUT, source.cpp:119-121 — ``up - gap``,
-  ``diag + s``, zero floor). What remains per cell is the left-to-right
-  chain ``h = max(pre, h_left - gap)`` — and because max/sub chains are
-  reassociable (max(a,b)-g = max(a-g,b-g)), the compiler can collapse it
-  to log depth; this kernel measures ~705 GCUPS on v5e, i.e. the chain is
-  NOT the bottleneck. (The reference plays the same game with its max-tree
-  re-association, source.cpp:859-860, 921-926.)
-- TWO query rows advance per iteration (the reference mark2's vertical
-  unroll, source.cpp:1304-1306): row i+1 consumes row i's freshly computed
-  values straight from registers, halving VMEM row-boundary traffic and
-  doubling the independent work available to the VLIW scheduler.
+Schedule (measured on v5e; see git history for the ladder):
+- The column loop runs in chunks of CHUNK=16 cells. The recurrence is
+  *fused* so only the chunk-wide pre-value needs the score select:
 
-Pads (q:4, t:5) score NEG, keeping padded/phantom cells strictly below
-every real cell, so variable-length batches need no extra masking.
+      pre[k] = max(diag[k] + s[k], 0)              (chunk-wide)
+      H[k]   = max(pre[k], max(up[k], H[k-1]) - gap)   (serial in k)
+
+  i.e. the vertical-gap term rides inside the left-to-right chain instead
+  of being materialized chunk-wide — one fewer vector op per cell. Since
+  max/sub chains are reassociable (max(a,b)-g = max(a-g,b-g)) the compiler
+  is free to trade critical path against op count either way; measured,
+  the fused form wins. (The reference plays the same games: max-tree
+  re-association at source.cpp:859-860/921-926, offset DP at :985-994.)
+- The global best needs no per-cell H tracking: every H value is either a
+  ``pre`` value or an older H minus gap penalties, so max(H) == max(pre).
+  Best is accumulated over the pre tensors only.
+- EIGHT query rows advance per chunk iteration (the reference mark2's
+  vertical unroll taken further, source.cpp:1304-1306): row r+1 consumes
+  row r's freshly computed values straight from registers, cutting VMEM
+  row-boundary traffic 8x and giving the VLIW scheduler 8 independent
+  serial chains to interleave.
+
+Pads: q:4, t:5 never match anything, so padded cells score ``mismatch``;
+with mismatch < 0 < gap (enforced below) padded/phantom cells can only
+decay from real cells and never raise the max, so variable-length batches
+need no extra masking.
 
 dtype tier: int32 lanes (8 sublanes, 1024 pairs/tile). v5e Mosaic only
 supports vector compares at 32-bit; narrower tiers would pay relayout casts
@@ -47,13 +55,12 @@ from swtpu.core.scoring import ScoringParams
 
 Q_PAD = 4
 T_PAD = 5
-NEG = -(2**20)  # pad substitution score; below any real cell value
 
 SUB = 8  # int32 sublanes
 LANE = 128
 TILE_PAIRS = SUB * LANE  # 1024 pairs per grid step
 CHUNK = 16  # columns per inner-loop iteration
-ROWS = 2  # query rows per inner-loop iteration
+ROWS = 8  # query rows per inner-loop iteration
 
 
 def _last(x):
@@ -85,57 +92,54 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, m, match, mismatch, gap):
     yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
 
     n_chunks = m // CHUNK
-    n_rowpairs = n // ROWS
+    n_rowgrps = n // ROWS
 
-    def score(t, q_col):
-        # match/mismatch scoring without a profile: q^t == 0 iff equal.
-        # Pads (q:4, t:5) always differ from everything -> mismatch, whose
-        # negativity makes phantom cells decay (see module docstring).
-        return jnp.where((q_col ^ t) == 0, match32, mm32)
-
-    def serial_chain(pre, h_left):
-        hs = []
-        h = h_left
-        for k in range(CHUNK):
-            h = jnp.maximum(_at(pre, k), h - gap32)
-            hs.append(h)
-        return jnp.stack(hs), h
-
-    def row_body(i2, best_c):
-        ia = i2 * ROWS
-        qa = q_ref[ia][None]  # [1, SUB, LANE] query chars, row ia
-        qb = q_ref[ia + 1][None]
+    def row_body(ig, best_c):
+        ia = ig * ROWS
+        qrow = [q_ref[ia + r][None] for r in range(ROWS)]  # [1, SUB, LANE]
 
         def chunk_body(jc, carry):
-            hla, hlb, dina, dinb, best_c = carry
+            hl, din, best_c = carry
+            hl, din = list(hl), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]  # [CHUNK, SUB, LANE]
-            up = yoko_ref[pl.ds(j0, CHUNK)]  # row ia-1 values
+            prev = yoko_ref[pl.ds(j0, CHUNK)]  # row ia-1 values
 
-            # row a (query row ia)
-            diag_a = _shift_down(up, dina)
-            pre_a = jnp.maximum(
-                jnp.maximum(diag_a + score(t, qa), up - gap32), 0
-            )
-            new_a, hla = serial_chain(pre_a, hla)
+            pres = []
+            for r in range(ROWS):
+                diag = _shift_down(prev, din[r])
+                # match/mismatch scoring without a profile (pads 4/5 never
+                # equal anything -> mismatch; see module docstring)
+                s = jnp.where(qrow[r] == t, match32, mm32)
+                pre = jnp.maximum(diag + s, 0)
+                # fused serial chain (vertical gap rides in the chain)
+                h = hl[r]
+                hs = []
+                for k in range(CHUNK):
+                    h = jnp.maximum(
+                        _at(pre, k),
+                        jnp.maximum(_at(prev, k), h) - gap32,
+                    )
+                    hs.append(h)
+                hl[r] = h
+                pres.append(pre)
+                din[r] = _last(prev)  # next chunk's diag head, this row
+                prev = jnp.stack(hs)
 
-            # row b (query row ia+1) consumes row a from registers
-            diag_b = _shift_down(new_a, dinb)
-            pre_b = jnp.maximum(
-                jnp.maximum(diag_b + score(t, qb), new_a - gap32), 0
-            )
-            new_b, hlb = serial_chain(pre_b, hlb)
+            yoko_ref[pl.ds(j0, CHUNK)] = prev
+            acc = pres[0]
+            for r in range(1, ROWS):
+                acc = jnp.maximum(acc, pres[r])
+            best_c = jnp.maximum(best_c, acc)
+            return (tuple(hl), tuple(din), best_c)
 
-            yoko_ref[pl.ds(j0, CHUNK)] = new_b
-            best_c = jnp.maximum(best_c, jnp.maximum(new_a, new_b))
-            return (hla, hlb, _last(up), _last(new_a), best_c)
-
-        _, _, _, _, best_c = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (zero, zero, zero, zero, best_c)
+        zeros = tuple(zero for _ in range(ROWS))
+        _, _, best_c = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (zeros, zeros, best_c)
         )
         return best_c
 
-    best_c = jax.lax.fori_loop(0, n_rowpairs, row_body, zero_c)
+    best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
     out_ref[0] = best_c.max(axis=0)
 
 
@@ -195,17 +199,22 @@ def sw_batch_pallas(qs, ts, params: ScoringParams):
     """Batched local-alignment scores via the Pallas row-scan kernel.
 
     qs: [B, n] uint8 (values 0-3, pad 4), ts: [B, m] uint8 (pad 5).
-    Internally B pads to a multiple of 1024, n to even, m to a multiple
-    of 16. Returns [B] int32 scores == swtpu.oracle.sw_score per pair.
+    Internally B pads to a multiple of 1024, n to a multiple of 8, m to a
+    multiple of 16. Returns [B] int32 scores == swtpu.oracle.sw_score per
+    pair.
     """
     if not params.is_linear:
-        raise NotImplementedError("affine tier not yet wired into pallas")
+        raise NotImplementedError("affine tier: use sw_affine_pallas")
     mm = _uniform_match_mismatch(params)
     if mm is None:
         raise NotImplementedError(
             "general 4x4 matrices currently route to the XLA engine"
         )
     match, mismatch = mm
+    if mismatch >= 0 or params.gap <= 0:
+        raise NotImplementedError(
+            "pad-decay layout needs mismatch < 0 < gap; route to XLA engine"
+        )
     B, n = qs.shape
     m = ts.shape[1]
     qs = jnp.asarray(qs)
