@@ -1,0 +1,264 @@
+"""Pallas batched Smith-Waterman with a packed query profile: the general-
+matrix tier (arbitrary 4x4 DNA matrices, protein/BLOSUM62, any alphabet to
+~30 letters).
+
+The uniform-scoring flagship (sw_batch.py) scores with one compare+select;
+a general substitution matrix needs a per-cell lookup s = M[q_i, t_j] — the
+reference does this 16 cells at a time with ``pshufb`` on a bias-127 LUT
+(source.cpp:119-121, 145-146). The TPU has no per-lane byte shuffle across
+a table, so this kernel rebuilds the idiom from two TPU-native pieces:
+
+1. **Query profile** (the Farrar idiom, README.md:15 citation): precompute
+   prof[i] = M[q_i, :] per query row on the XLA side, so the kernel-side
+   lookup is indexed by t only.
+2. **Byte packing + variable shift**: the profile row is packed 4 int8
+   scores per int32 "plane" (plane g holds scores for t in [4g, 4g+4)).
+   Per cell the kernel selects the plane with a log-depth select tree on
+   t>>2 (masks hoisted chunk-wide, shared across all 8 unrolled rows) and
+   extracts the byte with a variable vector shift by (t&3)*8 — Mosaic
+   lowers shift-by-vector natively on v5e (probed).
+
+   DNA (6 codes incl. pads) = 2 planes -> 1 select; protein (26 codes) =
+   7 planes -> 6 selects. Extraction is 4 ops (shift, mask, sign-extend).
+
+Everything else (fused serial chain, max(H) == max(pre) best tracking,
+8-row unroll, (8,128)-tile batch layout) matches sw_batch.py.
+
+Pad scores are -128 (the int8 floor): with gap > 0, padded/phantom cells
+can only decay from real cells and never raise the max — general matrices
+with positive off-diagonal entries (BLOSUM) stay exact because the pad
+argument only constrains pad-involved cells.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.core.scoring import ScoringParams
+from swtpu.kernels.pallas.sw_batch import (
+    CHUNK,
+    LANE,
+    ROWS,
+    SUB,
+    TILE_PAIRS,
+    _at,
+    _last,
+    _shift_down,
+)
+
+PAD_SCORE = -128
+
+#: VMEM budget for the resident profile, in (8,128) int32 rows. The whole
+#: tile working set (profile + targets + row boundary) must fit in ~16 MB;
+#: 2048 rows = 8 MB leaves comfortable headroom.
+_MAX_PROF_ROWS = 2048
+
+
+def _packed_table(params: ScoringParams) -> np.ndarray:
+    """[Ae, planes] int32: row q holds the extended substitution row for q,
+    packed 4 int8 scores per int32 (little-endian byte b = t code 4g+b).
+    Ae = alphabet + 2 pad codes; pad rows/cols score PAD_SCORE."""
+    A = params.alphabet_size
+    Ae = A + 2
+    mat = params.matrix
+    if mat.min() < -127 or mat.max() > 127:
+        raise NotImplementedError(
+            "packed-profile kernel needs scores in [-127, 127]"
+        )
+    planes = -(-Ae // 4)
+    ext = np.full((Ae, planes * 4), PAD_SCORE, dtype=np.int32)
+    ext[:A, :A] = mat
+    b = (ext & 0xFF).astype(np.uint32)
+    packed = (
+        b[:, 0::4] | (b[:, 1::4] << 8) | (b[:, 2::4] << 16)
+        | (b[:, 3::4] << 24)
+    )
+    return packed.view(np.int32)
+
+
+def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, n, m, planes, gap):
+    zero = jnp.zeros((SUB, LANE), jnp.int32)
+    zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
+    gap32 = jnp.int32(gap)
+
+    yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
+
+    n_chunks = m // CHUNK
+    n_rowgrps = n // ROWS
+
+    def lookup(planes_vals, bits, sh):
+        """Select the packed plane by the t>>2 bits, extract byte (t&3)."""
+        vals = list(planes_vals)
+        level = 0
+        while len(vals) > 1:
+            b = bits[level]
+            nxt = []
+            for j in range(0, len(vals) - 1, 2):
+                nxt.append(jnp.where(b, vals[j + 1], vals[j]))
+            if len(vals) % 2:
+                nxt.append(vals[-1])
+            vals = nxt
+            level += 1
+        v = jax.lax.shift_right_logical(vals[0], sh)
+        return ((v & 0xFF) ^ 0x80) - 0x80
+
+    def row_body(ig, best_c):
+        ia = ig * ROWS
+        prow = [
+            [prof_ref[ia + r, g][None] for g in range(planes)]
+            for r in range(ROWS)
+        ]
+
+        def chunk_body(jc, carry):
+            hl, din, best_c = carry
+            hl, din = list(hl), list(din)
+            j0 = jc * CHUNK
+            t = t_ref[pl.ds(j0, CHUNK)]  # [CHUNK, SUB, LANE]
+            prev = yoko_ref[pl.ds(j0, CHUNK)]
+
+            # hoisted once per chunk, shared by all ROWS rows
+            sh = (t & 3) << 3
+            tp = t >> 2
+            n_bits = max(1, (planes - 1).bit_length())
+            bits = [(tp & (1 << k)) != 0 for k in range(n_bits)]
+
+            pres = []
+            for r in range(ROWS):
+                diag = _shift_down(prev, din[r])
+                s = lookup(prow[r], bits, sh)
+                pre = jnp.maximum(diag + s, 0)
+                h = hl[r]
+                hs = []
+                for k in range(CHUNK):
+                    h = jnp.maximum(
+                        _at(pre, k),
+                        jnp.maximum(_at(prev, k), h) - gap32,
+                    )
+                    hs.append(h)
+                hl[r] = h
+                pres.append(pre)
+                din[r] = _last(prev)
+                prev = jnp.stack(hs)
+
+            yoko_ref[pl.ds(j0, CHUNK)] = prev
+            acc = pres[0]
+            for r in range(1, ROWS):
+                acc = jnp.maximum(acc, pres[r])
+            best_c = jnp.maximum(best_c, acc)
+            return (tuple(hl), tuple(din), best_c)
+
+        zeros = tuple(zero for _ in range(ROWS))
+        _, _, best_c = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (zeros, zeros, best_c)
+        )
+        return best_c
+
+    best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
+    out_ref[0] = best_c.max(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "planes", "gap"))
+def _sw_profile_impl(profT, tsT, n, m, planes, gap):
+    T = tsT.shape[0] // m
+    return pl.pallas_call(
+        functools.partial(_kernel, n=n, m=m, planes=planes, gap=gap),
+        out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, planes, SUB, LANE),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (m, SUB, LANE),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((m, SUB, LANE), jnp.int32)],
+    )(profT, tsT)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "planes"))
+def _prepare_profile(qs, ts, packed_tab, n, m, planes):
+    """Device-side profile build + tile layouts.
+
+    The row lookup is a compare-select chain over the <=26 table rows, not
+    a gather — TPU gathers of millions of indices from a tiny table are
+    pathologically slow (measured 10+ ms for what the chain does in <1 ms).
+    """
+    B = qs.shape[0]
+    T = B // TILE_PAIRS
+    q32 = qs.astype(jnp.int32)[..., None]  # [B, n, 1]
+    prof = jnp.zeros((B, n, planes), jnp.int32)
+    for a in range(packed_tab.shape[0]):
+        prof = jnp.where(q32 == a, packed_tab[a], prof)  # [B,n,planes]
+    profT = (
+        prof.reshape(T, SUB, LANE, n, planes)
+        .transpose(0, 3, 4, 1, 2)
+        .reshape(T * n, planes, SUB, LANE)
+    )
+    tsT = (
+        ts.reshape(T, SUB, LANE, m)
+        .transpose(0, 3, 1, 2)
+        .astype(jnp.int32)
+        .reshape(T * m, SUB, LANE)
+    )
+    return profT, tsT
+
+
+def sw_batch_profile_pallas(qs, ts, params: ScoringParams):
+    """Batched local-alignment scores for general substitution matrices.
+
+    qs: [B, n] uint8 codes 0..A-1 (pad A), ts: [B, m] uint8 (pad A+1),
+    where A = params.alphabet_size (4 for DNA, 24 for protein). Internally
+    B pads to a multiple of 1024, n to a multiple of 8, m to a multiple of
+    16. Returns [B] int32 scores == swtpu.oracle.sw_score per pair.
+    """
+    if not params.is_linear:
+        raise NotImplementedError("affine tier: use sw_affine_pallas")
+    if params.gap <= 0:
+        raise NotImplementedError("pad-decay layout needs gap > 0")
+    A = params.alphabet_size
+    packed_tab = _packed_table(params)
+    planes = packed_tab.shape[1]
+    q_pad, t_pad = A, A + 1
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), q_pad, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    if n * planes > _MAX_PROF_ROWS:
+        raise NotImplementedError(
+            f"query length {n} exceeds the resident-profile budget "
+            f"({_MAX_PROF_ROWS}); use the XLA engine or banded family"
+        )
+    mp = -(-m // CHUNK) * CHUNK
+    if mp != m:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, mp - m), t_pad, ts.dtype)], axis=1
+        )
+        m = mp
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), q_pad, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), t_pad, ts.dtype)])
+    profT, tsT = _prepare_profile(
+        qs, ts, jnp.asarray(packed_tab), n, m, planes
+    )
+    out = _sw_profile_impl(profT, tsT, n, m, planes, int(params.gap))
+    return out.reshape(Bp)[:B]

@@ -1,1 +1,5 @@
-from swtpu.ops.variants import VARIANTS, get_variant  # noqa: F401
+from swtpu.ops.variants import (  # noqa: F401
+    VARIANTS,
+    best_engine,
+    get_variant,
+)

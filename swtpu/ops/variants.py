@@ -18,8 +18,11 @@ Variants (schedule lineage, slow → fast):
                   propagation: the TPU-native Farrar-striped equivalent
                   (the striped citation is README.md:15)
   rowscan       — Pallas inter-pair row scan, 1024 pairs/tile, chunked
-                  columns + 2-row unroll (≙ the x32 family, :1227-1522);
-                  the flagship
+                  columns + fused chain + 8-row unroll (≙ the x32 family,
+                  :1227-1522); the flagship (uniform match/mismatch)
+  rowscan_prof  — rowscan with a packed query profile (≙ the pshufb LUT
+                  kernels' general-matrix interface, :62-66): arbitrary
+                  4x4 matrices and protein/BLOSUM62
 """
 
 from __future__ import annotations
@@ -63,12 +66,19 @@ def _rowscan(qs, ts, params):
     return sw_batch_pallas(qs, ts, params)
 
 
+def _rowscan_prof(qs, ts, params):
+    from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+
+    return sw_batch_profile_pallas(qs, ts, params)
+
+
 VARIANTS: Dict[str, Callable] = {
     "oracle": _oracle,
     "xla_diag": _xla_diag,
     "wavefront": _wavefront,
     "colscan": _colscan,
     "rowscan": _rowscan,
+    "rowscan_prof": _rowscan_prof,
 }
 
 
@@ -76,3 +86,43 @@ def get_variant(name: str) -> Callable:
     if name not in VARIANTS:
         raise KeyError(f"unknown variant {name!r}; have {sorted(VARIANTS)}")
     return VARIANTS[name]
+
+
+def best_engine(params: ScoringParams) -> Callable:
+    """fn(qs, ts) -> [B] int32 scores: the fastest engine for these params
+    on the current backend (Pallas tiers on TPU, XLA scans elsewhere)."""
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and params.is_linear:
+        from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+
+        mm = _uniform_match_mismatch(params)
+        if mm is not None and mm[1] < 0 < params.gap:
+            from swtpu.kernels.pallas import sw_batch_pallas
+
+            return lambda q, t: sw_batch_pallas(q, t, params)
+        if (
+            params.gap > 0
+            and params.matrix.min() >= -127
+            and params.matrix.max() <= 127
+        ):
+            from swtpu.kernels.pallas.sw_profile import (
+                sw_batch_profile_pallas,
+            )
+
+            return lambda q, t: sw_batch_profile_pallas(q, t, params)
+    if on_tpu and not params.is_linear:
+        from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+
+        if _uniform_match_mismatch(params) is not None:
+            from swtpu.kernels.pallas.sw_affine import sw_affine_pallas
+
+            return lambda q, t: sw_affine_pallas(q, t, params)
+    if params.is_linear:
+        from swtpu.kernels.xla import sw_batch_diag
+
+        return lambda q, t: sw_batch_diag(q, t, params)
+    from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
+
+    return lambda q, t: sw_affine_batch_diag(q, t, params)

@@ -115,21 +115,9 @@ def all_vs_all_topk(
     Returns (scores [Nq, k], target_ids [Nq, k]) int32/int64, deterministic.
     """
     if engine is None:
-        from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+        from swtpu.ops.variants import best_engine
 
-        on_tpu = jax.devices()[0].platform == "tpu"
-        if on_tpu and params.is_linear and _uniform_match_mismatch(params):
-            from swtpu.kernels.pallas import sw_batch_pallas
-
-            engine = lambda q, t: sw_batch_pallas(q, t, params)
-        elif params.is_linear:
-            from swtpu.kernels.xla import sw_batch_diag
-
-            engine = lambda q, t: sw_batch_diag(q, t, params)
-        else:
-            from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
-
-            engine = lambda q, t: sw_affine_batch_diag(q, t, params)
+        engine = best_engine(params)
 
     Nq, Nt = queries.shape[0], targets.shape[0]
     best_s = np.full((Nq, k), -1, np.int32)
