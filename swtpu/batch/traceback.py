@@ -184,9 +184,19 @@ def banded_align_batch(
     round), host walks paths from the history. Output per pair is
     bit-identical to swtpu.oracle.banded_xdrop.
     """
+    import jax
+
+    from swtpu.kernels.pallas.banded_batch import RF, LANE
     from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
 
-    res = banded_xdrop_batch(
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and bandwidth + RF + 1 <= LANE:
+        from swtpu.kernels.pallas.banded_batch import (
+            banded_xdrop_batch_pallas as forward,
+        )
+    else:
+        forward = banded_xdrop_batch
+    res = forward(
         qs,
         ts,
         lens_q,

@@ -103,25 +103,37 @@ def bench_semiglobal(quick=False):
 
     # score-only mode: the band history (GBs) would otherwise dominate the
     # host transfer; traceback workloads pay it only for selected pairs
+    engines = [("banded_xdrop_32_70_xla", banded_xdrop_batch)]
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.kernels.pallas.banded_batch import (
+            banded_xdrop_batch_pallas,
+        )
+
+        engines.append(
+            ("banded_xdrop_32_70_pallas", banded_xdrop_batch_pallas)
+        )
     kw = dict(with_history=False)
-    res = banded_xdrop_batch(qs, ts, **kw)  # compile
-    t0 = time.perf_counter()
-    res = banded_xdrop_batch(qs, ts, **kw)
-    wall = time.perf_counter() - t0
-    # cells actually computed: bandwidth * rounds per alignment
-    cells = int(res.n_rounds.sum()) * 32
-    rec = dict(
-        kernel="banded_xdrop_32_70",
-        batch=B,
-        seq_len=L,
-        wall_ms=round(wall * 1e3, 1),
-        band_gcups=round(cells / wall / 1e9, 3),
-        alignments_per_s=round(B / wall, 1),
-        device=str(jax.devices()[0].device_kind),
-    )
-    print(f"banded_xdrop: {wall*1e3/B*1e4:.0f} ms / 10K")
-    print("JSON:", json.dumps(rec))
-    return [rec]
+    out = []
+    for name, fwd in engines:
+        res = fwd(qs, ts, **kw)  # compile
+        t0 = time.perf_counter()
+        res = fwd(qs, ts, **kw)
+        wall = time.perf_counter() - t0
+        # cells actually computed: bandwidth * rounds per alignment
+        cells = int(res.n_rounds.sum()) * 32
+        rec = dict(
+            kernel=name,
+            batch=B,
+            seq_len=L,
+            wall_ms=round(wall * 1e3, 1),
+            band_gcups=round(cells / wall / 1e9, 3),
+            alignments_per_s=round(B / wall, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"{name}: {wall*1e3/B*1e4:.0f} ms / 10K")
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+    return out
 
 
 def bench_unpack(quick=False):

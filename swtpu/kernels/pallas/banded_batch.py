@@ -1,0 +1,419 @@
+"""Pallas adaptive-banded X-drop kernel — the native tier of the banded
+family (≙ the reference's AVX2 band kernels, source.cpp:1978-2725).
+
+Semantics are the scalar banded oracle's, exactly as the XLA engine
+(kernels/xla/banded_scan.py) implements them: per round the whole band
+moves right iff band[0] < band[W-1] (source.cpp:1891), 0 = dead cell that
+never propagates, scores carry a +X offset, X-dropped cells are zeroed,
+and a dead band or boundary overrun ends the alignment. The XLA engine
+pays ~38 us *per round* in scan dispatch + per-round [B,1] gathers; this
+kernel runs a round in a handful of vector ops.
+
+Layout: a grid step owns PAIRS=128 alignments, one per sublane row; the
+band (W <= 96 cells) lives on lanes. Band shifts are lane shifts; the
+round maximum is a lane reduction; the right/down decision is two static
+lane slices. Per-round cost is dominated by fixed overheads, so PAIRS
+scales throughput near-linearly up to 128 (measured: 8->64.8 ms,
+32->18.6, 64->10.6, 128->7.5 ms for 256 alignments of 2048x2048; the
+XLA engine needs 155 ms). 128 sublanes = 16 vregs per state array.
+
+The data-dependent part — each pair consumes its next query char on a
+down move and its next target char on a right move, at per-pair rates —
+is solved with a **sliding slab + lane gather**: a 128-char window of each
+sequence is held per pair ([8,128] vreg), the per-round chars come from
+one `take_along_axis` lane gather per sequence (Mosaic DynamicGatherOp,
+probed on v5e), and every RF=64 rounds the slab re-centers on the cursor
+(cursors advance <= 1/round, so W + RF <= 127 guarantees in-slab hits;
+the +1 overshoot reachable by finished pairs is clamped). The refill
+itself must dodge a Mosaic limit — dynamic slices along lanes are
+unsupported — so sequences are stored as 128-char rows and each slab is
+assembled from two dynamically-indexed *sublane* rows funnel-shifted
+together with a dynamic pltpu.roll. This replaces the reference's
+permute2x128/alignr band shifts + per-round scalar loads
+(source.cpp:2059-2071) with the TPU-native equivalents.
+
+Band history for traceback is buffered in VMEM ([RF, PAIRS, 128] scratch)
+and DMA'd to HBM once per block; per-round positions and offsets ride in
+lanes W and W+1 of each history row. Scoring-only mode skips all of it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.kernels.xla.banded_scan import BandedBatchResult
+
+PAIRS = 128  # alignments per grid step (16 sublane vregs; measured optimum)
+LANE = 128
+RF = 64  # rounds per refill block; W + RF <= 127 required
+
+
+def _kernel(
+    meta_ref,
+    q_ref,
+    t_ref,
+    score_ref,
+    mround_ref,
+    nrounds_ref,
+    *rest,
+    W,
+    X,
+    match,
+    mismatch,
+    gap,
+    n_blocks,
+    qlen,
+    tlen,
+    with_history,
+):
+    if with_history:
+        hist_ref, hist_buf, sem, cur_ref = rest
+    else:
+        (cur_ref,) = rest
+    iota = jax.lax.broadcasted_iota(jnp.int32, (PAIRS, LANE), 1)
+    band_mask = iota < W
+    zero = jnp.zeros((PAIRS, LANE), jnp.int32)
+    lens_q = meta_ref[0, :, 0:1]  # [PAIRS, 1]
+    lens_t = meta_ref[1, :, 0:1]
+    # per-pair round cap: the oracle stops at (max(n,m)+1)*2 - 1 rounds
+    # regardless of band liveness (oracle/semiglobal.py max_round_cap)
+    rcap = (jnp.maximum(lens_q, lens_t) + 1) * 2 - 1
+
+    m32 = jnp.int32(match)
+    mm32 = jnp.int32(-mismatch)
+    g32 = jnp.int32(gap)
+
+    def shift_right_lane(a):  # out[k] = a[k-1], out[0] = 0
+        return jnp.pad(a, ((0, 0), (1, 0)))[:, :-1]
+
+    def shift_left_lane(a):  # out[k] = a[k+1], out[-1] = 0
+        return jnp.pad(a, ((0, 0), (0, 1)))[:, 1:]
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    def refill(now, base_cap, seq_ref, rows_per_pair, cur_ref):
+        """Re-center the per-pair slab on cursor `now` ([P,1]).
+
+        seq_ref holds 128-char rows; slab row b = chars [base, base+128)
+        assembled from the two aligned rows around base via dynamic roll
+        (Mosaic cannot dynamic-slice along lanes)."""
+        base = jnp.minimum(now, base_cap)  # now >= 0 always
+        cur_ref[:] = jnp.broadcast_to(base, (PAIRS, LANE))
+        rows = []
+        for b in range(PAIRS):
+            off = cur_ref[b, 0]
+            rowi = b * rows_per_pair + (off >> 7)
+            rem = off & (LANE - 1)
+            sh = (LANE - rem) & (LANE - 1)
+            r0 = pltpu.roll(seq_ref[pl.ds(rowi, 1), :], sh, axis=1)
+            r1 = pltpu.roll(seq_ref[pl.ds(rowi + 1, 1), :], sh, axis=1)
+            rows.append(jnp.where(lane1 < (LANE - rem), r0, r1))
+        return jnp.concatenate(rows, axis=0), base
+
+    # --- initial state (round 0), exactly banded_scan.py's state0 ---
+    result0 = jnp.where(iota == W - 1, jnp.int32(X), 0)
+    state = dict(
+        result=result0,
+        horizontal=zero,
+        vertical=zero,
+        now_y=jnp.zeros((PAIRS, 1), jnp.int32),
+        now_x=jnp.full((PAIRS, 1), W - 1, jnp.int32),
+        max_score=jnp.full((PAIRS, 1), X, jnp.int32),
+        max_round=jnp.zeros((PAIRS, 1), jnp.int32),
+        n_rounds=jnp.ones((PAIRS, 1), jnp.int32),
+        done=jnp.zeros((PAIRS, 1), jnp.int32),  # bool carried as int32
+        # (Mosaic cannot truncate an i8-packed (8,1) bool carry back to i1)
+    )
+
+    if with_history:
+        pid = pl.program_id(0)
+        # history row 0 = the initial band (posy/offs lanes are 0)
+        hist_buf[0] = result0
+        copy0 = pltpu.make_async_copy(
+            hist_buf.at[pl.ds(0, 1)], hist_ref.at[pid, pl.ds(0, 1)], sem
+        )
+        copy0.start()
+        copy0.wait()
+
+    rev_iota = (W - 1) - iota  # query window index offsets
+    fwd_iota = iota - (W - 1)  # target window index offsets
+
+    def round_body(i, carry):
+        st, slab_q, slab_t, base_q, base_t, r0 = carry
+        r = r0 + i
+        res = st["result"]
+
+        right = res[:, 0:1] < res[:, W - 1 : W]  # [P, 1]
+        diagonal = jnp.where(right, st["vertical"], st["horizontal"])
+        horizontal = jnp.where(right, res, shift_right_lane(res))
+        vertical = jnp.where(right, shift_left_lane(res), res)
+        horizontal = jnp.where(band_mask, horizontal, 0)
+        vertical = jnp.where(band_mask, vertical, 0)
+        now_x = st["now_x"] + right.astype(jnp.int32)
+        now_y = st["now_y"] + (~right).astype(jnp.int32)
+
+        # logical form, not where() on bool payloads (Mosaic lowers that
+        # through an i8 select it cannot truncate back to i1)
+        overrun = (right & (now_x > (W + lens_t + (W - 1)))) | (
+            (~right) & (now_y > (lens_q + 1))
+        )
+        done_pre = (st["done"] != 0) | overrun | (r >= rcap)
+        active = ~done_pre
+
+        # per-round chars: one lane gather per sequence from the slabs
+        qi = jnp.clip((now_y - base_q) + rev_iota, 0, LANE - 1)
+        ti = jnp.clip((now_x - base_t) + fwd_iota, 0, LANE - 1)
+        yc = jnp.take_along_axis(slab_q, qi, axis=1)
+        xc = jnp.take_along_axis(slab_t, ti, axis=1)
+        sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
+
+        dd = jnp.where(diagonal != 0, diagonal + sc, 0)
+        hh = jnp.where(horizontal != 0, horizontal - g32, 0)
+        vv = jnp.where(vertical != 0, vertical - g32, 0)
+        r_new = jnp.maximum(jnp.maximum(dd, hh), vv)
+        # explicit zero floor: with mismatch > 1 an all-alive band can be
+        # all-negative, and the oracle's r_new starts from 0
+        r_new = jnp.maximum(r_new, 0)
+        r_new = jnp.where(band_mask, r_new, 0)
+        round_max = jnp.max(r_new, axis=1, keepdims=True)
+
+        upd = active & (st["max_score"] < round_max)
+        max_score = jnp.where(upd, round_max, st["max_score"])
+        max_round = jnp.where(upd, r, st["max_round"])
+        r_new = jnp.where(r_new < (max_score - X), 0, r_new)
+
+        keep = lambda new, old: jnp.where(active, new, old)
+        st_new = dict(
+            result=keep(r_new, res),
+            horizontal=keep(horizontal, st["horizontal"]),
+            vertical=keep(vertical, st["vertical"]),
+            now_y=keep(now_y, st["now_y"]),
+            now_x=keep(now_x, st["now_x"]),
+            max_score=max_score,
+            max_round=max_round,
+            n_rounds=jnp.where(active, r + 1, st["n_rounds"]),
+            done=(done_pre | (active & (round_max == 0))).astype(
+                jnp.int32
+            ),
+        )
+        if with_history:
+            posy = jnp.where(active, now_y, 0)
+            offs = max_score - X
+            row = jnp.where(active, r_new, 0)
+            row = jnp.where(iota == W, jnp.broadcast_to(posy, row.shape), row)
+            row = jnp.where(
+                iota == W + 1, jnp.broadcast_to(offs, row.shape), row
+            )
+            hist_buf[pl.ds(i, 1)] = row[None]
+        return (st_new, slab_q, slab_t, base_q, base_t, r0)
+
+    q_rows = qlen // LANE
+    t_rows = tlen // LANE
+
+    def block_body(blk, st):
+        slab_q, base_q = refill(
+            st["now_y"], qlen - 2 * LANE, q_ref, q_rows, cur_ref
+        )
+        slab_t, base_t = refill(
+            jnp.maximum(st["now_x"] - (W - 1), 0),
+            tlen - 2 * LANE,
+            t_ref,
+            t_rows,
+            cur_ref,
+        )
+        r0 = 1 + blk * RF
+        st, *_ = jax.lax.fori_loop(
+            0,
+            RF,
+            round_body,
+            (st, slab_q, slab_t, base_q, base_t, r0),
+        )
+        if with_history:
+            copy = pltpu.make_async_copy(
+                hist_buf.at[pl.ds(0, RF)],
+                hist_ref.at[pid, pl.ds(r0, RF)],
+                sem,
+            )
+            copy.start()
+            copy.wait()
+        return st
+
+    state = jax.lax.fori_loop(0, n_blocks, block_body, state)
+
+    score_ref[0] = jnp.broadcast_to(state["max_score"] - X, (PAIRS, LANE))
+    mround_ref[0] = jnp.broadcast_to(state["max_round"], (PAIRS, LANE))
+    nrounds_ref[0] = jnp.broadcast_to(state["n_rounds"], (PAIRS, LANE))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
+        "with_history",
+    ),
+)
+def _banded_pallas_impl(
+    meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
+    with_history,
+):
+    T = qp.shape[0] // (PAIRS * (qlen // LANE))
+    n_blocks = -(-(R_cap - 1) // RF)
+    R_pad = 1 + n_blocks * RF
+
+    kern = functools.partial(
+        _kernel,
+        W=W, X=X, match=match, mismatch=mismatch, gap=gap,
+        n_blocks=n_blocks, qlen=qlen, tlen=tlen,
+        with_history=with_history,
+    )
+    small = pl.BlockSpec(
+        (1, PAIRS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((T, PAIRS, LANE), jnp.int32),  # score
+        jax.ShapeDtypeStruct((T, PAIRS, LANE), jnp.int32),  # max_round
+        jax.ShapeDtypeStruct((T, PAIRS, LANE), jnp.int32),  # n_rounds
+    ]
+    out_specs = [small, small, small]
+    scratch = []
+    if with_history:
+        out_shape.append(
+            jax.ShapeDtypeStruct((T, R_pad, PAIRS, LANE), jnp.int32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch = [
+            pltpu.VMEM((RF, PAIRS, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # cursor scratch
+    outs = pl.pallas_call(
+        kern,
+        out_shape=tuple(out_shape),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (2, PAIRS, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (PAIRS * (qlen // LANE), LANE),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (PAIRS * (tlen // LANE), LANE),
+                lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )(meta, qp, tp)
+    score = outs[0][:, :, 0].reshape(-1)
+    mround = outs[1][:, :, 0].reshape(-1)
+    nrounds = outs[2][:, :, 0].reshape(-1)
+    if with_history:
+        return score, mround, nrounds, outs[3]
+    return score, mround, nrounds, None
+
+
+@functools.partial(jax.jit, static_argnames=("W", "R_cap", "compress"))
+def _split_history(hist, W, R_cap, compress):
+    """[T, R_pad, P, LANE] kernel history -> (band [R,B,W], posy [R,B],
+    offs [R,B]) in the XLA engine's layout."""
+    T, R_pad, P, _ = hist.shape
+    h = hist[:, :R_cap].transpose(1, 0, 2, 3).reshape(R_cap, T * P, LANE)
+    band = h[:, :, :W]
+    posy = h[:, :, W]
+    offs = h[:, :, W + 1]
+    if compress:
+        band = jnp.where(
+            band > 0, band - offs[:, :, None] + 1, 0
+        ).astype(jnp.uint8)
+    return band, posy, offs
+
+
+def banded_xdrop_batch_pallas(
+    qs,
+    ts,
+    lens_q=None,
+    lens_t=None,
+    match=1,
+    mismatch=1,
+    gap=1,
+    bandwidth=32,
+    x_threshold=70,
+    compress_history=False,
+    with_history=True,
+) -> BandedBatchResult:
+    """Batched adaptive-banded X-drop forward pass (Pallas fast path).
+
+    Same contract and result type as
+    swtpu.kernels.xla.banded_scan.banded_xdrop_batch — per-alignment
+    outputs are bit-equal to the scalar banded oracle. Requires
+    bandwidth + 2 <= 126 (the slab scheme needs W + RF + 1 <= 128 and two
+    spare lanes carry posy/offs).
+    """
+    W = int(bandwidth)
+    X = int(x_threshold)
+    if W + RF + 1 > LANE or W + 2 > LANE:
+        raise ValueError(f"bandwidth {W} too wide for the slab scheme")
+    qs = np.asarray(qs)
+    ts = np.asarray(ts)
+    B, n = qs.shape
+    m = ts.shape[1]
+    lens_q = np.full(B, n) if lens_q is None else np.asarray(lens_q)
+    lens_t = np.full(B, m) if lens_t is None else np.asarray(lens_t)
+
+    Bp = -(-B // PAIRS) * PAIRS
+    # padded sequences (pad = -1 ≙ 0xF0): q: 1 front + W back; t: W front +
+    # W back (the oracle's layout); then one extra 128-char row so the
+    # two-row slab refill always has a next row, rounded to 128 rows
+    qlen = -(-(1 + n + W + LANE) // LANE) * LANE
+    tlen = -(-(W + m + W + LANE) // LANE) * LANE
+    qp = np.full((Bp, qlen), -1, dtype=np.int32)
+    tp = np.full((Bp, tlen), -1, dtype=np.int32)
+    for b in range(B):
+        qp[b, 1 : 1 + lens_q[b]] = qs[b, : lens_q[b]]
+        tp[b, W : W + lens_t[b]] = ts[b, : lens_t[b]]
+    # padded pairs (lens 0) decay to a dead band within ~X/gap rounds and
+    # are sliced off the results
+    meta = np.zeros((2, Bp, LANE), dtype=np.int32)
+    meta[0, :B] = lens_q[:, None]
+    meta[1, :B] = lens_t[:, None]
+
+    R_cap = (max(n, m) + 1) * 2 - 1
+    score, mround, nrounds, hist = _banded_pallas_impl(
+        jnp.asarray(meta),
+        jnp.asarray(qp.reshape(Bp * (qlen // LANE), LANE)),
+        jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
+        W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
+        with_history,
+    )
+    score = np.asarray(score)[:B]
+    mround = np.asarray(mround)[:B]
+    nrounds = np.asarray(nrounds)[:B]
+    if not with_history:
+        return BandedBatchResult(
+            score=score,
+            max_round=mround,
+            n_rounds=nrounds,
+            band_history=None,
+            pos_y=None,
+        )
+    if compress_history and X > 254:
+        raise ValueError("8-bit history needs x_threshold <= 254")
+    band, posy, offs = _split_history(hist, W, R_cap, compress_history)
+    return BandedBatchResult(
+        score=score,
+        max_round=mround,
+        n_rounds=nrounds,
+        band_history=np.asarray(band)[:, :B],
+        pos_y=np.asarray(posy)[:, :B],
+        offsets=np.asarray(offs)[:, :B] if compress_history else None,
+    )

@@ -121,11 +121,14 @@ def _banded_impl(
         now_y = state["now_y"] + (~right).astype(jnp.int32)
 
         # boundary overrun ends the alignment BEFORE this round is recorded
-        # (source.cpp:1898-1900, 1909-1911)
+        # (source.cpp:1898-1900, 1909-1911); so does the oracle's per-pair
+        # round cap (max(n,m)+1)*2 - 1 — without it, variable-length
+        # batches would keep shorter pairs running to the array-shape cap
         overrun = jnp.where(
             right, now_x > (W + m + (W - 1)), now_y > (n + 1)
         )
-        done_pre = state["done"] | overrun
+        rcap = (jnp.maximum(n, m) + 1) * 2 - 1
+        done_pre = state["done"] | overrun | (r >= rcap)
         active = ~done_pre
 
         # slide char windows: one [B,1] gather per sequence per round

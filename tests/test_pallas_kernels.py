@@ -74,3 +74,72 @@ def test_profile_kernel_matches_flagship_on_uniform(rng):
         a = np.asarray(sw_batch_pallas(qs, ts, DNA_111))
         b = np.asarray(sw_batch_profile_pallas(qs, ts, DNA_111))
     assert np.array_equal(a, b)
+
+
+def test_banded_pallas_oracle_parity(rng):
+    """Pallas banded X-drop vs the scalar banded oracle: score, rounds,
+    band history, positions — including variable lengths and a dissimilar
+    pair (X-drop early termination)."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.banded_batch import banded_xdrop_batch_pallas
+    from swtpu.oracle.semiglobal import banded_xdrop
+
+    L, B = 150, 10
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    ts[B - 1] = rng.integers(0, 4, size=L).astype(np.uint8)  # dissimilar
+    lens_q = rng.integers(100, L + 1, size=B)
+    lens_t = rng.integers(100, L + 1, size=B)
+    with pltpu.force_tpu_interpret_mode():
+        dev = banded_xdrop_batch_pallas(qs, ts, lens_q, lens_t)
+    for b in range(B):
+        st = banded_xdrop(
+            qs[b][: lens_q[b]], ts[b][: lens_t[b]], return_state=True
+        )
+        assert st.score == dev.score[b]
+        assert st.n_rounds == dev.n_rounds[b]
+        assert st.max_round == dev.max_round[b]
+        nr = st.n_rounds
+        assert np.array_equal(st.band_history[:nr], dev.band_history[:nr, b])
+        assert np.array_equal(st.pos_y[:nr], dev.pos_y[:nr, b])
+
+
+def test_banded_pallas_compressed_history(rng):
+    """8-bit compressed history reconstructs the int32 history exactly."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.banded_batch import banded_xdrop_batch_pallas
+
+    L, B = 140, 8
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    with pltpu.force_tpu_interpret_mode():
+        full = banded_xdrop_batch_pallas(qs, ts)
+        comp = banded_xdrop_batch_pallas(qs, ts, compress_history=True)
+    assert comp.band_history.dtype == np.uint8
+    for b in range(B):
+        nr = int(full.n_rounds[b])
+        assert np.array_equal(
+            full.history_for(b)[:nr], comp.history_for(b)[:nr]
+        )
+
+
+def test_banded_xla_varlen_round_cap(rng):
+    """The XLA engine honors the oracle's per-pair round cap for
+    variable-length batches (regression: shorter pairs used to keep
+    running to the padded-shape cap)."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.oracle.semiglobal import banded_xdrop
+
+    L, B = 150, 6
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    lens_q = rng.integers(100, L + 1, size=B)
+    lens_t = rng.integers(100, L + 1, size=B)
+    ref = banded_xdrop_batch(qs, ts, lens_q, lens_t)
+    for b in range(B):
+        st = banded_xdrop(
+            qs[b][: lens_q[b]], ts[b][: lens_t[b]], return_state=True
+        )
+        assert st.score == ref.score[b]
+        assert st.n_rounds == ref.n_rounds[b]
