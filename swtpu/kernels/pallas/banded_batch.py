@@ -71,11 +71,14 @@ def _kernel(
     qlen,
     tlen,
     with_history,
+    early_exit,
 ):
     if with_history:
-        hist_ref, hist_buf, sem, cur_ref = rest
+        hist_ref, hist_buf, sem, cur_ref, band_ref, misc_ref, alive_ref = (
+            rest
+        )
     else:
-        (cur_ref,) = rest
+        cur_ref, band_ref, misc_ref, alive_ref = rest
     iota = jax.lax.broadcasted_iota(jnp.int32, (PAIRS, LANE), 1)
     band_mask = iota < W
     zero = jnp.zeros((PAIRS, LANE), jnp.int32)
@@ -117,8 +120,13 @@ def _kernel(
         return jnp.concatenate(rows, axis=0), base
 
     # --- initial state (round 0), exactly banded_scan.py's state0 ---
+    # State lives in VMEM scratch (band_ref rows: result/horizontal/
+    # vertical; misc_ref lanes: now_y, now_x, max_score, max_round,
+    # n_rounds, done) so finished blocks can be skipped with pl.when —
+    # lax.cond with value carries is predicated by Mosaic (both branches
+    # execute), which would defeat the early exit.
     result0 = jnp.where(iota == W - 1, jnp.int32(X), 0)
-    state = dict(
+    state0 = dict(
         result=result0,
         horizontal=zero,
         vertical=zero,
@@ -127,9 +135,43 @@ def _kernel(
         max_score=jnp.full((PAIRS, 1), X, jnp.int32),
         max_round=jnp.zeros((PAIRS, 1), jnp.int32),
         n_rounds=jnp.ones((PAIRS, 1), jnp.int32),
-        done=jnp.zeros((PAIRS, 1), jnp.int32),  # bool carried as int32
-        # (Mosaic cannot truncate an i8-packed (8,1) bool carry back to i1)
+        done=jnp.zeros((PAIRS, 1), jnp.int32),  # bool as int32 (Mosaic
+        # cannot truncate an i8-packed bool carry back to i1)
     )
+    if early_exit:
+        band_ref[0] = result0
+        band_ref[1] = zero
+        band_ref[2] = zero
+        misc0 = jnp.where(iota == 1, W - 1, 0)  # now_x
+        misc0 = jnp.where(iota == 2, X, misc0)  # max_score
+        misc0 = jnp.where(iota == 4, 1, misc0)  # n_rounds
+        misc_ref[:] = misc0  # now_y, max_round, done start 0
+        alive_ref[0] = 1
+
+    def load_state():
+        return dict(
+            result=band_ref[0],
+            horizontal=band_ref[1],
+            vertical=band_ref[2],
+            now_y=misc_ref[:, 0:1],
+            now_x=misc_ref[:, 1:2],
+            max_score=misc_ref[:, 2:3],
+            max_round=misc_ref[:, 3:4],
+            n_rounds=misc_ref[:, 4:5],
+            done=misc_ref[:, 5:6],
+        )
+
+    def store_state(st):
+        band_ref[0] = st["result"]
+        band_ref[1] = st["horizontal"]
+        band_ref[2] = st["vertical"]
+        misc = jnp.where(iota == 0, st["now_y"], 0)
+        misc = jnp.where(iota == 1, st["now_x"], misc)
+        misc = jnp.where(iota == 2, st["max_score"], misc)
+        misc = jnp.where(iota == 3, st["max_round"], misc)
+        misc = jnp.where(iota == 4, st["n_rounds"], misc)
+        misc = jnp.where(iota == 5, st["done"], misc)
+        misc_ref[:] = misc
 
     if with_history:
         pid = pl.program_id(0)
@@ -216,7 +258,7 @@ def _kernel(
     q_rows = qlen // LANE
     t_rows = tlen // LANE
 
-    def block_body(blk, st):
+    def block_compute(blk, st):
         slab_q, base_q = refill(
             st["now_y"], qlen - 2 * LANE, q_ref, q_rows, cur_ref
         )
@@ -244,7 +286,29 @@ def _kernel(
             copy.wait()
         return st
 
-    state = jax.lax.fori_loop(0, n_blocks, block_body, state)
+    if early_exit:
+        # Skip whole blocks once every pair finished (X-drop kills
+        # non-homologous pairs early under harsh scoring; under neutral
+        # (1,1,1) DNA scoring random pairs drift positive and never
+        # X-drop, so this mode is opt-in). State must round-trip VMEM
+        # scratch per block so pl.when can truly branch — lax.cond with
+        # value carries is predicated by Mosaic (both branches execute).
+        # The scratch round-trip costs ~2x on the never-exiting path;
+        # history rows past the skip point are unwritten (contract: rows
+        # >= n_rounds[b] are unspecified; all consumers walk < n_rounds).
+        def block_body(blk, dummy):
+            @pl.when(alive_ref[0] > 0)
+            def _():
+                st = block_compute(blk, load_state())
+                store_state(st)
+                alive_ref[0] = jnp.max(1 - st["done"])
+
+            return dummy
+
+        jax.lax.fori_loop(0, n_blocks, block_body, 0)
+        state = load_state()
+    else:
+        state = jax.lax.fori_loop(0, n_blocks, block_compute, state0)
 
     score_ref[0] = jnp.broadcast_to(state["max_score"] - X, (PAIRS, LANE))
     mround_ref[0] = jnp.broadcast_to(state["max_round"], (PAIRS, LANE))
@@ -255,12 +319,12 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
-        "with_history",
+        "with_history", "early_exit",
     ),
 )
 def _banded_pallas_impl(
     meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
-    with_history,
+    with_history, early_exit=False,
 ):
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
     n_blocks = -(-(R_cap - 1) // RF)
@@ -270,7 +334,7 @@ def _banded_pallas_impl(
         _kernel,
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
-        with_history=with_history,
+        with_history=with_history, early_exit=early_exit,
     )
     small = pl.BlockSpec(
         (1, PAIRS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -292,6 +356,9 @@ def _banded_pallas_impl(
             pltpu.SemaphoreType.DMA,
         ]
     scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # cursor scratch
+    scratch.append(pltpu.VMEM((3, PAIRS, LANE), jnp.int32))  # band state
+    scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # misc state
+    scratch.append(pltpu.SMEM((1,), jnp.int32))  # alive flag
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shape),
@@ -350,6 +417,7 @@ def banded_xdrop_batch_pallas(
     x_threshold=70,
     compress_history=False,
     with_history=True,
+    early_exit=False,
 ) -> BandedBatchResult:
     """Batched adaptive-banded X-drop forward pass (Pallas fast path).
 
@@ -393,7 +461,7 @@ def banded_xdrop_batch_pallas(
         jnp.asarray(qp.reshape(Bp * (qlen // LANE), LANE)),
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
         W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
-        with_history,
+        with_history, bool(early_exit),
     )
     score = np.asarray(score)[:B]
     mround = np.asarray(mround)[:B]

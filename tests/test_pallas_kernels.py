@@ -143,3 +143,26 @@ def test_banded_xla_varlen_round_cap(rng):
         )
         assert st.score == ref.score[b]
         assert st.n_rounds == ref.n_rounds[b]
+
+
+def test_banded_pallas_early_exit_mode(rng):
+    """early_exit=True produces identical results (it only skips blocks
+    after every pair is done)."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.banded_batch import banded_xdrop_batch_pallas
+
+    L, B = 128, 4
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    ts[B - 1] = rng.integers(0, 4, size=L).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        a = banded_xdrop_batch_pallas(
+            qs, ts, match=1, mismatch=3, gap=2, with_history=False
+        )
+        b = banded_xdrop_batch_pallas(
+            qs, ts, match=1, mismatch=3, gap=2, with_history=False,
+            early_exit=True,
+        )
+    assert np.array_equal(a.score, b.score)
+    assert np.array_equal(a.n_rounds, b.n_rounds)
+    assert np.array_equal(a.max_round, b.max_round)
