@@ -1,13 +1,14 @@
 """Pallas batched semi-global alignment: scores + argmax endpoints.
 
 Same inter-pair row-scan schedule as the flagship local kernel
-(sw_batch.py): 1024 pairs per (8,128) tile, chunked columns, two-row
-unroll. Differences for semi-global (≙ SemiGlobal_111 semantics,
-source.cpp:1776-1834): no zero floor, gap-chain boundaries
-(H[0,j] = -j*gap, H[i,0] = -i*gap), and per-cell argmax endpoint tracking
-with the reference's exact tie-break (first maximum in row-major scan
-order): strict '>' updates per column-residue slot during the scan, and a
-final cross-slot reduction preferring smaller i then smaller j.
+(sw_batch.py): 1024 pairs per (8,128) tile, chunked columns, fused serial
+chain, 8-row unroll. Differences for semi-global (≙ SemiGlobal_111
+semantics, source.cpp:1776-1834): no zero floor, gap-chain boundaries
+(H[0,j] = -j*gap, H[i,0] = -i*gap), and argmax endpoint tracking with the
+reference's exact tie-break (first maximum in row-major scan order):
+strict '>' updates per column-residue slot during the scan (on the
+chunk-wide pre values — see track()), and a final cross-slot reduction
+preferring smaller i then smaller j.
 
 Fixed-length batches only (semi-global boundaries are length-dependent, so
 pad-char tricks don't apply; use bucketing for mixed lengths).
@@ -34,7 +35,7 @@ from swtpu.kernels.pallas.sw_batch import (
     _shift_down,
 )
 
-ROWS = 2  # this kernel's own row unroll (decoupled from the flagship's)
+ROWS = 8  # row unroll (matches the flagship's measured optimum)
 
 MINF = -(2**29)
 
@@ -49,66 +50,68 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *, n, m, match,
     yoko_ref[:] = -col1 * gap32
 
     n_chunks = m // CHUNK
-    n_rowpairs = n // ROWS
+    n_rowgrps = n // ROWS
 
-    def score(t, q_col):
-        return jnp.where((q_col ^ t) == 0, match32, mm32)
-
-    def serial_chain(pre, h_left):
-        hs = []
-        h = h_left
-        for k in range(CHUNK):
-            h = jnp.maximum(_at(pre, k), h - gap32)
-            hs.append(h)
-        return jnp.stack(hs), h
-
-    def track(best, new, row_1b, j0):
+    def track(best, pre, row_1b, j0):
+        # endpoint tracking on the chunk-wide pre values (diag + s): every
+        # global-max cell satisfies H == pre there (an H from up-gap or
+        # left-gap implies a strictly larger predecessor), so max/argfirst
+        # over pre equals max/argfirst over H — and pre needs no serial
+        # chain.
         bv, bi, bj0 = best
-        upd = new > bv
-        bv = jnp.where(upd, new, bv)
+        upd = pre > bv
+        bv = jnp.where(upd, pre, bv)
         bi = jnp.where(upd, row_1b, bi)
         bj0 = jnp.where(upd, j0, bj0)
         return (bv, bi, bj0)
 
-    def row_body(i2, best):
-        ia = i2 * ROWS
-        qa = q_ref[ia][None]
-        qb = q_ref[ia + 1][None]
-        row_a = ia + 1  # 1-based
-        row_b = ia + 2
+    def row_body(ig, best):
+        ia = ig * ROWS
+        qrow = [q_ref[ia + r][None] for r in range(ROWS)]
 
         def chunk_body(jc, carry):
-            hla, hlb, dina, dinb, best = carry
+            hl, din, best = carry
+            hl, din = list(hl), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]
-            up = yoko_ref[pl.ds(j0, CHUNK)]
+            prev = yoko_ref[pl.ds(j0, CHUNK)]
 
-            diag_a = _shift_down(up, dina)
-            pre_a = jnp.maximum(diag_a + score(t, qa), up - gap32)
-            new_a, hla = serial_chain(pre_a, hla)
+            for r in range(ROWS):
+                diag = _shift_down(prev, din[r])
+                s = jnp.where(qrow[r] == t, match32, mm32)
+                pre = diag + s
+                # fused serial chain (vertical gap rides in the chain)
+                h = hl[r]
+                hs = []
+                for k in range(CHUNK):
+                    h = jnp.maximum(
+                        _at(pre, k),
+                        jnp.maximum(_at(prev, k), h) - gap32,
+                    )
+                    hs.append(h)
+                hl[r] = h
+                best = track(best, pre, ia + r + 1, j0)
+                din[r] = _last(prev)
+                prev = jnp.stack(hs)
 
-            diag_b = _shift_down(new_a, dinb)
-            pre_b = jnp.maximum(diag_b + score(t, qb), new_a - gap32)
-            new_b, hlb = serial_chain(pre_b, hlb)
+            yoko_ref[pl.ds(j0, CHUNK)] = prev
+            return (tuple(hl), tuple(din), best)
 
-            yoko_ref[pl.ds(j0, CHUNK)] = new_b
-            best = track(best, new_a, row_a, j0)
-            best = track(best, new_b, row_b, j0)
-            return (hla, hlb, _last(up), _last(new_a), best)
-
-        # column-0 boundary values for this row pair
-        hla0 = jnp.full((SUB, LANE), -row_a * gap, jnp.int32)
-        hlb0 = jnp.full((SUB, LANE), -row_b * gap, jnp.int32)
-        dina0 = jnp.full((SUB, LANE), -(row_a - 1) * gap, jnp.int32)
-        dinb0 = hla0
-        out = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (hla0, hlb0, dina0, dinb0, best)
+        # column-0 boundary values for this row group (1-based row ia+r+1)
+        hl0 = tuple(
+            jnp.full((SUB, LANE), -(ia + r + 1) * gap, jnp.int32)
+            for r in range(ROWS)
         )
+        din0 = tuple(
+            jnp.full((SUB, LANE), -(ia + r) * gap, jnp.int32)
+            for r in range(ROWS)
+        )
+        out = jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, din0, best))
         return out[-1]
 
     zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
     best0 = (zero_c + MINF, zero_c, zero_c)
-    bv, bi, bj0 = jax.lax.fori_loop(0, n_rowpairs, row_body, best0)
+    bv, bi, bj0 = jax.lax.fori_loop(0, n_rowgrps, row_body, best0)
     bv_ref[0] = bv
     bi_ref[0] = bi
     bj_ref[0] = bj0

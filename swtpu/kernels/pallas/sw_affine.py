@@ -1,7 +1,7 @@
 """Pallas batched affine-gap (Gotoh) Smith-Waterman row-scan.
 
 Same TPU schedule as the linear flagship (swtpu.kernels.pallas.sw_batch):
-batch on a (8,128) int32 tile, chunked columns, two-row unroll. The affine
+batch on a (8,128) int32 tile, chunked columns, 8-row unroll. The affine
 extension adds the Gotoh E/F recurrences: F (vertical gap) depends only on
 the previous row, so it is chunk-wide; E (horizontal gap) joins H in the
 serial left-to-right chain:
@@ -40,7 +40,7 @@ from swtpu.kernels.pallas.sw_batch import (
     _uniform_match_mismatch,
 )
 
-ROWS = 2  # this kernel's own row unroll (decoupled from the flagship's)
+ROWS = 8  # row unroll (matches the flagship's measured optimum)
 
 NEG_EF = -(2**29)
 
@@ -58,7 +58,7 @@ def _kernel(
     yf_ref[:] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
 
     n_chunks = m // CHUNK
-    n_rowpairs = n // ROWS
+    n_rowgrps = n // ROWS
 
     def score(t, q_col):
         return jnp.where((q_col ^ t) == 0, match32, mm32)
@@ -72,44 +72,48 @@ def _kernel(
             hs.append(h)
         return jnp.stack(hs), h, e
 
-    def row_body(i2, best_c):
-        ia = i2 * ROWS
-        qa = q_ref[ia][None]
-        qb = q_ref[ia + 1][None]
+    def row_body(ig, best_c):
+        ia = ig * ROWS
+        qrow = [q_ref[ia + r][None] for r in range(ROWS)]
 
         def chunk_body(jc, carry):
-            hla, ela, hlb, elb, dina, dinb, best_c = carry
+            hl, el, din, best_c = carry
+            hl, el, din = list(hl), list(el), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]
-            up_h = yh_ref[pl.ds(j0, CHUNK)]  # H of row ia-1
-            up_f = yf_ref[pl.ds(j0, CHUNK)]  # F of row ia-1
+            prev_h = yh_ref[pl.ds(j0, CHUNK)]  # H of row ia-1
+            prev_f = yf_ref[pl.ds(j0, CHUNK)]  # F of row ia-1
 
-            # row a
-            f_a = jnp.maximum(up_f - ge32, up_h - go32)
-            diag_a = _shift_down(up_h, dina)
-            pre_a = jnp.maximum(
-                jnp.maximum(diag_a + score(t, qa), f_a), 0
-            )
-            new_a, hla, ela = serial_chain(pre_a, hla, ela)
+            pres = []
+            for r in range(ROWS):
+                f = jnp.maximum(prev_f - ge32, prev_h - go32)
+                diag = _shift_down(prev_h, din[r])
+                pre = jnp.maximum(
+                    jnp.maximum(diag + score(t, qrow[r]), f), 0
+                )
+                new, hl[r], el[r] = serial_chain(pre, hl[r], el[r])
+                pres.append(pre)
+                din[r] = _last(prev_h)
+                prev_h, prev_f = new, f
 
-            # row b (uses row a's fresh H and F)
-            f_b = jnp.maximum(f_a - ge32, new_a - go32)
-            diag_b = _shift_down(new_a, dinb)
-            pre_b = jnp.maximum(
-                jnp.maximum(diag_b + score(t, qb), f_b), 0
-            )
-            new_b, hlb, elb = serial_chain(pre_b, hlb, elb)
+            yh_ref[pl.ds(j0, CHUNK)] = prev_h
+            yf_ref[pl.ds(j0, CHUNK)] = prev_f
+            # best tracking on pre only: H = max(pre, E) and any E term
+            # implies a strictly larger earlier H, so max(H) == max(pre)
+            acc = pres[0]
+            for r in range(1, ROWS):
+                acc = jnp.maximum(acc, pres[r])
+            best_c = jnp.maximum(best_c, acc)
+            return (tuple(hl), tuple(el), tuple(din), best_c)
 
-            yh_ref[pl.ds(j0, CHUNK)] = new_b
-            yf_ref[pl.ds(j0, CHUNK)] = f_b
-            best_c = jnp.maximum(best_c, jnp.maximum(new_a, new_b))
-            return (hla, ela, hlb, elb, _last(up_h), _last(new_a), best_c)
-
-        init = (zero, negs, zero, negs, zero, zero, best_c)
-        out = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        zeros = tuple(zero for _ in range(ROWS))
+        negss = tuple(negs for _ in range(ROWS))
+        out = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (zeros, negss, zeros, best_c)
+        )
         return out[-1]
 
-    best_c = jax.lax.fori_loop(0, n_rowpairs, row_body, zero_c)
+    best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
     out_ref[0] = best_c.max(axis=0)
 
 
