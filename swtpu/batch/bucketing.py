@@ -50,9 +50,9 @@ def sw_scores_bucketed(
     int32 scores in input order. Compiles one kernel per occupied bucket.
     """
     if engine is None:
-        from swtpu.kernels.xla import sw_batch_diag
+        from swtpu.ops.variants import best_engine
 
-        engine = lambda q, t: sw_batch_diag(q, t, params)
+        engine = best_engine(params)
 
     n_max = max(len(q) for q, _ in pairs)
     m_max = max(len(t) for _, t in pairs)
