@@ -72,6 +72,7 @@ def _kernel(
     tlen,
     with_history,
     early_exit,
+    hl,
 ):
     if with_history:
         hist_ref, hist_buf, sem, cur_ref, band_ref, misc_ref, alive_ref = (
@@ -176,7 +177,7 @@ def _kernel(
     if with_history:
         pid = pl.program_id(0)
         # history row 0 = the initial band (posy/offs lanes are 0)
-        hist_buf[0] = result0
+        hist_buf[0] = result0[:, :hl]
         copy0 = pltpu.make_async_copy(
             hist_buf.at[pl.ds(0, 1)], hist_ref.at[pid, pl.ds(0, 1)], sem
         )
@@ -247,10 +248,13 @@ def _kernel(
         if with_history:
             posy = jnp.where(active, now_y, 0)
             offs = max_score - X
-            row = jnp.where(active, r_new, 0)
-            row = jnp.where(iota == W, jnp.broadcast_to(posy, row.shape), row)
+            iota_h = jax.lax.broadcasted_iota(jnp.int32, (PAIRS, hl), 1)
+            row = jnp.where(active, r_new, 0)[:, :hl]
             row = jnp.where(
-                iota == W + 1, jnp.broadcast_to(offs, row.shape), row
+                iota_h == W, jnp.broadcast_to(posy, row.shape), row
+            )
+            row = jnp.where(
+                iota_h == W + 1, jnp.broadcast_to(offs, row.shape), row
             )
             hist_buf[pl.ds(i, 1)] = row[None]
         return (st_new, slab_q, slab_t, base_q, base_t, r0)
@@ -329,12 +333,17 @@ def _banded_pallas_impl(
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
     n_blocks = -(-(R_cap - 1) // RF)
     R_pad = 1 + n_blocks * RF
+    # history lane width. A 64-lane buffer (band + posy/offs fit in 34
+    # lanes) would halve HBM/transfer, and the store+DMA pattern compiles
+    # in isolation — but inside this kernel it SIGABRTs the Mosaic
+    # compiler, so the row stays full-width until that is fixed.
+    hl = LANE
 
     kern = functools.partial(
         _kernel,
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
-        with_history=with_history, early_exit=early_exit,
+        with_history=with_history, early_exit=early_exit, hl=hl,
     )
     small = pl.BlockSpec(
         (1, PAIRS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -348,11 +357,11 @@ def _banded_pallas_impl(
     scratch = []
     if with_history:
         out_shape.append(
-            jax.ShapeDtypeStruct((T, R_pad, PAIRS, LANE), jnp.int32)
+            jax.ShapeDtypeStruct((T, R_pad, PAIRS, hl), jnp.int32)
         )
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch = [
-            pltpu.VMEM((RF, PAIRS, LANE), jnp.int32),
+            pltpu.VMEM((RF, PAIRS, hl), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
     scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # cursor scratch
@@ -391,10 +400,10 @@ def _banded_pallas_impl(
 
 @functools.partial(jax.jit, static_argnames=("W", "R_cap", "compress"))
 def _split_history(hist, W, R_cap, compress):
-    """[T, R_pad, P, LANE] kernel history -> (band [R,B,W], posy [R,B],
+    """[T, R_pad, P, HL] kernel history -> (band [R,B,W], posy [R,B],
     offs [R,B]) in the XLA engine's layout."""
-    T, R_pad, P, _ = hist.shape
-    h = hist[:, :R_cap].transpose(1, 0, 2, 3).reshape(R_cap, T * P, LANE)
+    T, R_pad, P, hl = hist.shape
+    h = hist[:, :R_cap].transpose(1, 0, 2, 3).reshape(R_cap, T * P, hl)
     band = h[:, :, :W]
     posy = h[:, :, W]
     offs = h[:, :, W + 1]
