@@ -74,16 +74,20 @@ def semiglobal_align_batch(
 
     B, n = qs.shape
     m = ts.shape[1]
+    from swtpu.kernels.pallas.semiglobal_batch import (
+        CHUNK as SG_CHUNK,
+        ROWS as SG_ROWS,
+        TILE_PAIRS as SG_TILE,
+        semiglobal_batch_pallas,
+    )
+
     use_pallas = (
         jax.devices()[0].platform == "tpu"
-        and B % 1024 == 0
-        and n % 2 == 0
-        and m % 16 == 0
+        and B % SG_TILE == 0
+        and n % SG_ROWS == 0
+        and m % SG_CHUNK == 0
     )
     if use_pallas:
-        from swtpu.kernels.pallas.semiglobal_batch import (
-            semiglobal_batch_pallas,
-        )
 
         fwd = semiglobal_batch_pallas(qs, ts, match, mismatch, gap)
     else:

@@ -136,6 +136,111 @@ def bench_semiglobal(quick=False):
     return out
 
 
+def bench_affine(quick=False):
+    """Affine (Gotoh) engines — the BASELINE-mandated extension."""
+    import jax
+
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
+    from swtpu.utils import time_kernel
+
+    params = ScoringParams(
+        matrix=dna_matrix(10, -30), gap_open=40, gap_extend=15
+    )
+    n = m = 128
+    batch = 1024 if quick else 8192
+    qs, ts = _inputs(batch, n, m)
+    dq, dt = jax.device_put(qs), jax.device_put(ts)
+    engines = [("affine_xla_diag", lambda a, b: sw_affine_batch_diag(a, b, params))]
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.kernels.pallas.sw_affine import sw_affine_pallas
+
+        engines.append(
+            ("affine_rowscan", lambda a, b: sw_affine_pallas(a, b, params))
+        )
+    out = []
+    for name, fn in engines:
+        per = time_kernel(fn, (dq, dt), k=4)
+        rec = dict(
+            kernel=name,
+            batch=batch,
+            gcups=round(batch * n * m / per / 1e9, 2),
+            ms_per_1m=round(per / batch * 1e6 * 1e3),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"{name}: {rec['ms_per_1m']} ms / 1M")
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+    return out
+
+
+def bench_protein(quick=False):
+    """Protein/BLOSUM62 local alignment (no reference analog)."""
+    import jax
+
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.ops.variants import best_engine
+    from swtpu.utils import time_kernel
+
+    params = ScoringParams.linear(BLOSUM62, 11)
+    n = m = 128
+    batch = 1024 if quick else 8192
+    rng = np.random.default_rng(10000)
+    qs = rng.integers(0, 24, size=(batch, n)).astype(np.uint8)
+    ts = rng.integers(0, 24, size=(batch, m)).astype(np.uint8)
+    dq, dt = jax.device_put(qs), jax.device_put(ts)
+    fn = best_engine(params)
+    per = time_kernel(fn, (dq, dt), k=4)
+    rec = dict(
+        kernel="protein_blosum62_best",
+        batch=batch,
+        gcups=round(batch * n * m / per / 1e9, 2),
+        ms_per_1m=round(per / batch * 1e6 * 1e3),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(f"protein_blosum62: {rec['ms_per_1m']} ms / 1M")
+    print("JSON:", json.dumps(rec))
+    return [rec]
+
+
+def bench_semiglobal_full(quick=False):
+    """Full-matrix semi-global with endpoints (≙ SemiGlobal_111 scaled to
+    the batch workload; the reference only benches the banded family)."""
+    import jax
+
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
+    from swtpu.utils import time_kernel
+
+    n = m = 128
+    batch = 1024 if quick else 8192
+    qs, ts = _inputs(batch, n, m)
+    dq, dt = jax.device_put(qs), jax.device_put(ts)
+    engines = [("semiglobal_xla_diag", lambda a, b: semiglobal_batch_diag(a, b)[0])]
+    if jax.devices()[0].platform == "tpu" and batch % 1024 == 0:
+        from swtpu.kernels.pallas.semiglobal_batch import (
+            semiglobal_batch_pallas,
+        )
+
+        engines.append(
+            ("semiglobal_rowscan", lambda a, b: semiglobal_batch_pallas(a, b)[0])
+        )
+    out = []
+    for name, fn in engines:
+        per = time_kernel(fn, (dq, dt), k=4)
+        rec = dict(
+            kernel=name,
+            batch=batch,
+            gcups=round(batch * n * m / per / 1e9, 2),
+            ms_per_1m=round(per / batch * 1e6 * 1e3),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"{name}: {rec['ms_per_1m']} ms / 1M")
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+    return out
+
+
 def bench_unpack(quick=False):
     from swtpu.core.encode import pack_2bit, unpack_2bit
 
@@ -185,7 +290,10 @@ def main():
     ap.add_argument(
         "--suite",
         default="all",
-        choices=["all", "sw", "semiglobal", "unpack"],
+        choices=[
+            "all", "sw", "semiglobal", "semiglobal_full", "affine",
+            "protein", "unpack",
+        ],
     )
     args = ap.parse_args()
     if args.forever:
@@ -196,6 +304,12 @@ def main():
         results += bench_sw_variants(args.quick)
     if args.suite in ("all", "semiglobal"):
         results += bench_semiglobal(args.quick)
+    if args.suite in ("all", "semiglobal_full"):
+        results += bench_semiglobal_full(args.quick)
+    if args.suite in ("all", "affine"):
+        results += bench_affine(args.quick)
+    if args.suite in ("all", "protein"):
+        results += bench_protein(args.quick)
     if args.suite in ("all", "unpack"):
         results += bench_unpack(args.quick)
     json.dump(results, sys.stdout, indent=1)

@@ -170,7 +170,7 @@ def _reduce_endpoints(bv, bi, bj0, n, m):
 def semiglobal_batch_pallas(qs, ts, match=1, mismatch=1, gap=1):
     """Batched semi-global scores + endpoints (Pallas fast path).
 
-    qs: [B, n], ts: [B, m] uint8, fixed lengths (n even, m % 16 == 0,
+    qs: [B, n], ts: [B, m] uint8, fixed lengths (n % 8 == 0, m % 16 == 0,
     B % 1024 == 0 — use the XLA engine or bucketing otherwise).
     Returns (score, end_i, end_j) int32 [B], identical to
     swtpu.kernels.xla.semiglobal_scan.semiglobal_batch_diag. `mismatch`
