@@ -203,20 +203,79 @@ def cmd_bench(args):
 
 
 def cmd_selftest(args):
-    """Quick end-to-end differential check (oracle vs engines)."""
+    """End-to-end differential checks (oracle vs every engine tier that
+    runs on the current backend). One JSON line per check; exits 1 if any
+    fails."""
+    import jax
+
     from swtpu.core import random_dna
-    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.core.encode import mutate
+    from swtpu.core.scoring import DNA_10_30_15, ScoringParams
     from swtpu.kernels.xla import sw_batch_diag
     from swtpu.oracle import sw_score_batch
 
     rng = np.random.default_rng(10000)
     qs, ts = random_dna(rng, (32, 128)), random_dna(rng, (32, 128))
+    orc = sw_score_batch(qs, ts, DNA_10_30_15)
+    checks = []
+
     dev = np.asarray(sw_batch_diag(qs, ts, DNA_10_30_15))
-    ok = bool(
-        np.array_equal(dev, sw_score_batch(qs, ts, DNA_10_30_15))
-    )
-    print(json.dumps(dict(selftest="xla_vs_oracle", ok=ok)))
-    if not ok:
+    checks.append(("xla_vs_oracle", np.array_equal(dev, orc)))
+
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.core.protein import BLOSUM62
+        from swtpu.kernels.pallas import sw_batch_pallas
+        from swtpu.kernels.pallas.banded_batch import (
+            banded_xdrop_batch_pallas,
+        )
+        from swtpu.kernels.pallas.sw_affine import sw_affine_pallas
+        from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+        from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+        from swtpu.oracle.affine import sw_affine_score_batch
+
+        dev = np.asarray(sw_batch_pallas(qs, ts, DNA_10_30_15))
+        checks.append(("rowscan_vs_oracle", np.array_equal(dev, orc)))
+
+        pp = ScoringParams.linear(BLOSUM62, 11)
+        pq = rng.integers(0, 24, size=(16, 64)).astype(np.uint8)
+        pt = rng.integers(0, 24, size=(16, 64)).astype(np.uint8)
+        dev = np.asarray(sw_batch_profile_pallas(pq, pt, pp))
+        checks.append(
+            (
+                "rowscan_prof_blosum62_vs_oracle",
+                np.array_equal(dev, sw_score_batch(pq, pt, pp)),
+            )
+        )
+
+        aff = ScoringParams(
+            matrix=DNA_10_30_15.matrix, gap_open=40, gap_extend=15
+        )
+        dev = np.asarray(sw_affine_pallas(qs, ts, aff))
+        checks.append(
+            (
+                "affine_rowscan_vs_oracle",
+                np.array_equal(dev, sw_affine_score_batch(qs, ts, aff)),
+            )
+        )
+
+        bq = random_dna(rng, (8, 256))
+        bt = np.stack([mutate(rng, bq[b]) for b in range(8)])
+        ref = banded_xdrop_batch(bq, bt, with_history=False)
+        dev = banded_xdrop_batch_pallas(bq, bt, with_history=False)
+        checks.append(
+            (
+                "banded_pallas_vs_xla",
+                np.array_equal(ref.score, dev.score)
+                and np.array_equal(ref.n_rounds, dev.n_rounds),
+            )
+        )
+
+    ok_all = True
+    for name, ok in checks:
+        ok = bool(ok)
+        ok_all &= ok
+        print(json.dumps(dict(selftest=name, ok=ok)))
+    if not ok_all:
         raise SystemExit(1)
 
 
