@@ -23,6 +23,10 @@ Variants (schedule lineage, slow → fast):
   rowscan_prof  — rowscan with a packed query profile (≙ the pshufb LUT
                   kernels' general-matrix interface, :62-66): arbitrary
                   4x4 matrices and protein/BLOSUM62
+  rowscan_bf16  — reduced-precision bf16 tier, 2048 pairs/tile (≙ the
+                  8-bit family, :1105-1522); exact for n*match/gcd <= 256;
+                  measured slower than int32 on v5e — kept as the ladder's
+                  precision data point
 """
 
 from __future__ import annotations
@@ -72,6 +76,12 @@ def _rowscan_prof(qs, ts, params):
     return sw_batch_profile_pallas(qs, ts, params)
 
 
+def _rowscan_bf16(qs, ts, params):
+    from swtpu.kernels.pallas.sw_bf16 import sw_batch_bf16_pallas
+
+    return sw_batch_bf16_pallas(qs, ts, params)
+
+
 VARIANTS: Dict[str, Callable] = {
     "oracle": _oracle,
     "xla_diag": _xla_diag,
@@ -79,6 +89,7 @@ VARIANTS: Dict[str, Callable] = {
     "colscan": _colscan,
     "rowscan": _rowscan,
     "rowscan_prof": _rowscan_prof,
+    "rowscan_bf16": _rowscan_bf16,
 }
 
 

@@ -166,3 +166,24 @@ def test_banded_pallas_early_exit_mode(rng):
     assert np.array_equal(a.score, b.score)
     assert np.array_equal(a.n_rounds, b.n_rounds)
     assert np.array_equal(a.max_round, b.max_round)
+
+
+def test_bf16_tier_parity(rng):
+    """The bf16 reduced-precision tier is bit-exact within its range
+    bound (n * match/gcd <= 256), including the rescaled (10,-30,15)."""
+    from swtpu.kernels.pallas.sw_bf16 import (
+        bf16_tier_supported,
+        sw_batch_bf16_pallas,
+    )
+
+    assert bf16_tier_supported(DNA_10_30_15, 128)
+    assert bf16_tier_supported(DNA_111, 128)
+    assert not bf16_tier_supported(DNA_10_30_15, 256)  # 256*2 > 256
+    # small shapes: interpret mode pays for the full 2048-pair tile
+    qs = random_dna(rng, (64, 64))
+    ts = random_dna(rng, (64, 64))
+    for params in (DNA_10_30_15, DNA_111):
+        with pltpu.force_tpu_interpret_mode():
+            dev = np.asarray(sw_batch_bf16_pallas(qs, ts, params))
+        orc = sw_score_batch(qs, ts, params)
+        assert np.array_equal(dev, orc.astype(np.int32))
