@@ -51,7 +51,9 @@ from swtpu.kernels.xla.banded_scan import BandedBatchResult
 
 PAIRS = 128  # alignments per grid step (16 sublane vregs; measured optimum)
 LANE = 128
-RF = 64  # rounds per refill block; W + RF <= 127 required
+#: default rounds per refill block; per-call rf = min(RF, LANE - 1 - W)
+#: so wide bands (W up to 96) still get the Pallas path
+RF = 64
 
 
 def _kernel(
@@ -73,6 +75,7 @@ def _kernel(
     with_history,
     early_exit,
     hl,
+    rf,
 ):
     if with_history:
         hist_ref, hist_buf, sem, cur_ref, band_ref, misc_ref, alive_ref = (
@@ -273,17 +276,17 @@ def _kernel(
             t_rows,
             cur_ref,
         )
-        r0 = 1 + blk * RF
+        r0 = 1 + blk * rf
         st, *_ = jax.lax.fori_loop(
             0,
-            RF,
+            rf,
             round_body,
             (st, slab_q, slab_t, base_q, base_t, r0),
         )
         if with_history:
             copy = pltpu.make_async_copy(
-                hist_buf.at[pl.ds(0, RF)],
-                hist_ref.at[pid, pl.ds(r0, RF)],
+                hist_buf.at[pl.ds(0, rf)],
+                hist_ref.at[pid, pl.ds(r0, rf)],
                 sem,
             )
             copy.start()
@@ -331,8 +334,9 @@ def _banded_pallas_impl(
     with_history, early_exit=False,
 ):
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
-    n_blocks = -(-(R_cap - 1) // RF)
-    R_pad = 1 + n_blocks * RF
+    rf = min(RF, LANE - 1 - W)
+    n_blocks = -(-(R_cap - 1) // rf)
+    R_pad = 1 + n_blocks * rf
     # history lane width. A 64-lane buffer (band + posy/offs fit in 34
     # lanes) would halve HBM/transfer, and the store+DMA pattern compiles
     # in isolation — but inside this kernel it SIGABRTs the Mosaic
@@ -343,7 +347,7 @@ def _banded_pallas_impl(
         _kernel,
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
-        with_history=with_history, early_exit=early_exit, hl=hl,
+        with_history=with_history, early_exit=early_exit, hl=hl, rf=rf,
     )
     small = pl.BlockSpec(
         (1, PAIRS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -361,7 +365,7 @@ def _banded_pallas_impl(
         )
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch = [
-            pltpu.VMEM((RF, PAIRS, hl), jnp.int32),
+            pltpu.VMEM((rf, PAIRS, hl), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
     scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # cursor scratch
@@ -432,13 +436,13 @@ def banded_xdrop_batch_pallas(
 
     Same contract and result type as
     swtpu.kernels.xla.banded_scan.banded_xdrop_batch — per-alignment
-    outputs are bit-equal to the scalar banded oracle. Requires
-    bandwidth + 2 <= 126 (the slab scheme needs W + RF + 1 <= 128 and two
-    spare lanes carry posy/offs).
+    outputs are bit-equal to the scalar banded oracle. Supports bandwidth
+    up to 96 (the slab scheme needs W + rf + 1 <= 128 with rf >= ~30 for
+    the refill amortization, and two spare lanes carry posy/offs).
     """
     W = int(bandwidth)
     X = int(x_threshold)
-    if W + RF + 1 > LANE or W + 2 > LANE:
+    if W > 96 or W + 2 > LANE:
         raise ValueError(f"bandwidth {W} too wide for the slab scheme")
     qs = np.asarray(qs)
     ts = np.asarray(ts)

@@ -187,3 +187,26 @@ def test_bf16_tier_parity(rng):
             dev = np.asarray(sw_batch_bf16_pallas(qs, ts, params))
         orc = sw_score_batch(qs, ts, params)
         assert np.array_equal(dev, orc.astype(np.int32))
+
+
+def test_banded_pallas_wide_band(rng):
+    """Bandwidth 64 (rf shrinks to keep the slab in range)."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.banded_batch import banded_xdrop_batch_pallas
+    from swtpu.oracle.semiglobal import banded_xdrop
+
+    L, B = 140, 4
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    with pltpu.force_tpu_interpret_mode():
+        dev = banded_xdrop_batch_pallas(
+            qs, ts, bandwidth=64, x_threshold=100
+        )
+    for b in range(B):
+        st = banded_xdrop(
+            qs[b], ts[b], bandwidth=64, x_threshold=100, return_state=True
+        )
+        assert st.score == dev.score[b]
+        assert st.n_rounds == dev.n_rounds[b]
+        nr = st.n_rounds
+        assert np.array_equal(st.band_history[:nr], dev.band_history[:nr, b])
