@@ -190,11 +190,14 @@ def banded_align_batch(
     """
     import jax
 
-    from swtpu.kernels.pallas.banded_batch import RF, LANE
     from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and bandwidth + RF + 1 <= LANE:
+    if on_tpu and bandwidth == 32:
+        from swtpu.kernels.pallas.banded_packed import (
+            banded_xdrop_batch_packed as forward,
+        )
+    elif on_tpu and bandwidth <= 96:
         from swtpu.kernels.pallas.banded_batch import (
             banded_xdrop_batch_pallas as forward,
         )

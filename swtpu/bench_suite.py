@@ -108,9 +108,15 @@ def bench_semiglobal(quick=False):
         from swtpu.kernels.pallas.banded_batch import (
             banded_xdrop_batch_pallas,
         )
+        from swtpu.kernels.pallas.banded_packed import (
+            banded_xdrop_batch_packed,
+        )
 
         engines.append(
             ("banded_xdrop_32_70_pallas", banded_xdrop_batch_pallas)
+        )
+        engines.append(
+            ("banded_xdrop_32_70_packed", banded_xdrop_batch_packed)
         )
     kw = dict(with_history=False)
     out = []

@@ -210,3 +210,33 @@ def test_banded_pallas_wide_band(rng):
         assert st.n_rounds == dev.n_rounds[b]
         nr = st.n_rounds
         assert np.array_equal(st.band_history[:nr], dev.band_history[:nr, b])
+
+
+def test_banded_packed_oracle_parity(rng):
+    """Lane-packed banded kernel (4 pairs per sublane row) vs the scalar
+    oracle: scores, rounds, history, positions, compressed roundtrip."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.banded_packed import banded_xdrop_batch_packed
+    from swtpu.oracle.semiglobal import banded_xdrop
+
+    L, B = 150, 9
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    ts[B - 1] = rng.integers(0, 4, size=L).astype(np.uint8)
+    lens_q = rng.integers(100, L + 1, size=B)
+    lens_t = rng.integers(100, L + 1, size=B)
+    with pltpu.force_tpu_interpret_mode():
+        dev = banded_xdrop_batch_packed(qs, ts, lens_q, lens_t)
+        comp = banded_xdrop_batch_packed(
+            qs, ts, lens_q, lens_t, compress_history=True
+        )
+    for b in range(B):
+        st = banded_xdrop(
+            qs[b][: lens_q[b]], ts[b][: lens_t[b]], return_state=True
+        )
+        assert st.score == dev.score[b]
+        assert st.n_rounds == dev.n_rounds[b]
+        nr = st.n_rounds
+        assert np.array_equal(st.band_history[:nr], dev.band_history[:nr, b])
+        assert np.array_equal(st.pos_y[:nr], dev.pos_y[:nr, b])
+        assert np.array_equal(dev.history_for(b)[:nr], comp.history_for(b)[:nr])
