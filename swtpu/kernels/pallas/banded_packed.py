@@ -24,7 +24,9 @@ Scoring semantics, round/termination contract, and history format match
 the scalar banded oracle exactly (same as banded_batch.py). History mode
 emits TWO rows per round: the packed band row and a meta row carrying
 posy/offs at each group's first two lanes. W must equal 32; other widths
-and early_exit route to the sublane kernel.
+route to the sublane kernel. early_exit=True skips whole blocks once all
+512 pairs finished (same scratch-state + pl.when mechanism as the sublane
+kernel, same ~2x cost on never-exiting workloads).
 """
 
 from __future__ import annotations
@@ -63,12 +65,13 @@ def _kernel(
     qlen,
     tlen,
     with_history,
+    early_exit,
 ):
     W = GW
     if with_history:
-        hist_ref, hist_buf, sem, cur_ref = rest
+        hist_ref, hist_buf, sem, cur_ref, band_ref, alive_ref = rest
     else:
-        (cur_ref,) = rest
+        cur_ref, band_ref, alive_ref = rest
     iota = jax.lax.broadcasted_iota(jnp.int32, (SROWS, LANE), 1)
     gpos = iota & (GW - 1)  # lane position within its group
     gbase = iota - gpos  # first lane of the group
@@ -127,7 +130,7 @@ def _kernel(
 
     # --- initial state (round 0) ---
     result0 = jnp.where(gpos == W - 1, jnp.int32(X), 0)
-    state = dict(
+    state0 = dict(
         result=result0,
         horizontal=zero,
         vertical=zero,
@@ -138,6 +141,21 @@ def _kernel(
         n_rounds=jnp.ones((SROWS, LANE), jnp.int32),
         done=zero,  # bool carried as int32
     )
+    _FIELDS = (
+        "result", "horizontal", "vertical", "now_y", "now_x",
+        "max_score", "max_round", "n_rounds", "done",
+    )
+
+    def load_state():
+        return {f: band_ref[k] for k, f in enumerate(_FIELDS)}
+
+    def store_state(st):
+        for k, f in enumerate(_FIELDS):
+            band_ref[k] = st[f]
+
+    if early_exit:
+        store_state(state0)
+        alive_ref[0] = 1
 
     if with_history:
         pid = pl.program_id(0)
@@ -245,7 +263,23 @@ def _kernel(
             copy.wait()
         return st
 
-    state = jax.lax.fori_loop(0, n_blocks, block_body, state)
+    if early_exit:
+        # skip whole blocks once every pair finished: state round-trips
+        # VMEM scratch so pl.when can truly branch (lax.cond with value
+        # carries is predicated by Mosaic — both branches execute)
+        def block_body_ee(blk, dummy):
+            @pl.when(alive_ref[0] > 0)
+            def _():
+                st = block_body(blk, load_state())
+                store_state(st)
+                alive_ref[0] = jnp.max(1 - st["done"])
+
+            return dummy
+
+        jax.lax.fori_loop(0, n_blocks, block_body_ee, 0)
+        state = load_state()
+    else:
+        state = jax.lax.fori_loop(0, n_blocks, block_body, state0)
 
     score_ref[0] = state["max_score"] - X
     mround_ref[0] = state["max_round"]
@@ -256,11 +290,12 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
-        "with_history",
+        "with_history", "early_exit",
     ),
 )
 def _banded_packed_impl(
-    meta, qp, tp, X, match, mismatch, gap, R_cap, qlen, tlen, with_history
+    meta, qp, tp, X, match, mismatch, gap, R_cap, qlen, tlen, with_history,
+    early_exit=False,
 ):
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
     n_blocks = -(-(R_cap - 1) // RF)
@@ -270,7 +305,7 @@ def _banded_packed_impl(
         _kernel,
         X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
-        with_history=with_history,
+        with_history=with_history, early_exit=early_exit,
     )
     small = pl.BlockSpec(
         (1, SROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -292,6 +327,8 @@ def _banded_packed_impl(
             pltpu.SemaphoreType.DMA,
         ]
     scratch.append(pltpu.VMEM((SROWS, LANE), jnp.int32))  # cursor scratch
+    scratch.append(pltpu.VMEM((9, SROWS, LANE), jnp.int32))  # ee state
+    scratch.append(pltpu.SMEM((1,), jnp.int32))  # alive flag
     outs = pl.pallas_call(
         kern,
         out_shape=tuple(out_shape),
@@ -364,6 +401,7 @@ def banded_xdrop_batch_packed(
     x_threshold=70,
     compress_history=False,
     with_history=True,
+    early_exit=False,
 ) -> BandedBatchResult:
     """Lane-packed banded X-drop forward pass (bandwidth 32 only).
 
@@ -404,7 +442,7 @@ def banded_xdrop_batch_packed(
         jnp.asarray(qp.reshape(Bp * (qlen // LANE), LANE)),
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
         X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
-        with_history,
+        with_history, bool(early_exit),
     )
     score = np.asarray(score)[:B]
     mround = np.asarray(mround)[:B]

@@ -240,3 +240,24 @@ def test_banded_packed_oracle_parity(rng):
         assert np.array_equal(st.band_history[:nr], dev.band_history[:nr, b])
         assert np.array_equal(st.pos_y[:nr], dev.pos_y[:nr, b])
         assert np.array_equal(dev.history_for(b)[:nr], comp.history_for(b)[:nr])
+
+
+def test_banded_packed_early_exit(rng):
+    """Packed kernel's early-exit mode produces identical results."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.banded_packed import banded_xdrop_batch_packed
+
+    L, B = 128, 4
+    qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    ts[B - 1] = rng.integers(0, 4, size=L).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        a = banded_xdrop_batch_packed(
+            qs, ts, match=1, mismatch=3, gap=2, with_history=False
+        )
+        b = banded_xdrop_batch_packed(
+            qs, ts, match=1, mismatch=3, gap=2, with_history=False,
+            early_exit=True,
+        )
+    assert np.array_equal(a.score, b.score)
+    assert np.array_equal(a.n_rounds, b.n_rounds)
