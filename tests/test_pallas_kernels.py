@@ -179,9 +179,9 @@ def test_bf16_tier_parity(rng):
     assert bf16_tier_supported(DNA_10_30_15, 128)
     assert bf16_tier_supported(DNA_111, 128)
     assert not bf16_tier_supported(DNA_10_30_15, 256)  # 256*2 > 256
-    # small shapes: interpret mode pays for the full 2048-pair tile
-    qs = random_dna(rng, (64, 64))
-    ts = random_dna(rng, (64, 64))
+    # tiny shapes: interpret mode pays for the full 2048-pair tile
+    qs = random_dna(rng, (64, 32))
+    ts = random_dna(rng, (64, 32))
     for params in (DNA_10_30_15, DNA_111):
         with pltpu.force_tpu_interpret_mode():
             dev = np.asarray(sw_batch_bf16_pallas(qs, ts, params))
@@ -219,12 +219,12 @@ def test_banded_packed_oracle_parity(rng):
     from swtpu.kernels.pallas.banded_packed import banded_xdrop_batch_packed
     from swtpu.oracle.semiglobal import banded_xdrop
 
-    L, B = 150, 9
+    L, B = 96, 9
     qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
     ts[B - 1] = rng.integers(0, 4, size=L).astype(np.uint8)
-    lens_q = rng.integers(100, L + 1, size=B)
-    lens_t = rng.integers(100, L + 1, size=B)
+    lens_q = rng.integers(64, L + 1, size=B)
+    lens_t = rng.integers(64, L + 1, size=B)
     with pltpu.force_tpu_interpret_mode():
         dev = banded_xdrop_batch_packed(qs, ts, lens_q, lens_t)
         comp = banded_xdrop_batch_packed(
@@ -247,7 +247,7 @@ def test_banded_packed_early_exit(rng):
     from swtpu.core.encode import mutate
     from swtpu.kernels.pallas.banded_packed import banded_xdrop_batch_packed
 
-    L, B = 128, 4
+    L, B = 64, 4
     qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
     ts[B - 1] = rng.integers(0, 4, size=L).astype(np.uint8)
