@@ -193,7 +193,7 @@ def banded_align_batch(
     from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and bandwidth == 32:
+    if on_tpu and bandwidth in (32, 64):
         from swtpu.kernels.pallas.banded_packed import (
             banded_xdrop_batch_packed as forward,
         )

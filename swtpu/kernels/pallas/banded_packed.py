@@ -23,7 +23,7 @@ Group-local idioms (all verified on v5e):
 Scoring semantics, round/termination contract, and history format match
 the scalar banded oracle exactly (same as banded_batch.py). History mode
 emits TWO rows per round: the packed band row and a meta row carrying
-posy/offs at each group's first two lanes. W must equal 32; other widths
+posy/offs at each group's first two lanes. W in {32, 64}; other widths
 route to the sublane kernel. early_exit=True skips whole blocks once all
 512 pairs finished (same scratch-state + pl.when mechanism as the sublane
 kernel, same ~2x cost on never-exiting workloads).
@@ -42,11 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 from swtpu.kernels.xla.banded_scan import BandedBatchResult
 
 LANE = 128
-GW = 32  # group width == bandwidth
-GROUPS = LANE // GW  # 4
+GW = 32  # default group width == bandwidth (16/32/64 supported)
 SROWS = 128  # sublane rows per grid step
-PAIRS = SROWS * GROUPS  # 512 alignments per grid step
-RF = 64  # rounds per refill block; GW + RF <= 127
+RF = 64  # max rounds per refill block; per-call rf = min(RF, 127 - W)
+
+
+def _groups(W):
+    return LANE // W
+
+
+def _pairs(W):
+    return SROWS * _groups(W)
 
 
 def _kernel(
@@ -57,6 +63,7 @@ def _kernel(
     mround_ref,
     nrounds_ref,
     *rest,
+    W,
     X,
     match,
     mismatch,
@@ -66,14 +73,15 @@ def _kernel(
     tlen,
     with_history,
     early_exit,
+    rf,
 ):
-    W = GW
+    GROUPS = _groups(W)
     if with_history:
         hist_ref, hist_buf, sem, cur_ref, band_ref, alive_ref = rest
     else:
         cur_ref, band_ref, alive_ref = rest
     iota = jax.lax.broadcasted_iota(jnp.int32, (SROWS, LANE), 1)
-    gpos = iota & (GW - 1)  # lane position within its group
+    gpos = iota & (W - 1)  # lane position within its group
     gbase = iota - gpos  # first lane of the group
     zero = jnp.zeros((SROWS, LANE), jnp.int32)
     lens_q = meta_ref[0]  # [SROWS, LANE], constant within each group
@@ -85,7 +93,7 @@ def _kernel(
     g32 = jnp.int32(gap)
 
     at_g0 = gpos == 0
-    at_gW = gpos == GW - 1
+    at_gW = gpos == W - 1
 
     def shift_right_g(a):  # band[k-1], 0 at group starts
         return jnp.where(at_g0, 0, pltpu.roll(a, 1, axis=1))
@@ -107,7 +115,7 @@ def _kernel(
         for g in range(GROUPS):
             rows = []
             for b in range(SROWS):
-                off = cur_ref[b, g * GW]
+                off = cur_ref[b, g * W]
                 pidx = b * GROUPS + g
                 rowi = pidx * rows_per_pair + (off >> 7)
                 rem = off & (LANE - 1)
@@ -118,15 +126,24 @@ def _kernel(
             slabs.append(jnp.concatenate(rows, axis=0))
         return tuple(slabs), base
 
-    grp_sel_1 = (iota >> 5) & 1  # group id bit 0
-    grp_sel_2 = iota >> 6  # group id bit 1
+    gshift = W.bit_length() - 1  # log2(W)
+    gid = iota >> gshift  # group id per lane
 
-    def gather4(slabs, idx):
-        """Per-lane chars: lane l of row b reads slab[group(l)][b, idx]."""
+    def gather_groups(slabs, idx):
+        """Per-lane chars: lane l of row b reads slab[group(l)][b, idx].
+        Select tree over the GROUPS gathered values, keyed on gid bits."""
         vals = [jnp.take_along_axis(s, idx, axis=1) for s in slabs]
-        lo = jnp.where(grp_sel_1 == 0, vals[0], vals[1])
-        hi = jnp.where(grp_sel_1 == 0, vals[2], vals[3])
-        return jnp.where(grp_sel_2 == 0, lo, hi)
+        bit = 0
+        while len(vals) > 1:
+            b_ = (gid & (1 << bit)) != 0
+            nxt = []
+            for j in range(0, len(vals) - 1, 2):
+                nxt.append(jnp.where(b_, vals[j + 1], vals[j]))
+            if len(vals) % 2:
+                nxt.append(vals[-1])
+            vals = nxt
+            bit += 1
+        return vals[0]
 
     # --- initial state (round 0) ---
     result0 = jnp.where(gpos == W - 1, jnp.int32(X), 0)
@@ -176,7 +193,7 @@ def _kernel(
         res = st["result"]
 
         res0 = jnp.take_along_axis(res, gbase, axis=1)
-        resW = jnp.take_along_axis(res, gbase + (GW - 1), axis=1)
+        resW = jnp.take_along_axis(res, gbase + (W - 1), axis=1)
         right = res0 < resW  # [SROWS, LANE], constant within group
         diagonal = jnp.where(right, st["vertical"], st["horizontal"])
         horizontal = jnp.where(right, res, shift_right_g(res))
@@ -192,8 +209,8 @@ def _kernel(
 
         qi = jnp.clip((now_y - base_q) + rev_g, 0, LANE - 1)
         ti = jnp.clip((now_x - base_t) + fwd_g, 0, LANE - 1)
-        yc = gather4(slabs_q, qi)
-        xc = gather4(slabs_t, ti)
+        yc = gather_groups(slabs_q, qi)
+        xc = gather_groups(slabs_t, ti)
         sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
 
         dd = jnp.where(diagonal != 0, diagonal + sc, 0)
@@ -202,10 +219,12 @@ def _kernel(
         r_new = jnp.maximum(jnp.maximum(dd, hh), vv)
         r_new = jnp.maximum(r_new, 0)
 
-        # group max in every lane: 5-step XOR butterfly
+        # group max in every lane: log2(W)-step XOR butterfly
         v = r_new
-        for s_ in (1, 2, 4, 8, 16):
+        s_ = 1
+        while s_ < W:
             v = jnp.maximum(v, jnp.take_along_axis(v, iota ^ s_, axis=1))
+            s_ <<= 1
         round_max = v
 
         upd = active & (st["max_score"] < round_max)
@@ -249,14 +268,14 @@ def _kernel(
             t_rows,
             cur_ref,
         )
-        r0 = 1 + blk * RF
+        r0 = 1 + blk * rf
         st, *_ = jax.lax.fori_loop(
-            0, RF, round_body, (st, slabs_q, slabs_t, base_q, base_t, r0)
+            0, rf, round_body, (st, slabs_q, slabs_t, base_q, base_t, r0)
         )
         if with_history:
             copy = pltpu.make_async_copy(
-                hist_buf.at[pl.ds(0, RF)],
-                hist_ref.at[pid, pl.ds(r0, RF)],
+                hist_buf.at[pl.ds(0, rf)],
+                hist_ref.at[pid, pl.ds(r0, rf)],
                 sem,
             )
             copy.start()
@@ -289,23 +308,25 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
+        "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
         "with_history", "early_exit",
     ),
 )
 def _banded_packed_impl(
-    meta, qp, tp, X, match, mismatch, gap, R_cap, qlen, tlen, with_history,
-    early_exit=False,
+    meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
+    with_history, early_exit=False,
 ):
+    PAIRS = _pairs(W)
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
-    n_blocks = -(-(R_cap - 1) // RF)
-    R_pad = 1 + n_blocks * RF
+    rf = min(RF, LANE - 1 - W)
+    n_blocks = -(-(R_cap - 1) // rf)
+    R_pad = 1 + n_blocks * rf
 
     kern = functools.partial(
         _kernel,
-        X=X, match=match, mismatch=mismatch, gap=gap,
+        W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
-        with_history=with_history, early_exit=early_exit,
+        with_history=with_history, early_exit=early_exit, rf=rf,
     )
     small = pl.BlockSpec(
         (1, SROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -323,7 +344,7 @@ def _banded_packed_impl(
         )
         out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
         scratch = [
-            pltpu.VMEM((RF, 2, SROWS, LANE), jnp.int32),
+            pltpu.VMEM((rf, 2, SROWS, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
     scratch.append(pltpu.VMEM((SROWS, LANE), jnp.int32))  # cursor scratch
@@ -351,9 +372,9 @@ def _banded_packed_impl(
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )(meta, qp, tp)
-    # per-pair extraction: pair (tile, b, g) reads lane g*GW
+    # per-pair extraction: pair (tile, b, g) reads lane g*W
     def unpack(a):  # [T, SROWS, LANE] -> [T*PAIRS]
-        return a[:, :, :: GW].reshape(-1)
+        return a[:, :, ::W].reshape(-1)
 
     score = unpack(outs[0])
     mround = unpack(outs[1])
@@ -363,22 +384,24 @@ def _banded_packed_impl(
     return score, mround, nrounds, None
 
 
-@functools.partial(jax.jit, static_argnames=("R_cap", "compress"))
-def _split_history_packed(hist, R_cap, compress):
+@functools.partial(jax.jit, static_argnames=("W", "R_cap", "compress"))
+def _split_history_packed(hist, W, R_cap, compress):
     """[T, R_pad, 2, SROWS, LANE] -> (band [R,B,W], posy [R,B], offs)."""
     T = hist.shape[0]
+    GROUPS = _groups(W)
+    PAIRS = _pairs(W)
     h = hist[:, :R_cap]  # [T, R, 2, S, L]
     band = (
         h[:, :, 0]
-        .reshape(T, R_cap, SROWS, GROUPS, GW)
+        .reshape(T, R_cap, SROWS, GROUPS, W)
         .transpose(1, 0, 2, 3, 4)
-        .reshape(R_cap, T * PAIRS, GW)
+        .reshape(R_cap, T * PAIRS, W)
     )
     meta = (
         h[:, :, 1]
-        .reshape(T, R_cap, SROWS, GROUPS, GW)
+        .reshape(T, R_cap, SROWS, GROUPS, W)
         .transpose(1, 0, 2, 3, 4)
-        .reshape(R_cap, T * PAIRS, GW)
+        .reshape(R_cap, T * PAIRS, W)
     )
     posy = meta[:, :, 0]
     offs = meta[:, :, 1]
@@ -403,14 +426,17 @@ def banded_xdrop_batch_packed(
     with_history=True,
     early_exit=False,
 ) -> BandedBatchResult:
-    """Lane-packed banded X-drop forward pass (bandwidth 32 only).
+    """Lane-packed banded X-drop forward pass (bandwidth 32/64).
 
     Same contract as banded_xdrop_batch / banded_xdrop_batch_pallas;
-    4 pairs share each sublane row, 512 alignments per grid step.
+    128/bandwidth pairs share each sublane row (512 alignments per grid
+    step at the default bandwidth 32).
     """
-    if int(bandwidth) != GW:
-        raise ValueError("packed kernel supports bandwidth == 32 only")
-    W = GW
+    W = int(bandwidth)
+    if W not in (32, 64):
+        # W=16 (8 groups) would unroll a 2048-unit refill — compile cost
+        # explodes; narrow bands route to the sublane kernel instead
+        raise ValueError("packed kernel supports bandwidth 32/64")
     X = int(x_threshold)
     qs = np.asarray(qs)
     ts = np.asarray(ts)
@@ -419,6 +445,8 @@ def banded_xdrop_batch_packed(
     lens_q = np.full(B, n) if lens_q is None else np.asarray(lens_q)
     lens_t = np.full(B, m) if lens_t is None else np.asarray(lens_t)
 
+    PAIRS = _pairs(W)
+    GROUPS = _groups(W)
     Bp = -(-B // PAIRS) * PAIRS
     qlen = -(-(1 + n + W + LANE) // LANE) * LANE
     tlen = -(-(W + m + W + LANE) // LANE) * LANE
@@ -433,15 +461,15 @@ def banded_xdrop_batch_packed(
     lq[:B] = lens_q
     lt[:B] = lens_t
     meta = np.zeros((2, Bp // GROUPS, LANE), np.int32)
-    meta[0] = np.repeat(lq.reshape(-1, GROUPS), GW, axis=1)
-    meta[1] = np.repeat(lt.reshape(-1, GROUPS), GW, axis=1)
+    meta[0] = np.repeat(lq.reshape(-1, GROUPS), W, axis=1)
+    meta[1] = np.repeat(lt.reshape(-1, GROUPS), W, axis=1)
 
     R_cap = (max(n, m) + 1) * 2 - 1
     score, mround, nrounds, hist = _banded_packed_impl(
         jnp.asarray(meta),
         jnp.asarray(qp.reshape(Bp * (qlen // LANE), LANE)),
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
-        X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
+        W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
         with_history, bool(early_exit),
     )
     score = np.asarray(score)[:B]
@@ -457,7 +485,9 @@ def banded_xdrop_batch_packed(
         )
     if compress_history and X > 254:
         raise ValueError("8-bit history needs x_threshold <= 254")
-    band, posy, offs = _split_history_packed(hist, R_cap, compress_history)
+    band, posy, offs = _split_history_packed(
+        hist, W, R_cap, compress_history
+    )
     return BandedBatchResult(
         score=score,
         max_round=mround,

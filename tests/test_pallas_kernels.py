@@ -230,6 +230,10 @@ def test_banded_packed_oracle_parity(rng):
         comp = banded_xdrop_batch_packed(
             qs, ts, lens_q, lens_t, compress_history=True
         )
+        wide = banded_xdrop_batch_packed(
+            qs, ts, lens_q, lens_t, bandwidth=64, x_threshold=100,
+            with_history=False,
+        )
     for b in range(B):
         st = banded_xdrop(
             qs[b][: lens_q[b]], ts[b][: lens_t[b]], return_state=True
@@ -240,6 +244,12 @@ def test_banded_packed_oracle_parity(rng):
         assert np.array_equal(st.band_history[:nr], dev.band_history[:nr, b])
         assert np.array_equal(st.pos_y[:nr], dev.pos_y[:nr, b])
         assert np.array_equal(dev.history_for(b)[:nr], comp.history_for(b)[:nr])
+        st64 = banded_xdrop(
+            qs[b][: lens_q[b]], ts[b][: lens_t[b]], bandwidth=64,
+            x_threshold=100, return_state=True,
+        )
+        assert st64.score == wide.score[b]
+        assert st64.n_rounds == wide.n_rounds[b]
 
 
 def test_banded_packed_early_exit(rng):
