@@ -54,10 +54,6 @@ from swtpu.kernels.pallas.sw_batch import (
 
 PAD_SCORE = -128
 
-#: VMEM budget for the resident profile, in (8,128) int32 rows. The whole
-#: tile working set (profile + targets + row boundary) must fit in ~16 MB;
-#: 2048 rows = 8 MB leaves comfortable headroom.
-_MAX_PROF_ROWS = 2048
 
 
 def _packed_table(params: ScoringParams) -> np.ndarray:
@@ -82,15 +78,23 @@ def _packed_table(params: ScoringParams) -> np.ndarray:
     return packed.view(np.int32)
 
 
-def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, n, m, planes, gap):
+def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
     zero = jnp.zeros((SUB, LANE), jnp.int32)
     zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
     gap32 = jnp.int32(gap)
 
-    yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
+    # the row-group grid axis streams the profile: the row boundary
+    # (yoko) and the running best persist in scratch/output across grid
+    # steps of the same tile (TPU grids run sequentially, minor-most
+    # axis fastest)
+    g_id = pl.program_id(1)
+
+    @pl.when(g_id == 0)
+    def _():
+        yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
 
     n_chunks = m // CHUNK
-    n_rowgrps = n // ROWS
+    n_rowgrps = rg // ROWS
 
     def lookup(planes_vals, bits, sh):
         """Select the packed plane by the t>>2 bits, extract byte (t&3)."""
@@ -160,30 +164,45 @@ def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, n, m, planes, gap):
         return best_c
 
     best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
-    out_ref[0] = best_c.max(axis=0)
+    best = best_c.max(axis=0)
+
+    @pl.when(g_id == 0)
+    def _():
+        out_ref[0] = best
+
+    @pl.when(g_id != 0)
+    def _():
+        out_ref[0] = jnp.maximum(out_ref[0], best)
+
+
+#: rows of profile resident per grid step; longer queries stream through
+#: the row-group grid axis
+ROW_GROUP = 64
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m", "planes", "gap"))
 def _sw_profile_impl(profT, tsT, n, m, planes, gap):
     T = tsT.shape[0] // m
+    rg = min(n, ROW_GROUP)
+    G = n // rg
     return pl.pallas_call(
-        functools.partial(_kernel, n=n, m=m, planes=planes, gap=gap),
+        functools.partial(_kernel, rg=rg, m=m, planes=planes, gap=gap),
         out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
-        grid=(T,),
+        grid=(T, G),
         in_specs=[
             pl.BlockSpec(
-                (n, planes, SUB, LANE),
-                lambda i: (i, 0, 0, 0),
+                (rg, planes, SUB, LANE),
+                lambda i, g: (i * (n // rg) + g, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (m, SUB, LANE),
-                lambda i: (i, 0, 0),
+                lambda i, g: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, SUB, LANE), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((m, SUB, LANE), jnp.int32)],
     )(profT, tsT)
@@ -222,8 +241,10 @@ def sw_batch_profile_pallas(qs, ts, params: ScoringParams):
 
     qs: [B, n] uint8 codes 0..A-1 (pad A), ts: [B, m] uint8 (pad A+1),
     where A = params.alphabet_size (4 for DNA, 24 for protein). Internally
-    B pads to a multiple of 1024, n to a multiple of 8, m to a multiple of
-    16. Returns [B] int32 scores == swtpu.oracle.sw_score per pair.
+    B pads to a multiple of 1024, n to a multiple of 8 (64 when n > 64:
+    long queries stream through a row-group grid so the resident profile
+    stays small), m to a multiple of 16. Returns [B] int32 scores ==
+    swtpu.oracle.sw_score per pair.
     """
     if not params.is_linear:
         raise NotImplementedError("affine tier: use sw_affine_pallas")
@@ -237,16 +258,12 @@ def sw_batch_profile_pallas(qs, ts, params: ScoringParams):
     m = ts.shape[1]
     qs = jnp.asarray(qs)
     ts = jnp.asarray(ts)
-    if n % ROWS:
+    step = ROWS if n <= ROW_GROUP else ROW_GROUP
+    if n % step:
         qs = jnp.concatenate(
-            [qs, jnp.full((B, ROWS - n % ROWS), q_pad, qs.dtype)], axis=1
+            [qs, jnp.full((B, step - n % step), q_pad, qs.dtype)], axis=1
         )
         n = qs.shape[1]
-    if n * planes > _MAX_PROF_ROWS:
-        raise NotImplementedError(
-            f"query length {n} exceeds the resident-profile budget "
-            f"({_MAX_PROF_ROWS}); use the XLA engine or banded family"
-        )
     mp = -(-m // CHUNK) * CHUNK
     if mp != m:
         ts = jnp.concatenate(

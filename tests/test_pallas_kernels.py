@@ -271,3 +271,19 @@ def test_banded_packed_early_exit(rng):
         )
     assert np.array_equal(a.score, b.score)
     assert np.array_equal(a.n_rounds, b.n_rounds)
+
+
+def test_profile_kernel_long_query(rng):
+    """Queries beyond one row-group stream through the (tile, row-group)
+    grid with the row boundary persisting in scratch."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+
+    params = ScoringParams.linear(BLOSUM62, 11)
+    qs = rng.integers(0, 24, size=(6, 200)).astype(np.uint8)
+    ts = rng.integers(0, 24, size=(6, 96)).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_batch_profile_pallas(qs, ts, params))
+    orc = sw_score_batch(qs, ts, params)
+    assert np.array_equal(dev, orc.astype(np.int32))
