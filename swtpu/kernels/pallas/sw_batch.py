@@ -217,6 +217,13 @@ def sw_batch_pallas(qs, ts, params: ScoringParams):
         )
     B, n = qs.shape
     m = ts.shape[1]
+    if m > 2048 >= n:
+        # SW scores are symmetric under transposition (uniform matrix):
+        # keep the VMEM-resident column axis on the shorter side. Pad
+        # codes stay distinct after the swap (4 vs 5), so nothing else
+        # changes.
+        qs, ts = ts, qs
+        n, m = m, n
     qs = jnp.asarray(qs)
     ts = jnp.asarray(ts)
     if n % ROWS:

@@ -251,11 +251,19 @@ def sw_batch_profile_pallas(qs, ts, params: ScoringParams):
     if params.gap <= 0:
         raise NotImplementedError("pad-decay layout needs gap > 0")
     A = params.alphabet_size
+    B, n = qs.shape
+    m = ts.shape[1]
+    if m > 2048 >= n:
+        # symmetric under transposition with the transposed matrix; keeps
+        # the VMEM-resident target/boundary buffers on the shorter side.
+        # The packed table covers both pad codes, so swapped pads (A+1 on
+        # the query side, A on the target side) still score PAD_SCORE.
+        return sw_batch_profile_pallas(
+            ts, qs, ScoringParams.linear(params.matrix.T, params.gap)
+        )
     packed_tab = _packed_table(params)
     planes = packed_tab.shape[1]
     q_pad, t_pad = A, A + 1
-    B, n = qs.shape
-    m = ts.shape[1]
     qs = jnp.asarray(qs)
     ts = jnp.asarray(ts)
     step = ROWS if n <= ROW_GROUP else ROW_GROUP

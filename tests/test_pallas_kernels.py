@@ -287,3 +287,25 @@ def test_profile_kernel_long_query(rng):
         dev = np.asarray(sw_batch_profile_pallas(qs, ts, params))
     orc = sw_score_batch(qs, ts, params)
     assert np.array_equal(dev, orc.astype(np.int32))
+
+
+def test_long_target_auto_swap(rng):
+    """Targets longer than the VMEM budget swap onto the query axis
+    (scores are symmetric under transposition)."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+
+    qs = random_dna(rng, (4, 64))
+    ts = random_dna(rng, (4, 2560))
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_batch_pallas(qs, ts, DNA_111))
+    assert np.array_equal(
+        dev, sw_score_batch(qs, ts, DNA_111).astype(np.int32)
+    )
+    pp = ScoringParams.linear(BLOSUM62, 11)
+    pq = rng.integers(0, 24, size=(4, 64)).astype(np.uint8)
+    pt = rng.integers(0, 24, size=(4, 2560)).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_batch_profile_pallas(pq, pt, pp))
+    assert np.array_equal(dev, sw_score_batch(pq, pt, pp).astype(np.int32))
