@@ -363,7 +363,7 @@ def _banded_pallas_impl(
         out_shape.append(
             jax.ShapeDtypeStruct((T, R_pad, PAIRS, hl), jnp.int32)
         )
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch = [
             pltpu.VMEM((rf, PAIRS, hl), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -342,7 +342,7 @@ def _banded_packed_impl(
         out_shape.append(
             jax.ShapeDtypeStruct((T, R_pad, 2, SROWS, LANE), jnp.int32)
         )
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch = [
             pltpu.VMEM((rf, 2, SROWS, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -142,7 +142,7 @@ def tile_sw_reference(q, t, top_row, left_col, corner, match, mismatch, gap):
     static_argnames=("match", "mismatch", "gap", "block", "mesh", "axis"),
 )
 def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.devices.size
@@ -193,7 +193,7 @@ def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
         mesh=mesh,
         in_specs=(P(axis),),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q)
 

@@ -186,7 +186,7 @@ def sharded_all_vs_all_topk(
     Demonstrates the ICI-riding layout (scores gathered, not raw DP) on any
     mesh, incl. the virtual CPU mesh used in tests.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.devices.size
     Nq = queries.shape[0]
@@ -222,7 +222,7 @@ def sharded_all_vs_all_topk(
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     gs, gi = fn(jnp.asarray(queries), jnp.asarray(targets))
     gs, gi = np.asarray(gs), np.asarray(gi)
