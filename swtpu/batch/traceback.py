@@ -170,6 +170,148 @@ def banded_traceback(
     return path
 
 
+def reconstruct_affine_bands(
+    band_history: np.ndarray,
+    pos_y: np.ndarray,
+    n_rounds: int,
+    gap_open: int,
+    gap_extend: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rebuild the Gotoh E/F band histories from the H band history.
+
+    The E/F recurrences (oracle/banded_affine.py) depend only on the H
+    band, the previous E/F bands, and the per-round direction — never on
+    the substitution score — and the direction is recoverable from pos_y
+    (a round moved down iff pos_y advanced). So the device kernels return
+    the same H-only history as the linear family and the host replays E/F
+    exactly, round by round: e[r]/f[r] here are bit-equal to the oracle's
+    e_hist/f_hist (tested).
+    """
+    from swtpu.oracle.banded_affine import EF_DEAD
+
+    MINF = MINUS_INF
+    W = band_history.shape[1]
+    go, ge = int(gap_open), int(gap_extend)
+    e_hist = np.full((n_rounds, W), EF_DEAD, dtype=np.int64)
+    f_hist = np.full((n_rounds, W), EF_DEAD, dtype=np.int64)
+    result = band_history[0].astype(np.int64)
+    e_band = np.full(W, EF_DEAD, dtype=np.int64)
+    f_band = np.full(W, EF_DEAD, dtype=np.int64)
+    for r in range(1, n_rounds):
+        if pos_y[r] == pos_y[r - 1]:  # moved right
+            horizontal = result
+            he = e_band
+            vf = np.concatenate([f_band[1:], [EF_DEAD]])
+            vertical = np.concatenate([result[1:], [0]])
+        else:  # moved down
+            vertical = result
+            vf = f_band
+            he = np.concatenate([[EF_DEAD], e_band[:-1]])
+            horizontal = np.concatenate([[0], result[:-1]])
+        e_new = np.maximum(
+            np.where(he > EF_DEAD // 2, he - ge, MINF),
+            np.where(horizontal != 0, horizontal - go, MINF),
+        )
+        f_new = np.maximum(
+            np.where(vf > EF_DEAD // 2, vf - ge, MINF),
+            np.where(vertical != 0, vertical - go, MINF),
+        )
+        result = band_history[r].astype(np.int64)
+        e_band = np.where(result == 0, EF_DEAD, e_new)
+        f_band = np.where(result == 0, EF_DEAD, f_new)
+        e_hist[r] = e_band
+        f_hist[r] = f_band
+    return e_hist, f_hist
+
+
+def banded_affine_traceback(
+    q: np.ndarray,
+    t: np.ndarray,
+    band_history: np.ndarray,
+    pos_y: np.ndarray,
+    n_rounds: int,
+    max_round: int,
+    max_score_off: int,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+    bandwidth: int = 32,
+) -> List[Tuple[int, int]]:
+    """Gotoh three-state walk over a device band history (affine gaps).
+
+    E/F bands are reconstructed from the H history (see
+    reconstruct_affine_bands); the walk itself mirrors the affine oracle:
+    H-state move preference diag → F (up) → E (left), matching the linear
+    family's diag → up → left order.
+    """
+    n, m = len(q), len(t)
+    W = bandwidth
+    e_hist, f_hist = reconstruct_affine_bands(
+        band_history, pos_y, n_rounds, gap_open, gap_extend
+    )
+
+    def get(arr, y: int, x: int, dead_zero: bool) -> int:
+        if y < 0 or y > n or x < 0 or x > m:
+            return MINUS_INF
+        r = y + x
+        if r >= n_rounds:
+            return MINUS_INF
+        k = (W - 1) - (y - pos_y[r])
+        if k < 0 or k >= W:
+            return MINUS_INF
+        v = int(arr[r, k])
+        return MINUS_INF if (dead_zero and v == 0) else v
+
+    get_h = lambda y, x: get(band_history, y, x, True)
+    get_e = lambda y, x: get(e_hist, y, x, False)
+    get_f = lambda y, x: get(f_hist, y, x, False)
+
+    my = int(pos_y[max_round])
+    mx = int(max_round - my)
+    while get_h(my, mx) != max_score_off:
+        my += 1
+        mx -= 1
+
+    path = [(my, mx)]
+    i, j, st = my, mx, 0
+    while i or j:
+        if st == 0:
+            v = get_h(i, j)
+            s = match if (i and j and q[i - 1] == t[j - 1]) else -mismatch
+            if i and j and v == get_h(i - 1, j - 1) + s:
+                i, j = i - 1, j - 1
+                path.append((i, j))
+            elif v == get_f(i, j):
+                st = 2
+            elif v == get_e(i, j):
+                st = 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent affine banded traceback H")
+        elif st == 1:  # E: gap moves left
+            v = get_e(i, j)
+            if j and v == get_h(i, j - 1) - gap_open:
+                j -= 1
+                st = 0
+            elif j and v == get_e(i, j - 1) - gap_extend:
+                j -= 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent affine banded traceback E")
+            path.append((i, j))
+        else:  # F: gap moves up
+            v = get_f(i, j)
+            if i and v == get_h(i - 1, j) - gap_open:
+                i -= 1
+                st = 0
+            elif i and v == get_f(i - 1, j) - gap_extend:
+                i -= 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent affine banded traceback F")
+            path.append((i, j))
+    path.reverse()
+    return path
+
+
 def banded_align_batch(
     qs: np.ndarray,
     ts: np.ndarray,
@@ -181,17 +323,23 @@ def banded_align_batch(
     bandwidth: int = 32,
     x_threshold: int = 70,
     compress_history: bool = False,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """Batched adaptive-banded X-drop alignment with traceback.
 
     Device forward pass (band history on device, one anti-diagonal per
     round), host walks paths from the history. Output per pair is
-    bit-identical to swtpu.oracle.banded_xdrop.
+    bit-identical to swtpu.oracle.banded_xdrop (linear gaps) /
+    swtpu.oracle.banded_affine.banded_affine_xdrop (gap_open != gap_extend).
     """
     import jax
 
     from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
 
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
+    affine = gap_open is not None
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu and bandwidth in (32, 64):
         from swtpu.kernels.pallas.banded_packed import (
@@ -214,13 +362,26 @@ def banded_align_batch(
         bandwidth,
         x_threshold,
         compress_history=compress_history,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
     )
     from swtpu import native
 
     B = qs.shape[0]
     lens_q = [qs.shape[1]] * B if lens_q is None else list(lens_q)
     lens_t = [ts.shape[1]] * B if lens_t is None else list(lens_t)
-    walker = native.banded_traceback if native.available() else banded_traceback
+    if affine:
+        walker = lambda q, t, *a: banded_affine_traceback(
+            q, t, *a[:5], match, mismatch, gap_open, gap_extend, bandwidth
+        )
+    elif native.available():
+        walker = lambda q, t, *a: native.banded_traceback(
+            q, t, *a, match, mismatch, gap, bandwidth
+        )
+    else:
+        walker = lambda q, t, *a: banded_traceback(
+            q, t, *a, match, mismatch, gap, bandwidth
+        )
     out = []
     for b in range(B):
         path = walker(
@@ -231,10 +392,6 @@ def banded_align_batch(
             int(res.n_rounds[b]),
             int(res.max_round[b]),
             int(res.score[b]) + x_threshold,
-            match,
-            mismatch,
-            gap,
-            bandwidth,
         )
         out.append((int(res.score[b]), path))
     return out

@@ -139,6 +139,27 @@ def bench_semiglobal(quick=False):
         print(f"{name}: {wall*1e3/B*1e4:.0f} ms / 10K")
         print("JSON:", json.dumps(rec))
         out.append(rec)
+
+    # affine (Gotoh) banded on the best available engine
+    fwd_name, fwd = engines[-1]
+    kw = dict(with_history=False, gap_open=3, gap_extend=1)
+    fwd(qs, ts, **kw)  # compile
+    t0 = time.perf_counter()
+    res = fwd(qs, ts, **kw)
+    wall = time.perf_counter() - t0
+    cells = int(res.n_rounds.sum()) * 32
+    rec = dict(
+        kernel=fwd_name.replace("banded", "banded_affine"),
+        batch=B,
+        seq_len=L,
+        wall_ms=round(wall * 1e3, 1),
+        band_gcups=round(cells / wall / 1e9, 3),
+        alignments_per_s=round(B / wall, 1),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(f"{rec['kernel']}: {wall*1e3/B*1e4:.0f} ms / 10K")
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
     return out
 
 

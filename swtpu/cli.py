@@ -119,39 +119,23 @@ def cmd_semiglobal(args):
 def cmd_banded(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     match, mismatch = (int(x) for x in args.scoring.split(","))
-    if args.gap_open is not None and args.gap_open != args.gap_extend:
-        # affine banded: device scores + per-pair oracle paths
-        from swtpu.oracle.banded_affine import banded_affine_xdrop
-        from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.batch import banded_align_batch
 
-        res = banded_xdrop_batch(
-            qs, ts, list(ql), list(tl), match=match,
-            mismatch=abs(mismatch), gap_open=args.gap_open,
-            gap_extend=args.gap_extend, bandwidth=args.bandwidth,
-            x_threshold=args.x_drop, with_history=False,
-        )
-        out = []
-        for b in range(qs.shape[0]):
-            sc, path = banded_affine_xdrop(
-                qs[b, : ql[b]], ts[b, : tl[b]], match, abs(mismatch),
-                args.gap_open, args.gap_extend, args.bandwidth, args.x_drop,
-            )
-            assert sc == int(res.score[b])
-            out.append((sc, path))
-    else:
-        from swtpu.batch import banded_align_batch
-
-        out = banded_align_batch(
-            qs,
-            ts,
-            list(ql),
-            list(tl),
-            match=match,
-            mismatch=abs(mismatch),
-            gap=args.gap,
-            bandwidth=args.bandwidth,
-            x_threshold=args.x_drop,
-        )
+    # linear and affine ride the same device forward pass; affine paths
+    # come from the host Gotoh walker over the device band history
+    out = banded_align_batch(
+        qs,
+        ts,
+        list(ql),
+        list(tl),
+        match=match,
+        mismatch=abs(mismatch),
+        gap=args.gap,
+        bandwidth=args.bandwidth,
+        x_threshold=args.x_drop,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend if args.gap_open is not None else None,
+    )
     for name, (score, path) in zip(names, out):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:

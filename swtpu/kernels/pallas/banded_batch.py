@@ -76,7 +76,10 @@ def _kernel(
     early_exit,
     hl,
     rf,
+    gap_open=None,
+    gap_extend=None,
 ):
+    affine = gap_open is not None
     if with_history:
         hist_ref, hist_buf, sem, cur_ref, band_ref, misc_ref, alive_ref = (
             rest
@@ -95,6 +98,13 @@ def _kernel(
     m32 = jnp.int32(match)
     mm32 = jnp.int32(-mismatch)
     g32 = jnp.int32(gap)
+    # Gotoh E/F constants (oracle/banded_affine.py): EF_DEAD marks a dead
+    # E/F lane; MINF is the "no contribution" floor inside a round
+    EF_DEAD = jnp.int32(-(2**28))
+    EF_CUT = jnp.int32(-(2**27))  # EF_DEAD // 2
+    MINF = jnp.int32(-(2**30))
+    go32 = jnp.int32(gap_open if affine else 0)
+    ge32 = jnp.int32(gap_extend if affine else 0)
 
     def shift_right_lane(a):  # out[k] = a[k-1], out[0] = 0
         return jnp.pad(a, ((0, 0), (1, 0)))[:, :-1]
@@ -142,10 +152,17 @@ def _kernel(
         done=jnp.zeros((PAIRS, 1), jnp.int32),  # bool as int32 (Mosaic
         # cannot truncate an i8-packed bool carry back to i1)
     )
+    ef_dead_full = jnp.full((PAIRS, LANE), EF_DEAD, jnp.int32)
+    if affine:
+        state0["e_band"] = ef_dead_full
+        state0["f_band"] = ef_dead_full
     if early_exit:
         band_ref[0] = result0
         band_ref[1] = zero
         band_ref[2] = zero
+        if affine:
+            band_ref[3] = ef_dead_full
+            band_ref[4] = ef_dead_full
         misc0 = jnp.where(iota == 1, W - 1, 0)  # now_x
         misc0 = jnp.where(iota == 2, X, misc0)  # max_score
         misc0 = jnp.where(iota == 4, 1, misc0)  # n_rounds
@@ -153,7 +170,7 @@ def _kernel(
         alive_ref[0] = 1
 
     def load_state():
-        return dict(
+        st = dict(
             result=band_ref[0],
             horizontal=band_ref[1],
             vertical=band_ref[2],
@@ -164,11 +181,18 @@ def _kernel(
             n_rounds=misc_ref[:, 4:5],
             done=misc_ref[:, 5:6],
         )
+        if affine:
+            st["e_band"] = band_ref[3]
+            st["f_band"] = band_ref[4]
+        return st
 
     def store_state(st):
         band_ref[0] = st["result"]
         band_ref[1] = st["horizontal"]
         band_ref[2] = st["vertical"]
+        if affine:
+            band_ref[3] = st["e_band"]
+            band_ref[4] = st["f_band"]
         misc = jnp.where(iota == 0, st["now_y"], 0)
         misc = jnp.where(iota == 1, st["now_x"], misc)
         misc = jnp.where(iota == 2, st["max_score"], misc)
@@ -220,9 +244,35 @@ def _kernel(
         sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
 
         dd = jnp.where(diagonal != 0, diagonal + sc, 0)
-        hh = jnp.where(horizontal != 0, horizontal - g32, 0)
-        vv = jnp.where(vertical != 0, vertical - g32, 0)
-        r_new = jnp.maximum(jnp.maximum(dd, hh), vv)
+        if affine:
+            # Gotoh E/F with dead-cell blocking (oracle/banded_affine.py).
+            # he/vf move with the band exactly like horizontal/vertical,
+            # but the value shifted in at the boundary is EF_DEAD, not 0
+            # (0 would read as a live E of weight -ge). Out-of-band lanes
+            # hold EF_DEAD by construction (masked store below), so the
+            # left shift needs no explicit boundary fix.
+            eb, fb = st["e_band"], st["f_band"]
+            he = jnp.where(
+                right,
+                eb,
+                jnp.where(iota == 0, EF_DEAD, shift_right_lane(eb)),
+            )
+            vf = jnp.where(right, shift_left_lane(fb), fb)
+            e_new = jnp.maximum(
+                jnp.where(he > EF_CUT, he - ge32, MINF),
+                jnp.where(horizontal != 0, horizontal - go32, MINF),
+            )
+            f_new = jnp.maximum(
+                jnp.where(vf > EF_CUT, vf - ge32, MINF),
+                jnp.where(vertical != 0, vertical - go32, MINF),
+            )
+            # the zero floor subsumes the oracle's MINF guard: a MINF
+            # E/F term can never win the max against 0
+            r_new = jnp.maximum(dd, jnp.maximum(e_new, f_new))
+        else:
+            hh = jnp.where(horizontal != 0, horizontal - g32, 0)
+            vv = jnp.where(vertical != 0, vertical - g32, 0)
+            r_new = jnp.maximum(jnp.maximum(dd, hh), vv)
         # explicit zero floor: with mismatch > 1 an all-alive band can be
         # all-negative, and the oracle's r_new starts from 0
         r_new = jnp.maximum(r_new, 0)
@@ -248,6 +298,13 @@ def _kernel(
                 jnp.int32
             ),
         )
+        if affine:
+            st_new["e_band"] = keep(
+                jnp.where(r_new == 0, EF_DEAD, e_new), eb
+            )
+            st_new["f_band"] = keep(
+                jnp.where(r_new == 0, EF_DEAD, f_new), fb
+            )
         if with_history:
             posy = jnp.where(active, now_y, 0)
             offs = max_score - X
@@ -326,12 +383,12 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
-        "with_history", "early_exit",
+        "with_history", "early_exit", "gap_open", "gap_extend",
     ),
 )
 def _banded_pallas_impl(
     meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
-    with_history, early_exit=False,
+    with_history, early_exit=False, gap_open=None, gap_extend=None,
 ):
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
     rf = min(RF, LANE - 1 - W)
@@ -348,6 +405,7 @@ def _banded_pallas_impl(
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
         with_history=with_history, early_exit=early_exit, hl=hl, rf=rf,
+        gap_open=gap_open, gap_extend=gap_extend,
     )
     small = pl.BlockSpec(
         (1, PAIRS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -368,8 +426,9 @@ def _banded_pallas_impl(
             pltpu.VMEM((rf, PAIRS, hl), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
+    n_band_state = 5 if gap_open is not None else 3  # + Gotoh E/F bands
     scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # cursor scratch
-    scratch.append(pltpu.VMEM((3, PAIRS, LANE), jnp.int32))  # band state
+    scratch.append(pltpu.VMEM((n_band_state, PAIRS, LANE), jnp.int32))
     scratch.append(pltpu.VMEM((PAIRS, LANE), jnp.int32))  # misc state
     scratch.append(pltpu.SMEM((1,), jnp.int32))  # alive flag
     outs = pl.pallas_call(
@@ -431,17 +490,26 @@ def banded_xdrop_batch_pallas(
     compress_history=False,
     with_history=True,
     early_exit=False,
+    gap_open=None,
+    gap_extend=None,
 ) -> BandedBatchResult:
     """Batched adaptive-banded X-drop forward pass (Pallas fast path).
 
     Same contract and result type as
     swtpu.kernels.xla.banded_scan.banded_xdrop_batch — per-alignment
-    outputs are bit-equal to the scalar banded oracle. Supports bandwidth
+    outputs are bit-equal to the scalar banded oracle (linear gaps) /
+    the affine banded oracle (gap_open != gap_extend; the history stays
+    H-only, E/F are host-reconstructible — see
+    swtpu.batch.traceback.reconstruct_affine_bands). Supports bandwidth
     up to 96 (the slab scheme needs W + rf + 1 <= 128 with rf >= ~30 for
     the refill amortization, and two spare lanes carry posy/offs).
     """
     W = int(bandwidth)
     X = int(x_threshold)
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
+    if gap_open is not None:
+        gap_open, gap_extend = int(gap_open), int(gap_extend)
     if W > 96 or W + 2 > LANE:
         raise ValueError(f"bandwidth {W} too wide for the slab scheme")
     qs = np.asarray(qs)
@@ -474,7 +542,7 @@ def banded_xdrop_batch_pallas(
         jnp.asarray(qp.reshape(Bp * (qlen // LANE), LANE)),
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
         W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
-        with_history, bool(early_exit),
+        with_history, bool(early_exit), gap_open, gap_extend,
     )
     score = np.asarray(score)[:B]
     mround = np.asarray(mround)[:B]

@@ -74,7 +74,10 @@ def _kernel(
     with_history,
     early_exit,
     rf,
+    gap_open=None,
+    gap_extend=None,
 ):
+    affine = gap_open is not None
     GROUPS = _groups(W)
     if with_history:
         hist_ref, hist_buf, sem, cur_ref, band_ref, alive_ref = rest
@@ -91,6 +94,12 @@ def _kernel(
     m32 = jnp.int32(match)
     mm32 = jnp.int32(-mismatch)
     g32 = jnp.int32(gap)
+    # Gotoh E/F constants (oracle/banded_affine.py)
+    EF_DEAD = jnp.int32(-(2**28))
+    EF_CUT = jnp.int32(-(2**27))  # EF_DEAD // 2
+    MINF = jnp.int32(-(2**30))
+    go32 = jnp.int32(gap_open if affine else 0)
+    ge32 = jnp.int32(gap_extend if affine else 0)
 
     at_g0 = gpos == 0
     at_gW = gpos == W - 1
@@ -100,6 +109,12 @@ def _kernel(
 
     def shift_left_g(a):  # band[k+1], 0 at group ends
         return jnp.where(at_gW, 0, pltpu.roll(a, LANE - 1, axis=1))
+
+    def shift_right_g_ef(a):  # E/F variant: boundary fill is EF_DEAD
+        return jnp.where(at_g0, EF_DEAD, pltpu.roll(a, 1, axis=1))
+
+    def shift_left_g_ef(a):
+        return jnp.where(at_gW, EF_DEAD, pltpu.roll(a, LANE - 1, axis=1))
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
@@ -162,6 +177,11 @@ def _kernel(
         "result", "horizontal", "vertical", "now_y", "now_x",
         "max_score", "max_round", "n_rounds", "done",
     )
+    if affine:
+        ef_dead_full = jnp.full((SROWS, LANE), EF_DEAD, jnp.int32)
+        state0["e_band"] = ef_dead_full
+        state0["f_band"] = ef_dead_full
+        _FIELDS = _FIELDS + ("e_band", "f_band")
 
     def load_state():
         return {f: band_ref[k] for k, f in enumerate(_FIELDS)}
@@ -214,9 +234,27 @@ def _kernel(
         sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
 
         dd = jnp.where(diagonal != 0, diagonal + sc, 0)
-        hh = jnp.where(horizontal != 0, horizontal - g32, 0)
-        vv = jnp.where(vertical != 0, vertical - g32, 0)
-        r_new = jnp.maximum(jnp.maximum(dd, hh), vv)
+        if affine:
+            # Gotoh E/F with dead-cell blocking; boundary fill on the
+            # group-local shifts is EF_DEAD (0 would read as a live E of
+            # weight -ge). See banded_batch.py for the derivation.
+            eb, fb = st["e_band"], st["f_band"]
+            he = jnp.where(right, eb, shift_right_g_ef(eb))
+            vf = jnp.where(right, shift_left_g_ef(fb), fb)
+            e_new = jnp.maximum(
+                jnp.where(he > EF_CUT, he - ge32, MINF),
+                jnp.where(horizontal != 0, horizontal - go32, MINF),
+            )
+            f_new = jnp.maximum(
+                jnp.where(vf > EF_CUT, vf - ge32, MINF),
+                jnp.where(vertical != 0, vertical - go32, MINF),
+            )
+            # the zero floor below subsumes the oracle's MINF guard
+            r_new = jnp.maximum(dd, jnp.maximum(e_new, f_new))
+        else:
+            hh = jnp.where(horizontal != 0, horizontal - g32, 0)
+            vv = jnp.where(vertical != 0, vertical - g32, 0)
+            r_new = jnp.maximum(jnp.maximum(dd, hh), vv)
         r_new = jnp.maximum(r_new, 0)
 
         # group max in every lane: log2(W)-step XOR butterfly
@@ -244,6 +282,13 @@ def _kernel(
             n_rounds=jnp.where(active, r + 1, st["n_rounds"]),
             done=(done_pre | (active & (round_max == 0))).astype(jnp.int32),
         )
+        if affine:
+            st_new["e_band"] = keep(
+                jnp.where(r_new == 0, EF_DEAD, e_new), eb
+            )
+            st_new["f_band"] = keep(
+                jnp.where(r_new == 0, EF_DEAD, f_new), fb
+            )
         if with_history:
             posy = jnp.where(active, now_y, 0)
             offs = max_score - X
@@ -309,12 +354,12 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
-        "with_history", "early_exit",
+        "with_history", "early_exit", "gap_open", "gap_extend",
     ),
 )
 def _banded_packed_impl(
     meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
-    with_history, early_exit=False,
+    with_history, early_exit=False, gap_open=None, gap_extend=None,
 ):
     PAIRS = _pairs(W)
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
@@ -327,6 +372,7 @@ def _banded_packed_impl(
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
         with_history=with_history, early_exit=early_exit, rf=rf,
+        gap_open=gap_open, gap_extend=gap_extend,
     )
     small = pl.BlockSpec(
         (1, SROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -348,7 +394,8 @@ def _banded_packed_impl(
             pltpu.SemaphoreType.DMA,
         ]
     scratch.append(pltpu.VMEM((SROWS, LANE), jnp.int32))  # cursor scratch
-    scratch.append(pltpu.VMEM((9, SROWS, LANE), jnp.int32))  # ee state
+    n_state = 11 if gap_open is not None else 9  # + Gotoh E/F bands
+    scratch.append(pltpu.VMEM((n_state, SROWS, LANE), jnp.int32))  # ee state
     scratch.append(pltpu.SMEM((1,), jnp.int32))  # alive flag
     outs = pl.pallas_call(
         kern,
@@ -425,12 +472,15 @@ def banded_xdrop_batch_packed(
     compress_history=False,
     with_history=True,
     early_exit=False,
+    gap_open=None,
+    gap_extend=None,
 ) -> BandedBatchResult:
     """Lane-packed banded X-drop forward pass (bandwidth 32/64).
 
-    Same contract as banded_xdrop_batch / banded_xdrop_batch_pallas;
-    128/bandwidth pairs share each sublane row (512 alignments per grid
-    step at the default bandwidth 32).
+    Same contract as banded_xdrop_batch / banded_xdrop_batch_pallas,
+    including affine (Gotoh) gaps via gap_open/gap_extend (history stays
+    H-only; E/F are host-reconstructible); 128/bandwidth pairs share each
+    sublane row (512 alignments per grid step at the default bandwidth 32).
     """
     W = int(bandwidth)
     if W not in (32, 64):
@@ -438,6 +488,10 @@ def banded_xdrop_batch_packed(
         # explodes; narrow bands route to the sublane kernel instead
         raise ValueError("packed kernel supports bandwidth 32/64")
     X = int(x_threshold)
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
+    if gap_open is not None:
+        gap_open, gap_extend = int(gap_open), int(gap_extend)
     qs = np.asarray(qs)
     ts = np.asarray(ts)
     B, n = qs.shape
@@ -470,7 +524,7 @@ def banded_xdrop_batch_packed(
         jnp.asarray(qp.reshape(Bp * (qlen // LANE), LANE)),
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
         W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
-        with_history, bool(early_exit),
+        with_history, bool(early_exit), gap_open, gap_extend,
     )
     score = np.asarray(score)[:B]
     mround = np.asarray(mround)[:B]

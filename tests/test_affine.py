@@ -99,3 +99,102 @@ def test_banded_affine_path_rescoring(rng):
             s -= 3 if run != kind else 1
             run = kind
     assert s == sc
+
+
+def _mutated_batch(rng, B, n):
+    from swtpu.core import mutate
+
+    qs = np.stack([random_dna(rng, (n,)) for _ in range(B)])
+    ts = np.stack([mutate(rng, qs[b], out_len=n) for b in range(B)])
+    return qs, ts
+
+
+def test_banded_affine_ef_reconstruction(rng):
+    """E/F bands rebuilt from the device H history == the oracle's."""
+    from swtpu.batch.traceback import reconstruct_affine_bands
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    B = 3
+    qs, ts = _mutated_batch(rng, B, 160)
+    res = banded_xdrop_batch(qs, ts, gap_open=3, gap_extend=1)
+    for b in range(B):
+        o = banded_affine_xdrop(
+            qs[b], ts[b], gap_open=3, gap_extend=1, return_state=True
+        )
+        e_hist, f_hist = reconstruct_affine_bands(
+            res.history_for(b), res.pos_y[:, b], o.n_rounds, 3, 1
+        )
+        np.testing.assert_array_equal(e_hist, o.e_hist)
+        np.testing.assert_array_equal(f_hist, o.f_hist)
+
+
+def test_banded_affine_align_batch_paths(rng):
+    """End-to-end device forward + host Gotoh walk == oracle (score, path)."""
+    from swtpu.batch.traceback import banded_align_batch
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    B = 4
+    qs, ts = _mutated_batch(rng, B, 192)
+    out = banded_align_batch(qs, ts, gap_open=3, gap_extend=1)
+    for b in range(B):
+        sc, path = banded_affine_xdrop(qs[b], ts[b], gap_open=3, gap_extend=1)
+        assert out[b] == (sc, path)
+
+
+def test_banded_affine_pallas_sublane(rng):
+    """Pallas sublane kernel, affine mode: score/rounds/history parity."""
+    from swtpu.kernels.pallas.banded_batch import banded_xdrop_batch_pallas
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    B = 3
+    qs, ts = _mutated_batch(rng, B, 160)
+    with pltpu.force_tpu_interpret_mode():
+        res = banded_xdrop_batch_pallas(qs, ts, gap_open=3, gap_extend=1)
+    for b in range(B):
+        o = banded_affine_xdrop(
+            qs[b], ts[b], gap_open=3, gap_extend=1, return_state=True
+        )
+        assert int(res.score[b]) == o.score
+        assert int(res.n_rounds[b]) == o.n_rounds
+        assert int(res.max_round[b]) == o.max_round
+        np.testing.assert_array_equal(
+            res.history_for(b)[: o.n_rounds], o.h_hist
+        )
+        np.testing.assert_array_equal(res.pos_y[: o.n_rounds, b], o.pos_y)
+
+
+def test_banded_affine_pallas_packed(rng):
+    """Lane-packed kernel, affine mode: score/rounds/history parity."""
+    from swtpu.kernels.pallas.banded_packed import banded_xdrop_batch_packed
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    B = 3
+    qs, ts = _mutated_batch(rng, B, 160)
+    with pltpu.force_tpu_interpret_mode():
+        res = banded_xdrop_batch_packed(qs, ts, gap_open=3, gap_extend=1)
+    for b in range(B):
+        o = banded_affine_xdrop(
+            qs[b], ts[b], gap_open=3, gap_extend=1, return_state=True
+        )
+        assert int(res.score[b]) == o.score
+        assert int(res.n_rounds[b]) == o.n_rounds
+        np.testing.assert_array_equal(
+            res.history_for(b)[: o.n_rounds], o.h_hist
+        )
+
+
+def test_banded_affine_pallas_equal_gaps_degenerate(rng):
+    """gap_open == gap_extend routes to the linear kernel, bit-equal."""
+    from swtpu.kernels.pallas.banded_batch import banded_xdrop_batch_pallas
+    from swtpu.oracle import banded_xdrop
+
+    B = 2
+    qs, ts = _mutated_batch(rng, B, 160)
+    with pltpu.force_tpu_interpret_mode():
+        res = banded_xdrop_batch_pallas(
+            qs, ts, gap_open=1, gap_extend=1, with_history=False
+        )
+    for b in range(B):
+        sc, _ = banded_xdrop(qs[b], ts[b])
+        assert int(res.score[b]) == sc

@@ -75,6 +75,14 @@ def test_cli_banded_and_semiglobal():
     assert all(r["start"] == [0, 0] for r in recs)
 
 
+def test_cli_banded_affine():
+    recs = _run(
+        ["banded", "--random", "2x200x200", "--gap-open", "3",
+         "--gap-extend", "1", "--traceback"]
+    )
+    assert all("score" in r and "path" in r for r in recs)
+
+
 def test_cli_search(fastas):
     q, t = fastas
     recs = _run(
