@@ -254,6 +254,20 @@ def cmd_selftest(args):
             )
         )
 
+        ref = banded_xdrop_batch(
+            bq, bt, gap_open=3, gap_extend=1, with_history=False
+        )
+        dev = banded_xdrop_batch_pallas(
+            bq, bt, gap_open=3, gap_extend=1, with_history=False
+        )
+        checks.append(
+            (
+                "banded_affine_pallas_vs_xla",
+                np.array_equal(ref.score, dev.score)
+                and np.array_equal(ref.n_rounds, dev.n_rounds),
+            )
+        )
+
     ok_all = True
     for name, ok in checks:
         ok = bool(ok)
