@@ -371,7 +371,12 @@ def banded_align_batch(
     lens_q = [qs.shape[1]] * B if lens_q is None else list(lens_q)
     lens_t = [ts.shape[1]] * B if lens_t is None else list(lens_t)
     if affine:
-        walker = lambda q, t, *a: banded_affine_traceback(
+        aff_walker = (
+            native.banded_affine_traceback
+            if native.available()
+            else banded_affine_traceback
+        )
+        walker = lambda q, t, *a: aff_walker(
             q, t, *a[:5], match, mismatch, gap_open, gap_extend, bandwidth
         )
     elif native.available():

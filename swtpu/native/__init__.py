@@ -70,6 +70,11 @@ def _get_lib():
             i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32, i32, i32,
             i32, i32p,
         ]
+        lib.banded_affine_traceback.restype = i64
+        lib.banded_affine_traceback.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32, i32, i32,
+            i32, i32, i32p,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc.
         _load_error = str(e)
@@ -175,5 +180,38 @@ def banded_traceback(
     )
     if ln < 0:
         raise AssertionError("inconsistent native banded traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return [tuple(map(int, p)) for p in pairs]
+
+
+def banded_affine_traceback(
+    q: np.ndarray,
+    t: np.ndarray,
+    band_history: np.ndarray,
+    pos_y: np.ndarray,
+    n_rounds: int,
+    max_round: int,
+    max_score_off: int,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+    bandwidth: int = 32,
+) -> List[Tuple[int, int]]:
+    """Gotoh walk over a device band history (E/F reconstructed in C++)."""
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    hist, hp = _i32(band_history[:n_rounds])
+    py, pyp = _i32(pos_y[:n_rounds])
+    path = np.empty(2 * (len(q) + len(t) + 2 * bandwidth + 4), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    ln = lib.banded_affine_traceback(
+        qp, len(q), tp, len(t), hp, pyp, int(n_rounds), int(max_round),
+        int(max_score_off), int(match), int(mismatch), int(gap_open),
+        int(gap_extend), int(bandwidth), pp,
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native affine banded traceback")
     pairs = path[: 2 * ln].reshape(-1, 2)
     return [tuple(map(int, p)) for p in pairs]

@@ -219,4 +219,137 @@ int64_t banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
   return len;
 }
 
+// ------------------------------------------ affine banded traceback ------
+
+// Gotoh three-state walk over a device band history (affine gaps).
+// The E/F bands are reconstructed from the H history alone: the E/F
+// recurrences (swtpu/oracle/banded_affine.py) never touch the
+// substitution score, and the per-round direction is recoverable from
+// pos_y (a round moved down iff pos_y advanced). Walk preference in the
+// H state: diag -> F (up) -> E (left), matching the linear family's
+// diag -> up -> left order.
+int64_t banded_affine_traceback(const uint8_t* q, int64_t n,
+                                const uint8_t* t, int64_t m,
+                                const int32_t* hist, const int32_t* pos_y,
+                                int64_t n_rounds, int64_t max_round,
+                                int32_t max_score_off, int32_t match,
+                                int32_t mismatch, int32_t gap_open,
+                                int32_t gap_extend, int32_t W,
+                                int32_t* path_out) {
+  const int32_t MINF = -(1 << 30);
+  const int32_t EF_DEAD = -(1 << 28);
+  const int32_t EF_CUT = EF_DEAD / 2;
+  std::vector<int32_t> e_hist(n_rounds * W, EF_DEAD);
+  std::vector<int32_t> f_hist(n_rounds * W, EF_DEAD);
+  std::vector<int32_t> e_band(W, EF_DEAD), f_band(W, EF_DEAD);
+  std::vector<int32_t> he(W), vf(W), horiz(W), vert(W);
+  for (int64_t r = 1; r < n_rounds; ++r) {
+    const int32_t* res_prev = hist + (r - 1) * W;
+    const int32_t* res_now = hist + r * W;
+    const bool right = pos_y[r] == pos_y[r - 1];
+    for (int64_t k = 0; k < W; ++k) {
+      if (right) {
+        horiz[k] = res_prev[k];
+        he[k] = e_band[k];
+        vf[k] = (k + 1 < W) ? f_band[k + 1] : EF_DEAD;
+        vert[k] = (k + 1 < W) ? res_prev[k + 1] : 0;
+      } else {
+        vert[k] = res_prev[k];
+        vf[k] = f_band[k];
+        he[k] = k ? e_band[k - 1] : EF_DEAD;
+        horiz[k] = k ? res_prev[k - 1] : 0;
+      }
+    }
+    for (int64_t k = 0; k < W; ++k) {
+      const int32_t e =
+          std::max(he[k] > EF_CUT ? he[k] - gap_extend : MINF,
+                   horiz[k] != 0 ? horiz[k] - gap_open : MINF);
+      const int32_t f =
+          std::max(vf[k] > EF_CUT ? vf[k] - gap_extend : MINF,
+                   vert[k] != 0 ? vert[k] - gap_open : MINF);
+      e_band[k] = res_now[k] == 0 ? EF_DEAD : e;
+      f_band[k] = res_now[k] == 0 ? EF_DEAD : f;
+      e_hist[r * W + k] = e_band[k];
+      f_hist[r * W + k] = f_band[k];
+    }
+  }
+  auto get = [&](const int32_t* arr, int64_t y, int64_t x,
+                 bool dead_zero) -> int32_t {
+    if (y < 0 || y > n || x < 0 || x > m) return MINF;
+    const int64_t r = y + x;
+    if (r >= n_rounds) return MINF;
+    const int64_t k = (W - 1) - (y - pos_y[r]);
+    if (k < 0 || k >= W) return MINF;
+    const int32_t v = arr[r * W + k];
+    return (dead_zero && v == 0) ? MINF : v;
+  };
+  auto get_h = [&](int64_t y, int64_t x) { return get(hist, y, x, true); };
+  auto get_e = [&](int64_t y, int64_t x) {
+    return get(e_hist.data(), y, x, false);
+  };
+  auto get_f = [&](int64_t y, int64_t x) {
+    return get(f_hist.data(), y, x, false);
+  };
+  int64_t my = pos_y[max_round];
+  int64_t mx = max_round - my;
+  while (get_h(my, mx) != max_score_off) {
+    ++my;
+    --mx;
+    if (my > n + (int64_t)W) return -1;
+  }
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)my;
+  path_out[2 * len + 1] = (int32_t)mx;
+  ++len;
+  int64_t i = my, j = mx;
+  int st = 0;  // 0 = H, 1 = E (left), 2 = F (up)
+  while (i || j) {
+    if (st == 0) {
+      const int32_t v = get_h(i, j);
+      const int32_t s =
+          (i && j && q[i - 1] == t[j - 1]) ? match : -mismatch;
+      if (i && j && v == get_h(i - 1, j - 1) + s) {
+        --i;
+        --j;
+      } else if (v == get_f(i, j)) {
+        st = 2;
+        continue;
+      } else if (v == get_e(i, j)) {
+        st = 1;
+        continue;
+      } else {
+        return -1;
+      }
+    } else if (st == 1) {
+      const int32_t v = get_e(i, j);
+      if (j && v == get_h(i, j - 1) - gap_open) {
+        --j;
+        st = 0;
+      } else if (j && v == get_e(i, j - 1) - gap_extend) {
+        --j;
+      } else {
+        return -1;
+      }
+    } else {
+      const int32_t v = get_f(i, j);
+      if (i && v == get_h(i - 1, j) - gap_open) {
+        --i;
+        st = 0;
+      } else if (i && v == get_f(i - 1, j) - gap_extend) {
+        --i;
+      } else {
+        return -1;
+      }
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
 }  // extern "C"

@@ -54,3 +54,28 @@ def test_native_banded_walker(rng):
             res.score + 70,
         )
         assert path == res.path
+
+
+def test_native_banded_affine_walker(rng):
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    for _ in range(3):
+        q = random_dna(rng, (250,))
+        t = mutate(rng, q, out_len=250)
+        res = banded_affine_xdrop(
+            q, t, gap_open=3, gap_extend=1, return_state=True
+        )
+        path = native.banded_affine_traceback(
+            q,
+            t,
+            np.asarray(res.h_hist, np.int32),
+            np.asarray(res.pos_y, np.int32),
+            res.n_rounds,
+            res.max_round,
+            res.score + 70,
+            1,
+            1,
+            3,
+            1,
+        )
+        assert path == res.path
