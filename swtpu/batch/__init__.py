@@ -4,3 +4,4 @@ from swtpu.batch.traceback import (  # noqa: F401
     banded_align_batch,
 )
 from swtpu.batch.bucketing import sw_scores_bucketed, bucket_edges  # noqa: F401
+from swtpu.batch.promote import sw_scores_promoted  # noqa: F401

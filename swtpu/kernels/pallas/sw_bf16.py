@@ -187,20 +187,36 @@ def bf16_tier_supported(params: ScoringParams, n: int) -> bool:
     return n * (match // g) <= MAX_EXACT
 
 
-def sw_batch_bf16_pallas(qs, ts, params: ScoringParams):
+def sw_batch_bf16_pallas(qs, ts, params: ScoringParams, allow_overflow=False):
     """Batched local-alignment scores via the bf16 reduced-precision tier.
 
     Same contract as sw_batch_pallas (uniform match/mismatch, mismatch <
     0 < gap) plus the range bound n * match/gcd <= 256. Returns [B] int32
     scores == swtpu.oracle.sw_score per pair.
+
+    allow_overflow=True skips the static worst-case range check (the
+    promotion driver's mode, swtpu.batch.sw_scores_promoted): a returned
+    score below (MAX_EXACT - 1) * gcd is still guaranteed exact — in
+    zero-floored SW every DP cell is bounded by the final score, bf16
+    arithmetic below MAX_EXACT is exact, and rounding drift only ever
+    accrues to cells whose true value crossed MAX_EXACT — so scores >=
+    that threshold (and only those) must be recomputed at int32.
     """
     B, n = qs.shape
     m = ts.shape[1]
     if not bf16_tier_supported(params, n + (-n) % ROWS):
-        raise NotImplementedError(
-            "bf16 tier needs uniform scoring with n*match/gcd <= 256; "
-            "route to sw_batch_pallas"
+        mm = _uniform_match_mismatch(params)
+        ok_shape = (
+            params.is_linear
+            and params.gap > 0
+            and mm is not None
+            and mm[1] < 0
         )
+        if not (allow_overflow and ok_shape):
+            raise NotImplementedError(
+                "bf16 tier needs uniform scoring with n*match/gcd <= 256; "
+                "route to sw_batch_pallas"
+            )
     match, mismatch = _uniform_match_mismatch(params)
     g = math.gcd(math.gcd(abs(match), abs(mismatch)), abs(int(params.gap)))
     qs = jnp.asarray(qs)

@@ -49,3 +49,34 @@ def test_device_codec(rng):
     p = pack_2bit(s)
     assert np.array_equal(np.asarray(unpack_2bit_device(p)), s)
     assert np.array_equal(np.asarray(pack_2bit_device(s)), p)
+
+
+def test_overflow_promotion(rng):
+    """bf16 tier + int32 re-run of overflow pairs == oracle everywhere.
+
+    match=7 pushes homologous 64-mers far past the bf16 exact bound
+    (identical pair scores 448 > 255) while random pairs stay low — the
+    promotion split must be exact in both directions (BASELINE config 4's
+    overflow-promotion mechanism).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.batch import sw_scores_promoted
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle import sw_score_batch
+
+    params = ScoringParams.linear(dna_matrix(7, -1), gap=1)
+    B, n = 24, 64
+    qs = random_dna(rng, (B, n))
+    ts = np.empty_like(qs)
+    ts[: B // 2] = np.stack(
+        [mutate(rng, qs[b], out_len=n) for b in range(B // 2)]
+    )  # homologous: scores cross the bound
+    ts[B // 2 :] = random_dna(rng, (B - B // 2, n))  # random: stay low
+    with pltpu.force_tpu_interpret_mode():
+        scores, promoted = sw_scores_promoted(qs, ts, params)
+    want = sw_score_batch(qs, ts, params)
+    assert np.array_equal(scores, want)
+    assert promoted.any() and not promoted.all()
+    # every non-promoted score was provably exact in bf16
+    assert (scores[~promoted] < 255).all()
