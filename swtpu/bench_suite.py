@@ -210,25 +210,35 @@ def bench_protein(quick=False):
     from swtpu.ops.variants import best_engine
     from swtpu.utils import time_kernel
 
-    params = ScoringParams.linear(BLOSUM62, 11)
     n = m = 128
     batch = 1024 if quick else 8192
     rng = np.random.default_rng(10000)
     qs = rng.integers(0, 24, size=(batch, n)).astype(np.uint8)
     ts = rng.integers(0, 24, size=(batch, m)).astype(np.uint8)
     dq, dt = jax.device_put(qs), jax.device_put(ts)
-    fn = best_engine(params)
-    per = time_kernel(fn, (dq, dt), k=4)
-    rec = dict(
-        kernel="protein_blosum62_best",
-        batch=batch,
-        gcups=round(batch * n * m / per / 1e9, 2),
-        ms_per_1m=round(per / batch * 1e6 * 1e3),
-        device=str(jax.devices()[0].device_kind),
-    )
-    print(f"protein_blosum62: {rec['ms_per_1m']} ms / 1M")
-    print("JSON:", json.dumps(rec))
-    return [rec]
+    cases = [
+        ("protein_blosum62_best", ScoringParams.linear(BLOSUM62, 11)),
+        # BLAST-default affine protein scoring
+        (
+            "protein_blosum62_affine_best",
+            ScoringParams(BLOSUM62, gap_open=11, gap_extend=1),
+        ),
+    ]
+    out = []
+    for name, params in cases:
+        fn = best_engine(params)
+        per = time_kernel(fn, (dq, dt), k=4)
+        rec = dict(
+            kernel=name,
+            batch=batch,
+            gcups=round(batch * n * m / per / 1e9, 2),
+            ms_per_1m=round(per / batch * 1e6 * 1e3),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"{name}: {rec['ms_per_1m']} ms / 1M")
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+    return out
 
 
 def bench_semiglobal_full(quick=False):

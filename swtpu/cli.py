@@ -242,6 +242,15 @@ def cmd_selftest(args):
             )
         )
 
+        paff = ScoringParams(BLOSUM62, gap_open=11, gap_extend=1)
+        dev = np.asarray(sw_batch_profile_pallas(pq, pt, paff))
+        checks.append(
+            (
+                "affine_profile_blosum62_vs_oracle",
+                np.array_equal(dev, sw_affine_score_batch(pq, pt, paff)),
+            )
+        )
+
         bq = random_dna(rng, (8, 256))
         bt = np.stack([mutate(rng, bq[b]) for b in range(8)])
         ref = banded_xdrop_batch(bq, bt, with_history=False)

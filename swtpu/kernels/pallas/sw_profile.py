@@ -78,7 +78,18 @@ def _packed_table(params: ScoringParams) -> np.ndarray:
     return packed.view(np.int32)
 
 
-def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
+NEG_EF = -(2**29)  # E/F "minus infinity" for the affine chain
+
+
+def _kernel(
+    prof_ref, t_ref, out_ref, yoko_ref, *rest, rg, m, planes, gap,
+    go=None, ge=None,
+):
+    affine = go is not None
+    if affine:
+        (yf_ref,) = rest
+        go32, ge32 = jnp.int32(go), jnp.int32(ge)
+        negs = jnp.full((SUB, LANE), NEG_EF, jnp.int32)
     zero = jnp.zeros((SUB, LANE), jnp.int32)
     zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
     gap32 = jnp.int32(gap)
@@ -92,6 +103,8 @@ def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
     @pl.when(g_id == 0)
     def _():
         yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
+        if affine:
+            yf_ref[:] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
 
     n_chunks = m // CHUNK
     n_rowgrps = rg // ROWS
@@ -112,7 +125,19 @@ def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
         v = jax.lax.shift_right_logical(vals[0], sh)
         return ((v & 0xFF) ^ 0x80) - 0x80
 
-    def row_body(ig, best_c):
+    def serial_chain_affine(pre, h_left, e_left):
+        # Gotoh E joins H in the serial chain (see sw_affine.py):
+        #   e_k = max(e_{k-1} - ext, h_{k-1} - open); h_k = max(pre_k, e_k)
+        hs = []
+        h, e = h_left, e_left
+        for k in range(CHUNK):
+            e = jnp.maximum(e - ge32, h - go32)
+            h = jnp.maximum(_at(pre, k), e)
+            hs.append(h)
+        return jnp.stack(hs), h, e
+
+    def row_body(ig, carry):
+        best_c = carry[0] if affine else carry
         ia = ig * ROWS
         prow = [
             [prof_ref[ia + r, g][None] for g in range(planes)]
@@ -120,11 +145,17 @@ def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
         ]
 
         def chunk_body(jc, carry):
-            hl, din, best_c = carry
-            hl, din = list(hl), list(din)
+            if affine:
+                hl, el, din, best_c = carry
+                hl, el, din = list(hl), list(el), list(din)
+            else:
+                hl, din, best_c = carry
+                hl, din = list(hl), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]  # [CHUNK, SUB, LANE]
             prev = yoko_ref[pl.ds(j0, CHUNK)]
+            if affine:
+                prev_f = yf_ref[pl.ds(j0, CHUNK)]
 
             # hoisted once per chunk, shared by all ROWS rows
             sh = (t & 3) << 3
@@ -136,34 +167,56 @@ def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
             for r in range(ROWS):
                 diag = _shift_down(prev, din[r])
                 s = lookup(prow[r], bits, sh)
-                pre = jnp.maximum(diag + s, 0)
-                h = hl[r]
-                hs = []
-                for k in range(CHUNK):
-                    h = jnp.maximum(
-                        _at(pre, k),
-                        jnp.maximum(_at(prev, k), h) - gap32,
+                if affine:
+                    f = jnp.maximum(prev_f - ge32, prev - go32)
+                    pre = jnp.maximum(jnp.maximum(diag + s, f), 0)
+                    new, hl[r], el[r] = serial_chain_affine(
+                        pre, hl[r], el[r]
                     )
-                    hs.append(h)
-                hl[r] = h
+                    din[r] = _last(prev)
+                    prev, prev_f = new, f
+                else:
+                    pre = jnp.maximum(diag + s, 0)
+                    h = hl[r]
+                    hs = []
+                    for k in range(CHUNK):
+                        h = jnp.maximum(
+                            _at(pre, k),
+                            jnp.maximum(_at(prev, k), h) - gap32,
+                        )
+                        hs.append(h)
+                    hl[r] = h
+                    din[r] = _last(prev)
+                    prev = jnp.stack(hs)
                 pres.append(pre)
-                din[r] = _last(prev)
-                prev = jnp.stack(hs)
 
             yoko_ref[pl.ds(j0, CHUNK)] = prev
+            if affine:
+                yf_ref[pl.ds(j0, CHUNK)] = prev_f
             acc = pres[0]
             for r in range(1, ROWS):
                 acc = jnp.maximum(acc, pres[r])
             best_c = jnp.maximum(best_c, acc)
+            if affine:
+                return (tuple(hl), tuple(el), tuple(din), best_c)
             return (tuple(hl), tuple(din), best_c)
 
         zeros = tuple(zero for _ in range(ROWS))
+        if affine:
+            negss = tuple(negs for _ in range(ROWS))
+            out = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (zeros, negss, zeros, best_c)
+            )
+            return (out[-1],)
         _, _, best_c = jax.lax.fori_loop(
             0, n_chunks, chunk_body, (zeros, zeros, best_c)
         )
         return best_c
 
-    best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
+    if affine:
+        (best_c,) = jax.lax.fori_loop(0, n_rowgrps, row_body, (zero_c,))
+    else:
+        best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
     best = best_c.max(axis=0)
 
     @pl.when(g_id == 0)
@@ -180,13 +233,20 @@ def _kernel(prof_ref, t_ref, out_ref, yoko_ref, *, rg, m, planes, gap):
 ROW_GROUP = 64
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "planes", "gap"))
-def _sw_profile_impl(profT, tsT, n, m, planes, gap):
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "planes", "gap", "go", "ge")
+)
+def _sw_profile_impl(profT, tsT, n, m, planes, gap, go=None, ge=None):
     T = tsT.shape[0] // m
     rg = min(n, ROW_GROUP)
     G = n // rg
+    scratch = [pltpu.VMEM((m, SUB, LANE), jnp.int32)]
+    if go is not None:
+        scratch.append(pltpu.VMEM((m, SUB, LANE), jnp.int32))  # F boundary
     return pl.pallas_call(
-        functools.partial(_kernel, rg=rg, m=m, planes=planes, gap=gap),
+        functools.partial(
+            _kernel, rg=rg, m=m, planes=planes, gap=gap, go=go, ge=ge
+        ),
         out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
         grid=(T, G),
         in_specs=[
@@ -204,7 +264,7 @@ def _sw_profile_impl(profT, tsT, n, m, planes, gap):
         out_specs=pl.BlockSpec(
             (1, SUB, LANE), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((m, SUB, LANE), jnp.int32)],
+        scratch_shapes=scratch,
     )(profT, tsT)
 
 
@@ -237,29 +297,39 @@ def _prepare_profile(qs, ts, packed_tab, n, m, planes):
 
 
 def sw_batch_profile_pallas(qs, ts, params: ScoringParams):
-    """Batched local-alignment scores for general substitution matrices.
+    """Batched local-alignment scores for general substitution matrices,
+    linear or affine (Gotoh) gaps — the production protein configuration
+    (BLOSUM62 + open/extend) runs here.
 
     qs: [B, n] uint8 codes 0..A-1 (pad A), ts: [B, m] uint8 (pad A+1),
     where A = params.alphabet_size (4 for DNA, 24 for protein). Internally
     B pads to a multiple of 1024, n to a multiple of 8 (64 when n > 64:
     long queries stream through a row-group grid so the resident profile
     stays small), m to a multiple of 16. Returns [B] int32 scores ==
-    swtpu.oracle.sw_score per pair.
+    swtpu.oracle.sw_score (linear) / sw_affine_score (affine) per pair.
     """
-    if not params.is_linear:
-        raise NotImplementedError("affine tier: use sw_affine_pallas")
-    if params.gap <= 0:
+    affine = not params.is_linear
+    gap = int(params.gap_extend if affine else params.gap)
+    if gap <= 0:
         raise NotImplementedError("pad-decay layout needs gap > 0")
     A = params.alphabet_size
     B, n = qs.shape
     m = ts.shape[1]
     if m > 2048 >= n:
-        # symmetric under transposition with the transposed matrix; keeps
-        # the VMEM-resident target/boundary buffers on the shorter side.
-        # The packed table covers both pad codes, so swapped pads (A+1 on
-        # the query side, A on the target side) still score PAD_SCORE.
+        # symmetric under transposition with the transposed matrix (affine
+        # included: transposing swaps the E/F roles but not the score);
+        # keeps the VMEM-resident target/boundary buffers on the shorter
+        # side. The packed table covers both pad codes, so swapped pads
+        # (A+1 on the query side, A on the target side) still score
+        # PAD_SCORE.
         return sw_batch_profile_pallas(
-            ts, qs, ScoringParams.linear(params.matrix.T, params.gap)
+            ts,
+            qs,
+            ScoringParams(
+                params.matrix.T,
+                gap_open=params.gap_open,
+                gap_extend=params.gap_extend,
+            ),
         )
     packed_tab = _packed_table(params)
     planes = packed_tab.shape[1]
@@ -285,5 +355,14 @@ def sw_batch_profile_pallas(qs, ts, params: ScoringParams):
     profT, tsT = _prepare_profile(
         qs, ts, jnp.asarray(packed_tab), n, m, planes
     )
-    out = _sw_profile_impl(profT, tsT, n, m, planes, int(params.gap))
+    out = _sw_profile_impl(
+        profT,
+        tsT,
+        n,
+        m,
+        planes,
+        gap,
+        go=int(params.gap_open) if affine else None,
+        ge=int(params.gap_extend) if affine else None,
+    )
     return out.reshape(Bp)[:B]

@@ -130,6 +130,18 @@ def best_engine(params: ScoringParams) -> Callable:
             from swtpu.kernels.pallas.sw_affine import sw_affine_pallas
 
             return lambda q, t: sw_affine_pallas(q, t, params)
+        if (
+            params.gap_extend > 0
+            and params.matrix.min() >= -127
+            and params.matrix.max() <= 127
+        ):
+            # general matrix + Gotoh: the packed-profile kernel's affine
+            # mode (BLOSUM62 + open/extend, the production protein config)
+            from swtpu.kernels.pallas.sw_profile import (
+                sw_batch_profile_pallas,
+            )
+
+            return lambda q, t: sw_batch_profile_pallas(q, t, params)
     if params.is_linear:
         from swtpu.kernels.xla import sw_batch_diag
 

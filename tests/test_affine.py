@@ -198,3 +198,33 @@ def test_banded_affine_pallas_equal_gaps_degenerate(rng):
     for b in range(B):
         sc, _ = banded_xdrop(qs[b], ts[b])
         assert int(res.score[b]) == sc
+
+
+def test_affine_profile_protein(rng):
+    """Packed-profile kernel, affine mode: BLOSUM62 + open/extend (the
+    production protein configuration) is bit-exact vs the affine oracle."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+
+    pp = ScoringParams(BLOSUM62, gap_open=11, gap_extend=1)
+    pq = rng.integers(0, 24, size=(8, 40)).astype(np.uint8)
+    pt = rng.integers(0, 24, size=(8, 48)).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_batch_profile_pallas(pq, pt, pp))
+    want = sw_affine_score_batch(pq, pt, pp)
+    assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_affine_profile_general_dna(rng):
+    """Non-uniform 4x4 matrix + Gotoh through the profile kernel."""
+    from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+
+    mat = dna_matrix(5, -4)
+    mat[0, 1] = mat[1, 0] = -2  # transitions cheaper: non-uniform
+    ap = ScoringParams(mat, gap_open=10, gap_extend=2)
+    q = random_dna(rng, (8, 40))
+    t = random_dna(rng, (8, 48))
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_batch_profile_pallas(q, t, ap))
+    want = sw_affine_score_batch(q, t, ap)
+    assert np.array_equal(dev, want.astype(np.int32))
