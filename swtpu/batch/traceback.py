@@ -34,20 +34,36 @@ def sw_align_batch(
     from swtpu import native
     from swtpu.oracle.sw import sw_traceback
 
+    affine = not params.is_linear
     if engine is None:
-        from swtpu.kernels.xla import sw_batch_diag
+        if affine:
+            from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
 
-        engine = lambda q, t: sw_batch_diag(q, t, params)
+            engine = lambda q, t: sw_affine_batch_diag(q, t, params)
+        else:
+            from swtpu.kernels.xla import sw_batch_diag
+
+            engine = lambda q, t: sw_batch_diag(q, t, params)
     scores = np.asarray(engine(qs, ts))
     use_native = native.available()
-    out = []
-    for b in range(qs.shape[0]):
+    if affine:
+        from swtpu.oracle.affine import sw_affine_traceback
+
         if use_native:
-            sc, path = native.sw_traceback(
-                qs[b], ts[b], params.matrix, params.gap
+            walker = lambda q, t: native.sw_affine_traceback(
+                q, t, params.matrix, params.gap_open, params.gap_extend
             )
         else:
-            sc, path = sw_traceback(qs[b], ts[b], params)
+            walker = lambda q, t: sw_affine_traceback(q, t, params)
+    elif use_native:
+        walker = lambda q, t: native.sw_traceback(
+            q, t, params.matrix, params.gap
+        )
+    else:
+        walker = lambda q, t: sw_traceback(q, t, params)
+    out = []
+    for b in range(qs.shape[0]):
+        sc, path = walker(qs[b], ts[b])
         assert sc == scores[b], (
             f"device/host score mismatch at pair {b}: {scores[b]} vs {sc}"
         )

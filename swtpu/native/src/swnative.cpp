@@ -101,6 +101,96 @@ int64_t sw_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
   return len;
 }
 
+// ------------------------------------ affine local SW with traceback -----
+
+// Full-matrix Gotoh recompute + three-state walk (swtpu/oracle/affine.py
+// semantics: first row-major argmax, H-state preference diag -> F (up)
+// -> E (left), path ends where H reaches 0). matrix: [A*A] int32
+// row-major (q*A + t).
+int64_t sw_affine_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
+                            int64_t m, const int32_t* matrix, int32_t A,
+                            int32_t gap_open, int32_t gap_extend,
+                            int32_t* path_out, int32_t* out_score) {
+  const int32_t NEG = -(1 << 29);
+  const int64_t stride = m + 1;
+  std::vector<int32_t> H((n + 1) * stride, 0);
+  std::vector<int32_t> E((n + 1) * stride, NEG);
+  std::vector<int32_t> F((n + 1) * stride, NEG);
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    const int32_t* srow = matrix + (int64_t)q[i - 1] * A;
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t c = i * stride + j;
+      E[c] = std::max(E[c - 1] - gap_extend, H[c - 1] - gap_open);
+      F[c] = std::max(F[c - stride] - gap_extend, H[c - stride] - gap_open);
+      int32_t v = std::max(0, H[c - stride - 1] + srow[t[j - 1]]);
+      v = std::max(v, std::max(E[c], F[c]));
+      H[c] = v;
+      if (v > best) {  // strict: first max in row-major scan order
+        best = v;
+        bi = i;
+        bj = j;
+      }
+    }
+  }
+  *out_score = best;
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)bi;
+  path_out[2 * len + 1] = (int32_t)bj;
+  ++len;
+  int64_t i = bi, j = bj;
+  int st = 0;
+  while (i || j) {
+    const int64_t c = i * stride + j;
+    if (st == 0) {
+      const int32_t v = H[c];
+      if (v == 0) break;
+      if (i && j &&
+          v == H[c - stride - 1] + matrix[(int64_t)q[i - 1] * A + t[j - 1]]) {
+        --i;
+        --j;
+      } else if (v == F[c]) {
+        st = 2;
+        continue;
+      } else if (v == E[c]) {
+        st = 1;
+        continue;
+      } else {
+        return -1;
+      }
+    } else if (st == 1) {
+      const int32_t v = E[c];
+      if (j && v == H[c - 1] - gap_open) {
+        --j;
+        st = 0;
+      } else if (j && v == E[c - 1] - gap_extend) {
+        --j;
+      } else {
+        return -1;
+      }
+    } else {
+      const int32_t v = F[c];
+      if (i && v == H[c - stride] - gap_open) {
+        --i;
+        st = 0;
+      } else if (i && v == F[c - stride] - gap_extend) {
+        --i;
+      } else {
+        return -1;
+      }
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
 // ------------------------------------------- semi-global with traceback --
 
 // Full-matrix semi-global (no zero floor, start at (0,0), end at argmax).

@@ -46,6 +46,73 @@ def sw_affine_score(q: np.ndarray, t: np.ndarray, params: ScoringParams) -> int:
     return int(best)
 
 
+def sw_affine_traceback(q: np.ndarray, t: np.ndarray, params: ScoringParams):
+    """Affine-gap local alignment with traceback: (score, [(i, j), ...]).
+
+    Start cell = first maximum in row-major scan order (the linear
+    family's rule, source.cpp:1545); Gotoh three-state walk with H-state
+    preference diag -> F (up) -> E (left), matching the family's
+    diag -> up -> left order; the path ends where H reaches 0.
+    """
+    q = np.asarray(q, dtype=np.int64)
+    t = np.asarray(t, dtype=np.int64)
+    S = params.matrix.astype(np.int64)
+    go, ge = int(params.gap_open), int(params.gap_extend)
+    n, m = len(q), len(t)
+    H = np.zeros((n + 1, m + 1), dtype=np.int64)
+    E = np.full((n + 1, m + 1), NEG, dtype=np.int64)
+    F = np.full((n + 1, m + 1), NEG, dtype=np.int64)
+    best, bi, bj = 0, 0, 0
+    for i in range(1, n + 1):
+        row_s = S[q[i - 1], t]
+        for j in range(1, m + 1):
+            E[i, j] = max(E[i, j - 1] - ge, H[i, j - 1] - go)
+            F[i, j] = max(F[i - 1, j] - ge, H[i - 1, j] - go)
+            H[i, j] = max(
+                0, H[i - 1, j - 1] + row_s[j - 1], E[i, j], F[i, j]
+            )
+            if H[i, j] > best:
+                best, bi, bj = int(H[i, j]), i, j
+    path = [(bi, bj)]
+    i, j, st = bi, bj, 0
+    while i or j:
+        if st == 0:
+            v = H[i, j]
+            if v == 0:
+                break
+            if i and j and v == H[i - 1, j - 1] + S[q[i - 1], t[j - 1]]:
+                i, j = i - 1, j - 1
+                path.append((i, j))
+            elif v == F[i, j]:
+                st = 2
+            elif v == E[i, j]:
+                st = 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent affine traceback H")
+        elif st == 1:  # E: gap moves left
+            v = E[i, j]
+            if j and v == H[i, j - 1] - go:
+                j -= 1
+                st = 0
+            elif j and v == E[i, j - 1] - ge:
+                j -= 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent affine traceback E")
+            path.append((i, j))
+        else:  # F: gap moves up
+            v = F[i, j]
+            if i and v == H[i - 1, j] - go:
+                i -= 1
+                st = 0
+            elif i and v == F[i - 1, j] - ge:
+                i -= 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent affine traceback F")
+            path.append((i, j))
+    path.reverse()
+    return best, path
+
+
 def sw_affine_score_batch(
     qs: np.ndarray, ts: np.ndarray, params: ScoringParams
 ) -> np.ndarray:

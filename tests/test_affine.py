@@ -228,3 +228,44 @@ def test_affine_profile_general_dna(rng):
         dev = np.asarray(sw_batch_profile_pallas(q, t, ap))
     want = sw_affine_score_batch(q, t, ap)
     assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_affine_traceback_oracle_rescoring(rng):
+    """The affine traceback path rescans to its own score (both scorings)."""
+    from swtpu.oracle.affine import sw_affine_traceback
+
+    for params in (AFF, AFF111):
+        go, ge = int(params.gap_open), int(params.gap_extend)
+        q = random_dna(rng, (80,))
+        t = random_dna(rng, (90,))
+        sc, path = sw_affine_traceback(q, t, params)
+        assert sc == sw_affine_score(q, t, params)
+        s, run = 0, None
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            d = (i1 - i0, j1 - j0)
+            if d == (1, 1):
+                s += int(params.matrix[q[i1 - 1], t[j1 - 1]])
+                run = None
+            else:
+                kind = "up" if d == (1, 0) else "left"
+                s -= go if run != kind else ge
+                run = kind
+        assert s == sc
+
+
+def test_affine_align_batch_end_to_end(rng):
+    """Device affine scores + host Gotoh walk, native and numpy walkers."""
+    from swtpu import native
+    from swtpu.batch import sw_align_batch
+    from swtpu.oracle.affine import sw_affine_traceback
+
+    qs = random_dna(rng, (4, 48))
+    ts = random_dna(rng, (4, 56))
+    out = sw_align_batch(qs, ts, AFF)
+    for b in range(4):
+        assert out[b] == sw_affine_traceback(qs[b], ts[b], AFF)
+    if native.available():
+        for b in range(4):
+            assert native.sw_affine_traceback(
+                qs[b], ts[b], AFF.matrix, AFF.gap_open, AFF.gap_extend
+            ) == sw_affine_traceback(qs[b], ts[b], AFF)
