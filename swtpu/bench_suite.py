@@ -140,6 +140,33 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
+    # fixed-band rowscan (the issue-bound banded tier, BASELINE configs
+    # 1-2 geometry): band cells at full-rowscan efficiency
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.core.scoring import DNA_111
+        from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+        from swtpu.utils import time_kernel
+
+        Bf = 512 if quick else 2048
+        qf = rng.integers(0, 4, size=(Bf, L)).astype(np.uint8)
+        tf = np.stack([mutate(rng, qf[b], out_len=L) for b in range(Bf)])
+        Wf = 32
+        fn = lambda a, b: sw_banded_static_pallas(a, b, DNA_111, bandwidth=Wf)
+        per = time_kernel(fn, (qf, tf), k=4)
+        cells = Bf * L * (2 * Wf + 1)
+        rec = dict(
+            kernel="banded_fixed_rowscan_w32",
+            batch=Bf,
+            seq_len=L,
+            wall_ms=round(per * 1e3, 2),
+            band_gcups=round(cells / per / 1e9, 1),
+            alignments_per_s=round(Bf / per, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"banded_fixed_rowscan_w32: {per*1e3/Bf*1e4:.2f} ms / 10K")
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+
     # affine (Gotoh) banded on the best available engine
     fwd_name, fwd = engines[-1]
     kw = dict(with_history=False, gap_open=3, gap_extend=1)

@@ -1,0 +1,227 @@
+"""Pallas fixed-band batched Smith-Waterman row-scan — the issue-bound
+banded engine (BASELINE configs 1-2: "batch of 1M random pairs at the
+same fixed band").
+
+The adaptive X-drop kernels (banded_batch/banded_packed) pay ~15 lane
+permutes per 32-cell round (~120 ns each on v5e — measured; gathers,
+rolls and static shuffles all cost within 25% of each other), so they are
+permute-bound at ~1.4 us/round. A *fixed* diagonal band |i - j| <= W
+needs no data motion at all in the flagship's inter-pair layout: batch on
+the (8,128) tile, row scan over a column window that slides with the row
+group. Everything stays ALU ops (~8/cell, the flagship's schedule):
+
+- Window coords: row group ig covers rows ia..ia+7 and columns
+  [ia - W, ia + W + ROWS); in-group position k maps to column
+  j = ia - W + k, and cell (r, k) is in-band iff 0 <= k - r <= 2W — a
+  STATIC condition, so the band mask costs nothing (the column-chunk loop
+  is unrolled; out-of-band chain slots are pinned to the dead value 0).
+- The window slides by ROWS per group, paid by a lagged boundary buffer:
+  the row boundary (yoko) is written at current-window coords k and read
+  at k + ROWS (the previous group's coords). Reads stay ahead of writes,
+  so no shifting, no copies.
+- Dead cells ARE 0: with mismatch < 0 < gap, a zero-floored SW cell
+  bounded by the final score can only decay through pads/out-of-band
+  slots, so the matrix boundary (j <= 0 phantom columns stay exactly 0)
+  and both band edges are handled by value, not control flow.
+- diag of an in-band cell is always in-band; only `up` can read an
+  out-of-band slot, and its contribution (0 - gap < 0) is exactly the
+  dead semantics.
+
+Contract: score == swtpu.oracle.banded_static.sw_banded_static_score
+(local alignment restricted to |i - j| <= W). The reference's adaptive
+banded family is a different contract (its band follows the alignment);
+this engine is the fixed-geometry counterpart that BASELINE prescribes,
+at full-matrix-rowscan efficiency (~380 GCUPS of band cells vs ~11 for
+the adaptive kernel — the adaptive kernel's value is robustness to
+indels that walk off a fixed corridor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.core.scoring import ScoringParams
+from swtpu.kernels.pallas.sw_batch import (
+    CHUNK,
+    LANE,
+    Q_PAD,
+    ROWS,
+    SUB,
+    TILE_PAIRS,
+    T_PAD,
+    _at,
+    _last,
+    _shift_down,
+    _uniform_match_mismatch,
+)
+
+
+def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, W, WCOLS, match,
+            mismatch, gap):
+    zero = jnp.zeros((SUB, LANE), jnp.int32)
+    zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
+    gap32 = jnp.int32(gap)
+    match32 = jnp.int32(match)
+    mm32 = jnp.int32(mismatch)
+
+    yoko_ref[:] = jnp.zeros((WCOLS + ROWS, SUB, LANE), jnp.int32)
+
+    n_chunks = WCOLS // CHUNK
+    n_rowgrps = n // ROWS
+    # chunk-position iota for the static band mask (constant-folded:
+    # j0 and r are unrolled, so each compare is a compile-time vector)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, SUB, LANE), 0)
+
+    def row_body(ig, best_c):
+        ia = ig * ROWS
+        qrow = [q_ref[ia + r][None] for r in range(ROWS)]
+
+        # static unroll over chunks: the band mask is static in (r, k)
+        hl = [zero] * ROWS
+        din = [zero] * ROWS
+        for jc in range(n_chunks):
+            j0 = jc * CHUNK
+            # t chars for columns [ia - W + j0, +CHUNK): padded t row x
+            # holds t[x - W], so the slice starts at ia + j0
+            t = t_ref[pl.ds(ia + j0, CHUNK)]
+            # lagged boundary read: previous group's window coords
+            prev = yoko_ref[pl.ds(j0 + ROWS, CHUNK)]
+
+            pres = []
+            for r in range(ROWS):
+                diag = _shift_down(prev, din[r])
+                s = jnp.where(qrow[r] == t, match32, mm32)
+                pre = jnp.maximum(diag + s, 0)
+                h = hl[r]
+                hs = []
+                for k in range(CHUNK):
+                    if 0 <= (j0 + k) - r <= 2 * W:  # static band test
+                        h = jnp.maximum(
+                            _at(pre, k),
+                            jnp.maximum(_at(prev, k), h) - gap32,
+                        )
+                    else:
+                        h = zero  # dead slot: exact out-of-band value
+                    hs.append(h)
+                hl[r] = h
+                # best tracking on pre, in-band slots only (out-of-band
+                # pre can be positive via a real diag + match)
+                in_band = [
+                    0 <= (j0 + k) - r <= 2 * W for k in range(CHUNK)
+                ]
+                if all(in_band):
+                    pres.append(pre)
+                elif any(in_band):
+                    d = iota_c + (j0 - r)
+                    pres.append(
+                        jnp.where((d >= 0) & (d <= 2 * W), pre, 0)
+                    )
+                din[r] = _last(prev)
+                prev = jnp.stack(hs)
+
+            yoko_ref[pl.ds(j0, CHUNK)] = prev
+            if pres:
+                acc = pres[0]
+                for p in pres[1:]:
+                    acc = jnp.maximum(acc, p)
+                best_c = jnp.maximum(best_c, acc)
+        return best_c
+
+    best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
+    out_ref[0] = best_c.max(axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "TL", "W", "WCOLS", "match", "mismatch",
+                              "gap")
+)
+def _sw_banded_impl(qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap):
+    T = qsT.shape[0] // n
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, n=n, W=W, WCOLS=WCOLS, match=match,
+            mismatch=mismatch, gap=gap,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, SUB, LANE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TL, SUB, LANE), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WCOLS + ROWS, SUB, LANE), jnp.int32)
+        ],
+    )(qsT, tsT)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "TL"))
+def _prepare_banded(qs, tp, n, TL):
+    B = qs.shape[0]
+    T = B // TILE_PAIRS
+    qsT = qs.reshape(T, SUB, LANE, n).transpose(0, 3, 1, 2).astype(jnp.int32)
+    qsT = qsT.reshape(T * n, SUB, LANE)
+    tsT = tp.reshape(T, SUB, LANE, TL).transpose(0, 3, 1, 2).astype(jnp.int32)
+    tsT = tsT.reshape(T * TL, SUB, LANE)
+    return qsT, tsT
+
+
+def sw_banded_static_pallas(qs, ts, params: ScoringParams, bandwidth=32):
+    """Batched fixed-band local-alignment scores (|i - j| <= bandwidth).
+
+    qs: [B, n] uint8 (0-3, pad 4), ts: [B, m] uint8 (pad 5). Uniform
+    match/mismatch linear scoring (mismatch < 0 < gap). Returns [B] int32
+    == swtpu.oracle.banded_static.sw_banded_static_score per pair.
+    """
+    if not params.is_linear:
+        raise NotImplementedError("affine fixed-band: XLA engine for now")
+    mm = _uniform_match_mismatch(params)
+    if mm is None:
+        raise NotImplementedError("fixed-band kernel needs uniform scoring")
+    match, mismatch = mm
+    if mismatch >= 0 or params.gap <= 0:
+        raise NotImplementedError("dead-is-zero layout needs mismatch < 0 < gap")
+    W = int(bandwidth)
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), Q_PAD, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    WCOLS = -(-(2 * W + ROWS) // CHUNK) * CHUNK
+    TL = n + WCOLS  # padded-t rows: row x holds t[x - W]
+    usable = min(m, TL - W)  # columns beyond n-1+W are out-of-band anyway
+    tp = jnp.concatenate(
+        [
+            jnp.full((B, W), T_PAD, ts.dtype),
+            ts[:, :usable],
+            jnp.full((B, TL - W - usable), T_PAD, ts.dtype),
+        ],
+        axis=1,
+    )
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
+        tp = jnp.concatenate([tp, jnp.full((Bp - B, TL), T_PAD, tp.dtype)])
+    qsT, tsT = _prepare_banded(qs, tp, n, TL)
+    out = _sw_banded_impl(
+        qsT, tsT, n, TL, W, WCOLS, match, mismatch, int(params.gap)
+    )
+    return out.reshape(Bp)[:B]

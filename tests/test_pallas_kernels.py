@@ -309,3 +309,53 @@ def test_long_target_auto_swap(rng):
     with pltpu.force_tpu_interpret_mode():
         dev = np.asarray(sw_batch_profile_pallas(pq, pt, pp))
     assert np.array_equal(dev, sw_score_batch(pq, pt, pp).astype(np.int32))
+
+
+def test_fixed_band_pallas_parity(rng):
+    """Fixed-band rowscan (|i-j| <= W) vs the fixed-band oracle, mixed
+    homologous/random pairs, harsh + neutral scoring, W spanning chunks."""
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score_batch
+
+    B, n = 6, 48
+    qs = random_dna(rng, (B, n))
+    ts = np.empty_like(qs)
+    ts[:3] = np.stack([mutate(rng, q, out_len=n) for q in qs[:3]])
+    ts[3:] = random_dna(rng, (B - 3, n))
+    for params, W in ((DNA_111, 8), (DNA_10_30_15, 8), (DNA_111, 20)):
+        with pltpu.force_tpu_interpret_mode():
+            dev = np.asarray(
+                sw_banded_static_pallas(qs, ts, params, bandwidth=W)
+            )
+        want = sw_banded_static_score_batch(qs, ts, params, bandwidth=W)
+        assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_fixed_band_pallas_unequal_lengths(rng):
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score_batch
+
+    qs = random_dna(rng, (4, 40))
+    ts = random_dna(rng, (4, 64))
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(
+            sw_banded_static_pallas(qs, ts, DNA_111, bandwidth=12)
+        )
+    want = sw_banded_static_score_batch(qs, ts, DNA_111, bandwidth=12)
+    assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_fixed_band_wide_equals_full(rng):
+    """W >= max(n, m): the fixed band covers the whole matrix, so the
+    score equals unrestricted Smith-Waterman."""
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+
+    qs = random_dna(rng, (4, 24))
+    ts = random_dna(rng, (4, 24))
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(
+            sw_banded_static_pallas(qs, ts, DNA_111, bandwidth=24)
+        )
+    want = sw_score_batch(qs, ts, DNA_111)
+    assert np.array_equal(dev, want.astype(np.int32))
