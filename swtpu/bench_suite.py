@@ -167,6 +167,26 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
+        from swtpu.core.scoring import ScoringParams, dna_matrix
+
+        aff = ScoringParams(dna_matrix(1, -1), gap_open=3, gap_extend=1)
+        fn = lambda a, b: sw_banded_static_pallas(a, b, aff, bandwidth=Wf)
+        per = time_kernel(fn, (qf, tf), k=4)
+        rec = dict(
+            kernel="banded_fixed_affine_rowscan_w32",
+            batch=Bf,
+            seq_len=L,
+            wall_ms=round(per * 1e3, 2),
+            band_gcups=round(cells / per / 1e9, 1),
+            alignments_per_s=round(Bf / per, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(
+            f"banded_fixed_affine_rowscan_w32: {per*1e3/Bf*1e4:.2f} ms / 10K"
+        )
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+
     # affine (Gotoh) banded on the best available engine
     fwd_name, fwd = engines[-1]
     kw = dict(with_history=False, gap_open=3, gap_extend=1)

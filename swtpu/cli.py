@@ -119,6 +119,42 @@ def cmd_semiglobal(args):
 def cmd_banded(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     match, mismatch = (int(x) for x in args.scoring.split(","))
+    if args.fixed:
+        # fixed diagonal corridor |i-j| <= W: score-only, issue-bound
+        # engine (BASELINE configs 1-2 geometry)
+        import jax
+
+        from swtpu.core.scoring import ScoringParams, dna_matrix
+
+        mat = dna_matrix(match, mismatch)
+        params = (
+            ScoringParams(
+                mat, gap_open=args.gap_open, gap_extend=args.gap_extend
+            )
+            if args.gap_open is not None
+            else ScoringParams.linear(mat, args.gap)
+        )
+        if jax.devices()[0].platform == "tpu":
+            from swtpu.kernels.pallas.sw_banded import (
+                sw_banded_static_pallas,
+            )
+
+            scores = np.asarray(
+                sw_banded_static_pallas(
+                    qs, ts, params, bandwidth=args.bandwidth
+                )
+            )
+        else:
+            from swtpu.oracle.banded_static import (
+                sw_banded_static_score_batch,
+            )
+
+            scores = sw_banded_static_score_batch(
+                qs, ts, params, bandwidth=args.bandwidth
+            )
+        for name, s in zip(names, scores):
+            print(json.dumps(dict(pair=name, score=int(s))))
+        return
     from swtpu.batch import banded_align_batch
 
     # linear and affine ride the same device forward pass; affine paths
@@ -328,6 +364,12 @@ def build_parser():
     common(p)
     p.add_argument("--bandwidth", type=int, default=32)
     p.add_argument("--x-drop", type=int, default=70)
+    p.add_argument(
+        "--fixed",
+        action="store_true",
+        help="fixed diagonal corridor |i-j| <= bandwidth (local SW, "
+        "score-only, issue-bound engine)",
+    )
     p.set_defaults(fn=cmd_banded)
 
     p = sub.add_parser("search", help="all-vs-all top-k database search")

@@ -62,8 +62,17 @@ from swtpu.kernels.pallas.sw_batch import (
 )
 
 
-def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, W, WCOLS, match,
-            mismatch, gap):
+NEG_EF = -(2**29)  # dead E/F for the affine chain
+
+
+def _kernel(q_ref, t_ref, out_ref, yoko_ref, *rest, n, W, WCOLS, match,
+            mismatch, gap, go=None, ge=None):
+    affine = go is not None
+    if affine:
+        (yf_ref,) = rest
+        go32, ge32 = jnp.int32(go), jnp.int32(ge)
+        negs = jnp.full((SUB, LANE), NEG_EF, jnp.int32)
+        yf_ref[:] = jnp.full((WCOLS + ROWS, SUB, LANE), NEG_EF, jnp.int32)
     zero = jnp.zeros((SUB, LANE), jnp.int32)
     zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
     gap32 = jnp.int32(gap)
@@ -84,6 +93,7 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, W, WCOLS, match,
 
         # static unroll over chunks: the band mask is static in (r, k)
         hl = [zero] * ROWS
+        el = [negs] * ROWS if affine else None
         din = [zero] * ROWS
         for jc in range(n_chunks):
             j0 = jc * CHUNK
@@ -92,24 +102,46 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, W, WCOLS, match,
             t = t_ref[pl.ds(ia + j0, CHUNK)]
             # lagged boundary read: previous group's window coords
             prev = yoko_ref[pl.ds(j0 + ROWS, CHUNK)]
+            if affine:
+                prev_f = yf_ref[pl.ds(j0 + ROWS, CHUNK)]
 
             pres = []
             for r in range(ROWS):
                 diag = _shift_down(prev, din[r])
                 s = jnp.where(qrow[r] == t, match32, mm32)
-                pre = jnp.maximum(diag + s, 0)
-                h = hl[r]
-                hs = []
-                for k in range(CHUNK):
-                    if 0 <= (j0 + k) - r <= 2 * W:  # static band test
-                        h = jnp.maximum(
-                            _at(pre, k),
-                            jnp.maximum(_at(prev, k), h) - gap32,
-                        )
-                    else:
-                        h = zero  # dead slot: exact out-of-band value
-                    hs.append(h)
-                hl[r] = h
+                if affine:
+                    # Gotoh: F chunk-wide off the previous row, E in the
+                    # serial chain. Dead slots hold h = 0 / f <= -go /
+                    # phantom e <= -go, all strictly below any live
+                    # candidate, so the band mask on h alone is exact
+                    # (same pad-decay argument as the linear form).
+                    f = jnp.maximum(prev_f - ge32, prev - go32)
+                    pre = jnp.maximum(jnp.maximum(diag + s, f), 0)
+                    h, e = hl[r], el[r]
+                    hs = []
+                    for k in range(CHUNK):
+                        e = jnp.maximum(e - ge32, h - go32)
+                        if 0 <= (j0 + k) - r <= 2 * W:
+                            h = jnp.maximum(_at(pre, k), e)
+                        else:
+                            h = zero
+                        hs.append(h)
+                    hl[r], el[r] = h, e
+                    prev_f = f
+                else:
+                    pre = jnp.maximum(diag + s, 0)
+                    h = hl[r]
+                    hs = []
+                    for k in range(CHUNK):
+                        if 0 <= (j0 + k) - r <= 2 * W:  # static band test
+                            h = jnp.maximum(
+                                _at(pre, k),
+                                jnp.maximum(_at(prev, k), h) - gap32,
+                            )
+                        else:
+                            h = zero  # dead slot: exact out-of-band value
+                        hs.append(h)
+                    hl[r] = h
                 # best tracking on pre, in-band slots only (out-of-band
                 # pre can be positive via a real diag + match)
                 in_band = [
@@ -126,6 +158,8 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, W, WCOLS, match,
                 prev = jnp.stack(hs)
 
             yoko_ref[pl.ds(j0, CHUNK)] = prev
+            if affine:
+                yf_ref[pl.ds(j0, CHUNK)] = prev_f
             if pres:
                 acc = pres[0]
                 for p in pres[1:]:
@@ -139,14 +173,18 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, W, WCOLS, match,
 
 @functools.partial(
     jax.jit, static_argnames=("n", "TL", "W", "WCOLS", "match", "mismatch",
-                              "gap")
+                              "gap", "go", "ge")
 )
-def _sw_banded_impl(qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap):
+def _sw_banded_impl(qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap,
+                    go=None, ge=None):
     T = qsT.shape[0] // n
+    scratch = [pltpu.VMEM((WCOLS + ROWS, SUB, LANE), jnp.int32)]
+    if go is not None:
+        scratch.append(pltpu.VMEM((WCOLS + ROWS, SUB, LANE), jnp.int32))
     return pl.pallas_call(
         functools.partial(
             _kernel, n=n, W=W, WCOLS=WCOLS, match=match,
-            mismatch=mismatch, gap=gap,
+            mismatch=mismatch, gap=gap, go=go, ge=ge,
         ),
         out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
         grid=(T,),
@@ -163,9 +201,7 @@ def _sw_banded_impl(qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap):
         out_specs=pl.BlockSpec(
             (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((WCOLS + ROWS, SUB, LANE), jnp.int32)
-        ],
+        scratch_shapes=scratch,
     )(qsT, tsT)
 
 
@@ -184,16 +220,17 @@ def sw_banded_static_pallas(qs, ts, params: ScoringParams, bandwidth=32):
     """Batched fixed-band local-alignment scores (|i - j| <= bandwidth).
 
     qs: [B, n] uint8 (0-3, pad 4), ts: [B, m] uint8 (pad 5). Uniform
-    match/mismatch linear scoring (mismatch < 0 < gap). Returns [B] int32
-    == swtpu.oracle.banded_static.sw_banded_static_score per pair.
+    match/mismatch scoring, linear or affine (mismatch < 0 < gap_extend).
+    Returns [B] int32 ==
+    swtpu.oracle.banded_static.sw_banded_static_score per pair.
     """
-    if not params.is_linear:
-        raise NotImplementedError("affine fixed-band: XLA engine for now")
+    affine = not params.is_linear
     mm = _uniform_match_mismatch(params)
     if mm is None:
         raise NotImplementedError("fixed-band kernel needs uniform scoring")
     match, mismatch = mm
-    if mismatch >= 0 or params.gap <= 0:
+    gap = int(params.gap_extend if affine else params.gap)
+    if mismatch >= 0 or gap <= 0:
         raise NotImplementedError("dead-is-zero layout needs mismatch < 0 < gap")
     W = int(bandwidth)
     B, n = qs.shape
@@ -222,6 +259,8 @@ def sw_banded_static_pallas(qs, ts, params: ScoringParams, bandwidth=32):
         tp = jnp.concatenate([tp, jnp.full((Bp - B, TL), T_PAD, tp.dtype)])
     qsT, tsT = _prepare_banded(qs, tp, n, TL)
     out = _sw_banded_impl(
-        qsT, tsT, n, TL, W, WCOLS, match, mismatch, int(params.gap)
+        qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap,
+        go=int(params.gap_open) if affine else None,
+        ge=int(params.gap_extend) if affine else None,
     )
     return out.reshape(Bp)[:B]

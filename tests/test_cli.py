@@ -100,3 +100,10 @@ def test_cli_search(fastas):
 def test_cli_selftest():
     recs = _run(["selftest"])
     assert recs[0]["ok"] is True
+
+
+def test_cli_banded_fixed():
+    recs = _run(
+        ["banded", "--random", "2x100x100", "--fixed", "--bandwidth", "16"]
+    )
+    assert all("score" in r for r in recs)

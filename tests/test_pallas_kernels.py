@@ -359,3 +359,27 @@ def test_fixed_band_wide_equals_full(rng):
         )
     want = sw_score_batch(qs, ts, DNA_111)
     assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_fixed_band_pallas_affine(rng):
+    """Fixed band + Gotoh gaps (BASELINE config 1 geometry) vs oracle."""
+    from swtpu.core.encode import mutate
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score_batch
+
+    B, n = 6, 48
+    qs = random_dna(rng, (B, n))
+    ts = np.empty_like(qs)
+    ts[:3] = np.stack([mutate(rng, q, out_len=n) for q in qs[:3]])
+    ts[3:] = random_dna(rng, (B - 3, n))
+    for params, W in (
+        (ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15), 8),
+        (ScoringParams(dna_matrix(1, -1), gap_open=3, gap_extend=1), 20),
+    ):
+        with pltpu.force_tpu_interpret_mode():
+            dev = np.asarray(
+                sw_banded_static_pallas(qs, ts, params, bandwidth=W)
+            )
+        want = sw_banded_static_score_batch(qs, ts, params, bandwidth=W)
+        assert np.array_equal(dev, want.astype(np.int32))
