@@ -77,8 +77,11 @@ def semiglobal_align_batch(
     match: int = 1,
     mismatch: int = 1,
     gap: int = 1,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
-    """Batched semi-global alignment with traceback (full matrix).
+    """Batched semi-global alignment with traceback (full matrix),
+    linear or affine (gap_open != gap_extend) gaps.
 
     Device computes scores + endpoints; host walks each path.
     """
@@ -86,8 +89,11 @@ def semiglobal_align_batch(
 
     from swtpu import native
     from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
-    from swtpu.oracle.semiglobal import semiglobal_full
+    from swtpu.oracle.semiglobal import semiglobal_affine_full, semiglobal_full
 
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None
+    affine = gap_open is not None
     B, n = qs.shape
     m = ts.shape[1]
     from swtpu.kernels.pallas.semiglobal_batch import (
@@ -98,22 +104,31 @@ def semiglobal_align_batch(
     )
 
     use_pallas = (
-        jax.devices()[0].platform == "tpu"
+        not affine
+        and jax.devices()[0].platform == "tpu"
         and B % SG_TILE == 0
         and n % SG_ROWS == 0
         and m % SG_CHUNK == 0
     )
     if use_pallas:
-
         fwd = semiglobal_batch_pallas(qs, ts, match, mismatch, gap)
+    elif affine:
+        fwd = semiglobal_batch_diag(
+            qs, ts, match, mismatch, gap_open=gap_open, gap_extend=gap_extend
+        )
     else:
         fwd = semiglobal_batch_diag(qs, ts, match, mismatch, gap)
     score, ei, ej = (np.asarray(x) for x in fwd)
-    walker = (
-        (lambda q, t: native.semiglobal_traceback(q, t, match, mismatch, gap))
-        if native.available()
-        else (lambda q, t: semiglobal_full(q, t, match, mismatch, gap))
-    )
+    if affine:
+        walker = lambda q, t: semiglobal_affine_full(
+            q, t, match, mismatch, gap_open, gap_extend
+        )
+    elif native.available():
+        walker = lambda q, t: native.semiglobal_traceback(
+            q, t, match, mismatch, gap
+        )
+    else:
+        walker = lambda q, t: semiglobal_full(q, t, match, mismatch, gap)
     out = []
     for b in range(qs.shape[0]):
         sc, path = walker(qs[b], ts[b])

@@ -108,7 +108,12 @@ def cmd_semiglobal(args):
 
     match, mismatch = (int(x) for x in args.scoring.split(","))
     for name, (score, path) in zip(
-        names, semiglobal_align_batch(qs, ts, match, abs(mismatch), args.gap)
+        names,
+        semiglobal_align_batch(
+            qs, ts, match, abs(mismatch), args.gap,
+            gap_open=args.gap_open,
+            gap_extend=args.gap_extend if args.gap_open is not None else None,
+        ),
     ):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:

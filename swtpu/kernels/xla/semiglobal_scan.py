@@ -95,14 +95,91 @@ def _semiglobal_impl(qs, ts, match, mismatch, gap):
     return score, end_i, end_j
 
 
-def semiglobal_batch_diag(qs, ts, match=1, mismatch=1, gap=1):
+@functools.partial(
+    jax.jit, static_argnames=("match", "mismatch", "go", "ge")
+)
+def _semiglobal_affine_impl(qs, ts, match, mismatch, go, ge):
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = qs.astype(jnp.int32)
+    ts = ts.astype(jnp.int32)
+
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=Q_PAD)
+    ts_rev_pad = jnp.pad(
+        ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=T_PAD
+    )
+    iota = jnp.arange(n + 1)[None, :]
+    minus_inf = jnp.int32(MINUS_INF)
+
+    def step(carry, d):
+        h1, h2, e1, f1, best_v, best_j = carry
+        off = m - d + n + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
+        valid_chars = (q_slot < 4) & (t_diag < 4)
+        s = jnp.where(
+            valid_chars & (q_slot == t_diag), match, -mismatch
+        ).astype(jnp.int32)
+        shift1 = lambda x: jnp.pad(
+            x, ((0, 0), (1, 0)), constant_values=MINUS_INF
+        )[:, :-1]
+        # Gotoh on anti-diagonals: E's predecessors (i, j-1) sit at the
+        # same slot of d-1; F's (i-1, j) one slot down of d-1
+        e_cur = jnp.maximum(e1 - ge, h1 - go)
+        f_cur = jnp.maximum(shift1(f1) - ge, shift1(h1) - go)
+        cur = jnp.maximum(shift1(h2) + s, jnp.maximum(e_cur, f_cur))
+        # boundary gap chains: open + (d-1) extends
+        bnd = -go - (d - 1) * ge
+        cur = jnp.where(iota == 0, jnp.where(d <= m, bnd, minus_inf), cur)
+        e_cur = jnp.where(iota == 0, jnp.where(d <= m, bnd, minus_inf), e_cur)
+        cur = jnp.where(iota == d, jnp.where(d <= n, bnd, cur), cur)
+        f_cur = jnp.where(iota == d, jnp.where(d <= n, bnd, f_cur), f_cur)
+        j_of = d - iota
+        phantom = (j_of < 0) | (j_of > m)
+        cur = jnp.where(phantom, minus_inf, cur)
+        e_cur = jnp.where(phantom, minus_inf, e_cur)
+        f_cur = jnp.where(phantom, minus_inf, f_cur)
+        upd = cur > best_v
+        best_v = jnp.where(upd, cur, best_v)
+        best_j = jnp.where(upd, j_of, best_j)
+        return (cur, h1, e_cur, f_cur, best_v, best_j), None
+
+    prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
+    d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
+    best_v0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones(
+        (B, 1), jnp.int32
+    )
+    best_j0 = jnp.zeros((B, n + 1), jnp.int32)
+    ds = jnp.arange(1, n + m + 1)
+    (h1, h2, e1, f1, best_v, best_j), _ = jax.lax.scan(
+        step, (d0, prev_init, prev_init, prev_init, best_v0, best_j0), ds
+    )
+    score = best_v.max(axis=1)
+    is_max = best_v == score[:, None]
+    big = jnp.int32(n + m + 2)
+    slot_key = jnp.where(is_max, jnp.arange(n + 1)[None, :], big)
+    end_i = slot_key.min(axis=1)
+    end_j = jnp.take_along_axis(best_j, end_i[:, None], axis=1)[:, 0]
+    return score, end_i, end_j
+
+
+def semiglobal_batch_diag(
+    qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None
+):
     """Batched semi-global scores + argmax endpoints.
 
     qs: [B, n] uint8, ts: [B, m] uint8 (no padding support yet — semi-global
     boundary conditions are length-dependent). Returns (score, end_i, end_j)
-    int32 arrays, matching swtpu.oracle.semiglobal_full's score and argmax
-    cell (1-based DP coords).
+    int32 arrays, matching swtpu.oracle.semiglobal_full's (linear) /
+    semiglobal_affine_full's (gap_open != gap_extend) score and argmax cell
+    (1-based DP coords).
     """
+    if gap_open is not None and gap_open != gap_extend:
+        return _semiglobal_affine_impl(
+            jnp.asarray(qs), jnp.asarray(ts), int(match), int(mismatch),
+            int(gap_open), int(gap_extend),
+        )
+    if gap_open is not None:
+        gap = gap_open
     return _semiglobal_impl(
         jnp.asarray(qs), jnp.asarray(ts), int(match), int(mismatch), int(gap)
     )

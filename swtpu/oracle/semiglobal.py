@@ -83,6 +83,82 @@ def semiglobal_full(
     return max_score, path
 
 
+def semiglobal_affine_full(
+    q: np.ndarray,
+    t: np.ndarray,
+    match: int = 1,
+    mismatch: int = 1,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """Full-matrix semi-global alignment with AFFINE (Gotoh) gaps.
+
+    Same start/end contract as semiglobal_full (origin-anchored, ends at
+    the matrix-wide argmax, first-in-row-major-scan tie-break); gap of
+    length L costs gap_open + (L-1)*gap_extend. H-state traceback
+    preference diag -> F (up) -> E (left), the family's order. With
+    gap_open == gap_extend this is bit-equal to semiglobal_full (tested).
+    """
+    q = np.asarray(q, dtype=np.int64)
+    t = np.asarray(t, dtype=np.int64)
+    go, ge = int(gap_open), int(gap_extend)
+    n, m = len(q), len(t)
+    H = np.full((n + 1, m + 1), MINUS_INF, dtype=np.int64)
+    E = np.full((n + 1, m + 1), MINUS_INF, dtype=np.int64)
+    F = np.full((n + 1, m + 1), MINUS_INF, dtype=np.int64)
+    H[0, 0] = 0
+    # boundary gap chains are single open-extend runs
+    H[0, 1:] = E[0, 1:] = -go - ge * np.arange(m)
+    H[1:, 0] = F[1:, 0] = -go - ge * np.arange(n)
+    sub = np.where(q[:, None] == t[None, :], match, -mismatch)
+    for i in range(1, n + 1):
+        srow = sub[i - 1]
+        for j in range(1, m + 1):
+            E[i, j] = max(E[i, j - 1] - ge, H[i, j - 1] - go)
+            F[i, j] = max(F[i - 1, j] - ge, H[i - 1, j] - go)
+            H[i, j] = max(H[i - 1, j - 1] + srow[j - 1], E[i, j], F[i, j])
+    flat = int(np.argmax(H))
+    max_i, max_j = divmod(flat, m + 1)
+    max_score = int(H[max_i, max_j])
+
+    path = [(max_i, max_j)]
+    i, j, st = max_i, max_j, 0
+    while i or j:
+        if st == 0:
+            v = H[i, j]
+            if i and j and v == H[i - 1, j - 1] + sub[i - 1, j - 1]:
+                i, j = i - 1, j - 1
+                path.append((i, j))
+            elif v == F[i, j]:
+                st = 2
+            elif v == E[i, j]:
+                st = 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent semiglobal affine H")
+        elif st == 1:
+            v = E[i, j]
+            if j and v == H[i, j - 1] - go:
+                j -= 1
+                st = 0
+            elif j and v == E[i, j - 1] - ge:
+                j -= 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent semiglobal affine E")
+            path.append((i, j))
+        else:
+            v = F[i, j]
+            if i and v == H[i - 1, j] - go:
+                i -= 1
+                st = 0
+            elif i and v == F[i - 1, j] - ge:
+                i -= 1
+            else:  # pragma: no cover
+                raise AssertionError("inconsistent semiglobal affine F")
+            path.append((i, j))
+    path.reverse()
+    return max_score, path
+
+
 @dataclasses.dataclass
 class BandedResult:
     """Full forward-pass state of the banded DP, for kernel parity tests.

@@ -29,3 +29,18 @@ def rng():
     """Fixed-seed RNG ≙ the reference's mt19937_64 rnd(10000)
     (source.cpp:2944 etc.)."""
     return np.random.default_rng(10000)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite accumulates hundreds of live XLA:CPU executables and
+    interpret-mode traces; past ~70 tests the process occasionally
+    segfaults inside the heaviest banded interpret tests (reproduced
+    twice, different tests, never file-alone — environmental, not a
+    specific test). Clearing per module keeps the suite stable and costs
+    one recompile set per file.
+    """
+    yield
+    jax.clear_caches()

@@ -269,3 +269,23 @@ def test_affine_align_batch_end_to_end(rng):
             assert native.sw_affine_traceback(
                 qs[b], ts[b], AFF.matrix, AFF.gap_open, AFF.gap_extend
             ) == sw_affine_traceback(qs[b], ts[b], AFF)
+
+
+def test_semiglobal_affine(rng):
+    """Semi-global Gotoh: oracle degenerate + XLA engine + batch walker."""
+    from swtpu.core import mutate
+    from swtpu.batch import semiglobal_align_batch
+    from swtpu.oracle.semiglobal import (
+        semiglobal_affine_full,
+        semiglobal_full,
+    )
+
+    B, n = 3, 64
+    qs = random_dna(rng, (B, n))
+    ts = np.stack([mutate(rng, q, out_len=n) for q in qs])
+    assert semiglobal_affine_full(qs[0], ts[0], 1, 1, 1, 1) == semiglobal_full(
+        qs[0], ts[0]
+    )
+    out = semiglobal_align_batch(qs, ts, gap_open=3, gap_extend=1)
+    for b in range(B):
+        assert out[b] == semiglobal_affine_full(qs[b], ts[b], 1, 1, 3, 1)
