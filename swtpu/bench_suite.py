@@ -167,6 +167,35 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
+        # BASELINE config 2 verbatim: 1M random 128x128 pairs at the
+        # fixed band (the reference's 4.4 s/1M workload geometry).
+        # Chunked through the engine to bound host memory.
+        if not quick:
+            B1, L1 = 1_000_000, 128
+            CH = 131072
+            q1 = rng.integers(0, 4, size=(CH, L1)).astype(np.uint8)
+            t1 = rng.integers(0, 4, size=(CH, L1)).astype(np.uint8)
+            fn = lambda a, b: sw_banded_static_pallas(
+                a, b, DNA_111, bandwidth=Wf
+            )
+            per_chunk = time_kernel(fn, (q1, t1), k=4)
+            n_chunks_1m = -(-B1 // CH)
+            wall = per_chunk * n_chunks_1m
+            rec = dict(
+                kernel="banded_fixed_1m_128x128_w32",
+                batch=B1,
+                wall_ms=round(wall * 1e3, 1),
+                ms_per_1m=round(wall * 1e3, 1),
+                band_gcups=round(B1 * L1 * (2 * Wf + 1) / wall / 1e9, 1),
+                device=str(jax.devices()[0].device_kind),
+            )
+            print(
+                f"banded_fixed_1m_128x128_w32: {rec['ms_per_1m']} ms / 1M "
+                "(reference simd9 full-matrix: 1884)"
+            )
+            print("JSON:", json.dumps(rec))
+            out.append(rec)
+
         from swtpu.core.scoring import ScoringParams, dna_matrix
 
         aff = ScoringParams(dna_matrix(1, -1), gap_open=3, gap_extend=1)
