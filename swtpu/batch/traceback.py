@@ -104,14 +104,16 @@ def semiglobal_align_batch(
     )
 
     use_pallas = (
-        not affine
-        and jax.devices()[0].platform == "tpu"
+        jax.devices()[0].platform == "tpu"
         and B % SG_TILE == 0
         and n % SG_ROWS == 0
         and m % SG_CHUNK == 0
     )
     if use_pallas:
-        fwd = semiglobal_batch_pallas(qs, ts, match, mismatch, gap)
+        fwd = semiglobal_batch_pallas(
+            qs, ts, match, mismatch, gap,
+            gap_open=gap_open, gap_extend=gap_extend,
+        )
     elif affine:
         fwd = semiglobal_batch_diag(
             qs, ts, match, mismatch, gap_open=gap_open, gap_extend=gap_extend

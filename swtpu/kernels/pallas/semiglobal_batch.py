@@ -40,14 +40,22 @@ ROWS = 8  # row unroll (matches the flagship's measured optimum)
 MINF = -(2**29)
 
 
-def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *, n, m, match,
-            mismatch, gap):
+def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
+            match, mismatch, gap, go=None, ge=None):
+    affine = go is not None
     gap32 = jnp.int32(gap)
     match32, mm32 = jnp.int32(match), jnp.int32(mismatch)
 
-    # boundary row: H[0, j] = -j * gap (column j is buffer index j-1)
     col1 = jax.lax.broadcasted_iota(jnp.int32, (m, SUB, LANE), 0) + 1
-    yoko_ref[:] = -col1 * gap32
+    if affine:
+        (yf_ref,) = rest
+        go32, ge32 = jnp.int32(go), jnp.int32(ge)
+        # boundary row: H[0, j] = -(go + (j-1)*ge); F[0, j] = -inf
+        yoko_ref[:] = -go32 - (col1 - 1) * ge32
+        yf_ref[:] = jnp.full((m, SUB, LANE), MINF, jnp.int32)
+    else:
+        # boundary row: H[0, j] = -j * gap (column j is buffer index j-1)
+        yoko_ref[:] = -col1 * gap32
 
     n_chunks = m // CHUNK
     n_rowgrps = n // ROWS
@@ -70,34 +78,82 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *, n, m, match,
         qrow = [q_ref[ia + r][None] for r in range(ROWS)]
 
         def chunk_body(jc, carry):
-            hl, din, best = carry
-            hl, din = list(hl), list(din)
+            if affine:
+                hl, el, din, best = carry
+                hl, el, din = list(hl), list(el), list(din)
+            else:
+                hl, din, best = carry
+                hl, din = list(hl), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]
             prev = yoko_ref[pl.ds(j0, CHUNK)]
+            if affine:
+                prev_f = yf_ref[pl.ds(j0, CHUNK)]
 
             for r in range(ROWS):
                 diag = _shift_down(prev, din[r])
                 s = jnp.where(qrow[r] == t, match32, mm32)
                 pre = diag + s
-                # fused serial chain (vertical gap rides in the chain)
                 h = hl[r]
                 hs = []
-                for k in range(CHUNK):
-                    h = jnp.maximum(
-                        _at(pre, k),
-                        jnp.maximum(_at(prev, k), h) - gap32,
-                    )
-                    hs.append(h)
+                if affine:
+                    # Gotoh: F chunk-wide, E in the serial chain. Endpoint
+                    # tracking stays on pre: an E/F-derived H is strictly
+                    # below its predecessor (go, ge > 0), so the global
+                    # max sits at a cell where H == diag + s.
+                    f = jnp.maximum(prev_f - ge32, prev - go32)
+                    pre2 = jnp.maximum(pre, f)
+                    e = el[r]
+                    for k in range(CHUNK):
+                        e = jnp.maximum(e - ge32, h - go32)
+                        h = jnp.maximum(_at(pre2, k), e)
+                        hs.append(h)
+                    el[r] = e
+                else:
+                    # fused serial chain (vertical gap rides in the chain)
+                    for k in range(CHUNK):
+                        h = jnp.maximum(
+                            _at(pre, k),
+                            jnp.maximum(_at(prev, k), h) - gap32,
+                        )
+                        hs.append(h)
                 hl[r] = h
                 best = track(best, pre, ia + r + 1, j0)
                 din[r] = _last(prev)
                 prev = jnp.stack(hs)
+                if affine:
+                    prev_f = f
 
             yoko_ref[pl.ds(j0, CHUNK)] = prev
+            if affine:
+                yf_ref[pl.ds(j0, CHUNK)] = prev_f
+                return (tuple(hl), tuple(el), tuple(din), best)
             return (tuple(hl), tuple(din), best)
 
         # column-0 boundary values for this row group (1-based row ia+r+1)
+        if affine:
+            hl0 = tuple(
+                jnp.full((SUB, LANE), -go, jnp.int32)
+                - (ia + r) * jnp.int32(ge)
+                for r in range(ROWS)
+            )
+            el0 = tuple(
+                jnp.full((SUB, LANE), MINF, jnp.int32) for _ in range(ROWS)
+            )
+            # diag head = H[ia+r, 0]: 0 for the origin, else the gap chain
+            din0 = tuple(
+                jnp.full((SUB, LANE), 1, jnp.int32)
+                * jnp.where(
+                    ia + r == 0,
+                    0,
+                    -jnp.int32(go) - (ia + r - 1) * jnp.int32(ge),
+                )
+                for r in range(ROWS)
+            )
+            out = jax.lax.fori_loop(
+                0, n_chunks, chunk_body, (hl0, el0, din0, best)
+            )
+            return out[-1]
         hl0 = tuple(
             jnp.full((SUB, LANE), -(ia + r + 1) * gap, jnp.int32)
             for r in range(ROWS)
@@ -118,17 +174,23 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *, n, m, match,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "m", "match", "mismatch", "gap")
+    jax.jit,
+    static_argnames=("n", "m", "match", "mismatch", "gap", "go", "ge"),
 )
-def _semiglobal_pallas_impl(qsT, tsT, n, m, match, mismatch, gap):
+def _semiglobal_pallas_impl(qsT, tsT, n, m, match, mismatch, gap,
+                            go=None, ge=None):
     T = qsT.shape[0] // n
     shp = jax.ShapeDtypeStruct((T, CHUNK, SUB, LANE), jnp.int32)
     spec = pl.BlockSpec(
         (1, CHUNK, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    scratch = [pltpu.VMEM((m, SUB, LANE), jnp.int32)]
+    if go is not None:
+        scratch.append(pltpu.VMEM((m, SUB, LANE), jnp.int32))
     return pl.pallas_call(
         functools.partial(
-            _kernel, n=n, m=m, match=match, mismatch=mismatch, gap=gap
+            _kernel, n=n, m=m, match=match, mismatch=mismatch, gap=gap,
+            go=go, ge=ge,
         ),
         out_shape=(shp, shp, shp),
         grid=(T,),
@@ -141,7 +203,7 @@ def _semiglobal_pallas_impl(qsT, tsT, n, m, match, mismatch, gap):
             ),
         ],
         out_specs=(spec, spec, spec),
-        scratch_shapes=[pltpu.VMEM((m, SUB, LANE), jnp.int32)],
+        scratch_shapes=scratch,
     )(qsT, tsT)
 
 
@@ -167,8 +229,11 @@ def _reduce_endpoints(bv, bi, bj0, n, m):
     )
 
 
-def semiglobal_batch_pallas(qs, ts, match=1, mismatch=1, gap=1):
-    """Batched semi-global scores + endpoints (Pallas fast path).
+def semiglobal_batch_pallas(
+    qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None
+):
+    """Batched semi-global scores + endpoints (Pallas fast path),
+    linear or affine (gap_open != gap_extend) gaps.
 
     qs: [B, n], ts: [B, m] uint8, fixed lengths (n % 8 == 0, m % 16 == 0,
     B % 1024 == 0 — use the XLA engine or bucketing otherwise).
@@ -176,6 +241,9 @@ def semiglobal_batch_pallas(qs, ts, match=1, mismatch=1, gap=1):
     swtpu.kernels.xla.semiglobal_scan.semiglobal_batch_diag. `mismatch`
     is a positive penalty (scored as -mismatch).
     """
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None
+    affine = gap_open is not None
     B, n = qs.shape
     m = ts.shape[1]
     if B % TILE_PAIRS or n % ROWS or m % CHUNK:
@@ -185,7 +253,9 @@ def semiglobal_batch_pallas(qs, ts, match=1, mismatch=1, gap=1):
         )
     qsT, tsT = _prepare(jnp.asarray(qs), jnp.asarray(ts), n, m)
     bv, bi, bj0 = _semiglobal_pallas_impl(
-        qsT, tsT, n, m, int(match), -int(mismatch), int(gap)
+        qsT, tsT, n, m, int(match), -int(mismatch), int(gap),
+        go=int(gap_open) if affine else None,
+        ge=int(gap_extend) if affine else None,
     )
     score, ei, ej = _reduce_endpoints(bv, bi, bj0, n, m)
     # the H[0,0] = 0 start cell wins unless an interior cell STRICTLY

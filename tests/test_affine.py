@@ -289,3 +289,25 @@ def test_semiglobal_affine(rng):
     out = semiglobal_align_batch(qs, ts, gap_open=3, gap_extend=1)
     for b in range(B):
         assert out[b] == semiglobal_affine_full(qs[b], ts[b], 1, 1, 3, 1)
+
+
+def test_semiglobal_affine_pallas(rng):
+    """Pallas semi-global kernel, affine mode: score + endpoint parity."""
+    from swtpu.core import mutate
+    from swtpu.kernels.pallas.semiglobal_batch import semiglobal_batch_pallas
+    from swtpu.oracle.semiglobal import semiglobal_affine_full
+
+    B, n = 1024, 32  # one tile (interpret mode pays for the full tile)
+    qs = random_dna(rng, (B, n))
+    ts = np.stack([mutate(rng, q, out_len=n) for q in qs])
+    with pltpu.force_tpu_interpret_mode():
+        sc, ei, ej = (
+            np.asarray(x)
+            for x in semiglobal_batch_pallas(
+                qs, ts, gap_open=3, gap_extend=1
+            )
+        )
+    for b in range(0, B, 137):
+        osc, opath = semiglobal_affine_full(qs[b], ts[b], 1, 1, 3, 1)
+        assert sc[b] == osc
+        assert (ei[b], ej[b]) == opath[-1]
