@@ -107,3 +107,18 @@ def test_cli_banded_fixed():
         ["banded", "--random", "2x100x100", "--fixed", "--bandwidth", "16"]
     )
     assert all("score" in r for r in recs)
+
+
+def test_cli_protein_search(tmp_path):
+    rng = np.random.default_rng(7)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    mk = lambda L: "".join(aa[i] for i in rng.integers(0, 20, L))
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text("".join(f">q{i}\n{mk(32)}\n" for i in range(2)))
+    tf.write_text("".join(f">t{i}\n{mk(40)}\n" for i in range(8)))
+    recs = _run(
+        ["search", "--queries", str(qf), "--targets", str(tf),
+         "--alphabet", "protein", "--gap", "11", "--topk", "2",
+         "--chunk", "4"]
+    )
+    assert len(recs) == 2 and all(len(r["hits"]) == 2 for r in recs)

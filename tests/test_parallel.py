@@ -99,3 +99,27 @@ def test_chunk_retry_on_transient_failure(rng):
     good = lambda q, t: sw_batch_diag(q, t, DNA_111)
     s2, i2 = all_vs_all_topk(Q, T, DNA_111, k=3, chunk_size=8, engine=good)
     assert np.array_equal(s, s2) and np.array_equal(i, i2)
+
+
+def test_search_affine_scoring(rng):
+    """all_vs_all_topk with Gotoh params: best_engine routes the affine
+    scorer; hits match a brute-force affine rescore."""
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle.affine import sw_affine_score_batch
+
+    params = ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
+    Q = random_dna(rng, (4, 40))
+    T = random_dna(rng, (16, 40))
+    scores, ids = all_vs_all_topk(Q, T, params, k=3, chunk_size=8)
+    ref = np.stack(
+        [
+            sw_affine_score_batch(np.repeat(Q[i : i + 1], len(T), 0), T, params)
+            for i in range(len(Q))
+        ]
+    )
+    rids = np.arange(len(T))[None, :].repeat(len(Q), 0)
+    order = np.lexsort((rids, -ref), axis=1)[:, :3]
+    assert np.array_equal(ids, order)
+    assert np.array_equal(
+        scores, np.take_along_axis(ref, order, axis=1).astype(np.int32)
+    )
