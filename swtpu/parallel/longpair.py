@@ -14,7 +14,10 @@ Tile internals use an anti-diagonal scan with explicit boundary-row/column
 I/O so tiles compose exactly; the composed score is bit-equal to the
 single-device oracle (tested on the virtual CPU mesh per SURVEY.md §4.7).
 
-Linear gap, match/mismatch scoring (the reference's model).
+Uniform match/mismatch scoring; linear AND affine (Gotoh) gaps — in the
+affine mode the F (vertical-gap) state crosses strip boundaries, so the
+inter-device exchange carries stacked (H, F) rows, while the E
+(horizontal-gap) state crosses column blocks and stays device-local.
 """
 
 from __future__ import annotations
@@ -119,6 +122,104 @@ def _tile_scan(q, t, top_row, left_col, corner, match, mismatch, gap):
     return bottom_row, right_col, best
 
 
+def _tile_scan_affine(
+    q, t, top_row, top_row_f, left_col, left_col_e, corner,
+    match, mismatch, go, ge,
+):
+    """One R x C tile of AFFINE (Gotoh) local SW with explicit boundaries.
+
+    Extra boundary state vs _tile_scan: top_row_f [C] = F of the row
+    above (F crosses strip boundaries, so it rides the inter-device
+    exchange with H), left_col_e [R] = E of the column to the left (E
+    crosses block boundaries, carried device-locally). Returns
+    (bottom_row, bottom_row_f, right_col, right_col_e, best).
+    """
+    R, C = q.shape[0], t.shape[0]
+    iota = jnp.arange(R + 1)
+    q_slot = jnp.concatenate([jnp.array([6], jnp.int32), q])
+    t_rev_pad = jnp.concatenate(
+        [
+            jnp.full((R + 1,), 7, jnp.int32),
+            t[::-1],
+            jnp.full((R + 1,), 7, jnp.int32),
+        ]
+    )
+    left_ext = jnp.concatenate([corner[None], left_col])
+    left_ext_e = jnp.concatenate(
+        [jnp.array([NEGB], jnp.int32), left_col_e]
+    )
+    top_ext = jnp.concatenate([corner[None], top_row])
+    top_ext_pad = jnp.concatenate(
+        [top_ext, jnp.full((R + 2,), NEGB, jnp.int32)]
+    )
+    top_f_ext = jnp.concatenate([jnp.array([NEGB], jnp.int32), top_row_f])
+    top_f_pad = jnp.concatenate(
+        [top_f_ext, jnp.full((R + 2,), NEGB, jnp.int32)]
+    )
+
+    def step(carry, d):
+        prev1, prev2, f_prev1, e_prev1, best = carry
+        off = C - d + R + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
+        s = jnp.where((q_slot == t_diag) & (q_slot < 4), match, mismatch)
+
+        shift1 = lambda x: jnp.concatenate(
+            [jnp.array([NEGB], jnp.int32), x[:-1]]
+        )
+        diag_n = shift1(prev2)
+        upper_n = shift1(prev1)
+        upper_f = shift1(f_prev1)
+        left_n = prev1
+        left_e = e_prev1
+        is_j1 = iota == (d - 1)
+        left_n = jnp.where(is_j1, left_ext, left_n)
+        left_e = jnp.where(is_j1, left_ext_e, left_e)
+        diag_n = jnp.where(is_j1, shift1(left_ext), diag_n)
+        e_cur = jnp.maximum(left_e - ge, left_n - go)
+        f_cur = jnp.maximum(upper_f - ge, upper_n - go)
+        cur = jnp.maximum(
+            jnp.maximum(diag_n + s, jnp.maximum(e_cur, f_cur)),
+            0,
+        )
+        top_d = jax.lax.dynamic_index_in_dim(
+            top_ext_pad, jnp.minimum(d, C + R + 1), keepdims=False
+        )
+        top_f_d = jax.lax.dynamic_index_in_dim(
+            top_f_pad, jnp.minimum(d, C + R + 1), keepdims=False
+        )
+        cur = jnp.where(iota == 0, top_d, cur)
+        f_cur = jnp.where(iota == 0, top_f_d, f_cur)
+        j_of = d - iota
+        outside = (iota > 0) & ((j_of < 1) | (j_of > C))
+        cur = jnp.where(outside, NEGB, cur)
+        f_cur = jnp.where(outside, NEGB, f_cur)
+        e_cur = jnp.where(outside, NEGB, e_cur)
+        best = jnp.maximum(best, jnp.where(iota > 0, cur, NEGB).max())
+        bottom = jax.lax.dynamic_index_in_dim(cur, R, keepdims=False)
+        bottom_f = jax.lax.dynamic_index_in_dim(f_cur, R, keepdims=False)
+        right = jax.lax.dynamic_index_in_dim(
+            cur, jnp.clip(d - C, 0, R), keepdims=False
+        )
+        right_e = jax.lax.dynamic_index_in_dim(
+            e_cur, jnp.clip(d - C, 0, R), keepdims=False
+        )
+        return (cur, prev1, f_cur, e_cur, best), (
+            bottom, bottom_f, right, right_e,
+        )
+
+    init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
+    (_, _, _, _, best), (bots, bots_f, rights, rights_e) = jax.lax.scan(
+        step,
+        (init_vec, init_vec, init_vec, init_vec, jnp.int32(0)),
+        jnp.arange(1, R + C + 1),
+    )
+    bottom_row = jax.lax.dynamic_slice_in_dim(bots, R, C)
+    bottom_row_f = jax.lax.dynamic_slice_in_dim(bots_f, R, C)
+    right_col = jax.lax.dynamic_slice_in_dim(rights, C, R)
+    right_col_e = jax.lax.dynamic_slice_in_dim(rights_e, C, R)
+    return bottom_row, bottom_row_f, right_col, right_col_e, best
+
+
 def tile_sw_reference(q, t, top_row, left_col, corner, match, mismatch, gap):
     """numpy mirror of _tile_scan for unit tests."""
     R, C = len(q), len(t)
@@ -198,6 +299,82 @@ def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
     return fn(q)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "go", "ge", "block", "mesh",
+                     "axis"),
+)
+def _longpair_affine_impl(q, t, match, mismatch, go, ge, block, mesh, axis):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    R = q.shape[0] // n_dev
+    C = block
+    n_blocks = t.shape[0] // C
+    n_steps = n_blocks + n_dev - 1
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def per_device(q_strip):
+        q_strip = q_strip.reshape(-1).astype(jnp.int32)
+        my = jax.lax.axis_index(axis)
+        tt = t.astype(jnp.int32)
+        zero_c = jnp.zeros((C,), jnp.int32)
+        zero_r = jnp.zeros((R,), jnp.int32)
+        negb_c = jnp.full((C,), NEGB, jnp.int32)
+        negb_r = jnp.full((R,), NEGB, jnp.int32)
+
+        def step(carry, s):
+            top_in, prev_top_last, left_col, left_col_e, best = carry
+            b = s - my
+            active = (b >= 0) & (b < n_blocks)
+            bsafe = jnp.clip(b, 0, n_blocks - 1)
+            t_block = jax.lax.dynamic_slice_in_dim(tt, bsafe * C, C)
+            top = jnp.where(my == 0, zero_c, top_in[0])
+            top_f = jnp.where(my == 0, negb_c, top_in[1])
+            left = jnp.where(b == 0, zero_r, left_col)
+            left_e = jnp.where(b == 0, negb_r, left_col_e)
+            corner = jnp.where(
+                (my == 0) | (b == 0), jnp.int32(0), prev_top_last
+            )
+            bot, bot_f, right, right_e, tile_best = _tile_scan_affine(
+                q_strip, t_block, top, top_f, left, left_e, corner,
+                jnp.int32(match), jnp.int32(mismatch),
+                jnp.int32(go), jnp.int32(ge),
+            )
+            best = jnp.where(active, jnp.maximum(best, tile_best), best)
+            left_new = jnp.where(active, right, left_col)
+            left_e_new = jnp.where(active, right_e, left_col_e)
+            ptl_new = jnp.where(active, top[C - 1], prev_top_last)
+            send = jnp.where(
+                active, jnp.stack([bot, bot_f]), jnp.stack([zero_c, negb_c])
+            )
+            top_next = jax.lax.ppermute(send, axis, perm)
+            return (top_next, ptl_new, left_new, left_e_new, best), None
+
+        (_, _, _, _, best), _ = jax.lax.scan(
+            step,
+            (
+                jnp.stack([zero_c, negb_c]),
+                jnp.int32(0),
+                zero_r,
+                negb_r,
+                jnp.int32(0),
+            ),
+            jnp.arange(n_steps),
+        )
+        return jax.lax.pmax(best, axis)[None]
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(q)
+
+
 def longpair_sw_score(
     q: np.ndarray,
     t: np.ndarray,
@@ -214,9 +391,22 @@ def longpair_sw_score(
     from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
 
     mm = _uniform_match_mismatch(params)
-    if mm is None or not params.is_linear:
-        raise NotImplementedError("longpair: linear match/mismatch only")
+    if mm is None:
+        raise NotImplementedError("longpair: uniform match/mismatch only")
     match, mismatch = mm
+    if not params.is_linear:
+        out = _longpair_affine_impl(
+            jnp.asarray(q, dtype=jnp.int32),
+            jnp.asarray(t, dtype=jnp.int32),
+            match,
+            mismatch,
+            int(params.gap_open),
+            int(params.gap_extend),
+            block,
+            mesh,
+            axis,
+        )
+        return int(np.asarray(out).max())
     out = _longpair_impl(
         jnp.asarray(q, dtype=jnp.int32),
         jnp.asarray(t, dtype=jnp.int32),

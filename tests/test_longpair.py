@@ -50,3 +50,21 @@ def test_longpair_rectangular(rng):
     t = rng.integers(0, 4, 640).astype(np.uint8)
     got = longpair_sw_score(q, t, DNA_111, mesh, block=64)
     assert got == sw_score(q, t, DNA_111)
+
+
+def test_longpair_affine_sharded_score(rng):
+    """Affine (Gotoh) longpair: F rides the strip exchange, E the block
+    carry; sharded score == single-device affine oracle."""
+    from swtpu.core import mutate
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle.affine import sw_affine_score
+
+    mesh = make_mesh(8, axis="sp")
+    for params in (
+        ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15),
+        ScoringParams(dna_matrix(1, -1), gap_open=3, gap_extend=1),
+    ):
+        q = rng.integers(0, 4, 256).astype(np.uint8)
+        t = mutate(rng, q, out_len=256)
+        got = longpair_sw_score(q, t, params, mesh, block=64)
+        assert got == sw_affine_score(q, t, params)
