@@ -203,6 +203,54 @@ def banded_traceback(
     return path
 
 
+def banded_static_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    params,
+    bandwidth: int = 32,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Batched fixed-band alignment with traceback (|i - j| <= W).
+
+    Device computes the scores (issue-bound fixed-band kernel on TPU);
+    the host recomputes the corridor per pair to walk the path (C++ when
+    available). Output bit-equal to
+    swtpu.oracle.banded_static.sw_banded_static_traceback.
+    """
+    import jax
+
+    from swtpu import native
+    from swtpu.oracle.banded_static import (
+        sw_banded_static_score_batch,
+        sw_banded_static_traceback,
+    )
+
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+
+        scores = np.asarray(
+            sw_banded_static_pallas(qs, ts, params, bandwidth)
+        )
+    else:
+        scores = sw_banded_static_score_batch(qs, ts, params, bandwidth)
+    if native.available():
+        walker = lambda q, t: native.banded_static_traceback(
+            q, t, params.matrix, params.gap_open, params.gap_extend,
+            bandwidth,
+        )
+    else:
+        walker = lambda q, t: sw_banded_static_traceback(
+            q, t, params, bandwidth
+        )
+    out = []
+    for b in range(qs.shape[0]):
+        sc, path = walker(qs[b], ts[b])
+        assert sc == scores[b], (
+            f"device/host score mismatch at pair {b}: {scores[b]} vs {sc}"
+        )
+        out.append((sc, path))
+    return out
+
+
 def reconstruct_affine_bands(
     band_history: np.ndarray,
     pos_y: np.ndarray,

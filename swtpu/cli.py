@@ -139,6 +139,17 @@ def cmd_banded(args):
             if args.gap_open is not None
             else ScoringParams.linear(mat, args.gap)
         )
+        if args.traceback:
+            from swtpu.batch.traceback import banded_static_align_batch
+
+            out = banded_static_align_batch(
+                qs, ts, params, bandwidth=args.bandwidth
+            )
+            for name, (score, path) in zip(names, out):
+                print(
+                    json.dumps(dict(pair=name, score=score, path=path))
+                )
+            return
         if jax.devices()[0].platform == "tpu":
             from swtpu.kernels.pallas.sw_banded import (
                 sw_banded_static_pallas,

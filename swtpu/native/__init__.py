@@ -61,6 +61,10 @@ def _get_lib():
         lib.sw_unpack_2bit.argtypes = [i8p, i64, i8p]
         lib.sw_traceback.restype = i64
         lib.sw_traceback.argtypes = [i8p, i64, i8p, i64, i32p, i32, i32p, i32p]
+        lib.banded_static_traceback.restype = i64
+        lib.banded_static_traceback.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32, i32, i32, i32, i32p, i32p,
+        ]
         lib.sw_affine_traceback.restype = i64
         lib.sw_affine_traceback.argtypes = [
             i8p, i64, i8p, i64, i32p, i32, i32, i32, i32p, i32p,
@@ -134,6 +138,34 @@ def sw_traceback(
     )
     if ln < 0:
         raise AssertionError("inconsistent native traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return int(score.value), [tuple(map(int, p)) for p in pairs]
+
+
+def banded_static_traceback(
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    bandwidth: int = 32,
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """Fixed-band walk (linear when gap_open == gap_extend, else Gotoh)."""
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    mat, mp = _i32(matrix.reshape(-1))
+    path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    score = ctypes.c_int32(0)
+    ln = lib.banded_static_traceback(
+        qp, len(q), tp, len(t), mp, int(A), int(gap_open),
+        int(gap_extend), int(bandwidth), pp, ctypes.byref(score),
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native fixed-band traceback")
     pairs = path[: 2 * ln].reshape(-1, 2)
     return int(score.value), [tuple(map(int, p)) for p in pairs]
 

@@ -191,6 +191,138 @@ int64_t sw_affine_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
   return len;
 }
 
+// ------------------------------- fixed-band local SW with traceback ------
+
+// Fixed diagonal corridor |i - j| <= W (swtpu/oracle/banded_static.py
+// semantics). Dense recompute over the corridor in skewed storage
+// (row i, slot k = j - i + W, 2W+1 slots), then the family's walk:
+// diag -> up -> left (linear, gap_open == gap_extend) or the Gotoh
+// three-state diag -> F -> E (affine). matrix: [A*A] int32 row-major.
+int64_t banded_static_traceback(const uint8_t* q, int64_t n,
+                                const uint8_t* t, int64_t m,
+                                const int32_t* matrix, int32_t A,
+                                int32_t gap_open, int32_t gap_extend,
+                                int32_t W, int32_t* path_out,
+                                int32_t* out_score) {
+  const int32_t NEG = -(1 << 29);
+  const bool affine = gap_open != gap_extend;
+  const int64_t KB = 2 * (int64_t)W + 1;
+  std::vector<int32_t> H((n + 1) * KB, NEG);
+  std::vector<int32_t> E, F;
+  if (affine) {
+    E.assign((n + 1) * KB, NEG);
+    F.assign((n + 1) * KB, NEG);
+  }
+  auto slot = [&](int64_t i, int64_t j) { return i * KB + (j - i + W); };
+  auto in_band = [&](int64_t i, int64_t j) {
+    return j >= i - W && j <= i + W && j >= 0 && j <= m && i >= 0 && i <= n;
+  };
+  auto h_at = [&](int64_t i, int64_t j) {
+    return in_band(i, j) ? H[slot(i, j)] : NEG;
+  };
+  auto e_at = [&](int64_t i, int64_t j) {
+    return in_band(i, j) ? E[slot(i, j)] : NEG;
+  };
+  auto f_at = [&](int64_t i, int64_t j) {
+    return in_band(i, j) ? F[slot(i, j)] : NEG;
+  };
+  for (int64_t j = 0; j <= std::min<int64_t>(W, m); ++j) H[slot(0, j)] = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    if (i - W <= 0) H[slot(i, 0)] = 0;
+  }
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    const int32_t* srow = matrix + (int64_t)q[i - 1] * A;
+    const int64_t j_lo = std::max<int64_t>(1, i - W);
+    const int64_t j_hi = std::min<int64_t>(m, i + W);
+    for (int64_t j = j_lo; j <= j_hi; ++j) {
+      const int32_t s = srow[t[j - 1]];
+      int32_t v;
+      if (affine) {
+        const int32_t e =
+            std::max(e_at(i, j - 1) - gap_extend, h_at(i, j - 1) - gap_open);
+        const int32_t f =
+            std::max(f_at(i - 1, j) - gap_extend, h_at(i - 1, j) - gap_open);
+        E[slot(i, j)] = e;
+        F[slot(i, j)] = f;
+        v = std::max(0, h_at(i - 1, j - 1) + s);
+        v = std::max(v, std::max(e, f));
+      } else {
+        v = std::max(0, h_at(i - 1, j - 1) + s);
+        v = std::max(v, h_at(i - 1, j) - gap_extend);
+        v = std::max(v, h_at(i, j - 1) - gap_extend);
+      }
+      H[slot(i, j)] = v;
+      if (v > best) {
+        best = v;
+        bi = i;
+        bj = j;
+      }
+    }
+  }
+  *out_score = best;
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)bi;
+  path_out[2 * len + 1] = (int32_t)bj;
+  ++len;
+  int64_t i = bi, j = bj;
+  int st = 0;
+  while (i || j) {
+    if (st == 0) {
+      const int32_t v = h_at(i, j);
+      if (v == 0) break;
+      const int32_t s =
+          (i && j) ? matrix[(int64_t)q[i - 1] * A + t[j - 1]] : 0;
+      if (i && j && h_at(i - 1, j - 1) > NEG / 2 &&
+          v == h_at(i - 1, j - 1) + s) {
+        --i;
+        --j;
+      } else if (affine && v == f_at(i, j)) {
+        st = 2;
+        continue;
+      } else if (affine && v == e_at(i, j)) {
+        st = 1;
+        continue;
+      } else if (!affine && i && v == h_at(i - 1, j) - gap_extend) {
+        --i;
+      } else if (!affine && j && v == h_at(i, j - 1) - gap_extend) {
+        --j;
+      } else {
+        return -1;
+      }
+    } else if (st == 1) {
+      const int32_t v = e_at(i, j);
+      if (j && v == h_at(i, j - 1) - gap_open) {
+        --j;
+        st = 0;
+      } else if (j && v == e_at(i, j - 1) - gap_extend) {
+        --j;
+      } else {
+        return -1;
+      }
+    } else {
+      const int32_t v = f_at(i, j);
+      if (i && v == h_at(i - 1, j) - gap_open) {
+        --i;
+        st = 0;
+      } else if (i && v == f_at(i - 1, j) - gap_extend) {
+        --i;
+      } else {
+        return -1;
+      }
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
 // ------------------------------------------- semi-global with traceback --
 
 // Full-matrix semi-global (no zero floor, start at (0,0), end at argmax).

@@ -80,3 +80,27 @@ def test_overflow_promotion(rng):
     assert promoted.any() and not promoted.all()
     # every non-promoted score was provably exact in bf16
     assert (scores[~promoted] < 255).all()
+
+
+def test_banded_static_align_batch(rng):
+    """Fixed-band device scores + host corridor walk; path rescans to
+    its own score."""
+    from swtpu.batch.traceback import banded_static_align_batch
+    from swtpu.oracle.banded_static import sw_banded_static_traceback
+
+    B, n = 4, 80
+    qs = random_dna(rng, (B, n))
+    ts = np.stack([mutate(rng, q, out_len=n) for q in qs])
+    out = banded_static_align_batch(qs, ts, DNA_111, bandwidth=16)
+    for b in range(B):
+        sc, path = sw_banded_static_traceback(qs[b], ts[b], DNA_111, 16)
+        assert out[b] == (sc, path)
+        s = 0
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            d = (i1 - i0, j1 - j0)
+            s += (
+                (1 if qs[b][i1 - 1] == ts[b][j1 - 1] else -1)
+                if d == (1, 1)
+                else -1
+            )
+        assert s == sc

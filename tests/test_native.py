@@ -79,3 +79,17 @@ def test_native_banded_affine_walker(rng):
             1,
         )
         assert path == res.path
+
+
+def test_native_banded_static_walker(rng):
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle.banded_static import sw_banded_static_traceback
+
+    AFF = ScoringParams(dna_matrix(1, -1), gap_open=3, gap_extend=1)
+    for params in (DNA_111, AFF):
+        for _ in range(3):
+            q = random_dna(rng, (120,))
+            t = mutate(rng, q, out_len=120)
+            assert native.banded_static_traceback(
+                q, t, params.matrix, params.gap_open, params.gap_extend, 16
+            ) == sw_banded_static_traceback(q, t, params, 16)
