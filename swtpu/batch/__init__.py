@@ -2,6 +2,9 @@ from swtpu.batch.traceback import (  # noqa: F401
     sw_align_batch,
     semiglobal_align_batch,
     banded_align_batch,
+    banded_static_align_batch,
+    banded_affine_traceback,
+    reconstruct_affine_bands,
 )
 from swtpu.batch.bucketing import sw_scores_bucketed, bucket_edges  # noqa: F401
 from swtpu.batch.promote import sw_scores_promoted  # noqa: F401

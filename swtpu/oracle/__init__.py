@@ -12,5 +12,17 @@ from swtpu.oracle.sw import (  # noqa: F401
 )
 from swtpu.oracle.semiglobal import (  # noqa: F401
     semiglobal_full,
+    semiglobal_affine_full,
     banded_xdrop,
+)
+from swtpu.oracle.affine import (  # noqa: F401
+    sw_affine_score,
+    sw_affine_score_batch,
+    sw_affine_traceback,
+)
+from swtpu.oracle.banded_affine import banded_affine_xdrop  # noqa: F401
+from swtpu.oracle.banded_static import (  # noqa: F401
+    sw_banded_static_score,
+    sw_banded_static_score_batch,
+    sw_banded_static_traceback,
 )

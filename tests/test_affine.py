@@ -311,3 +311,20 @@ def test_semiglobal_affine_pallas(rng):
         osc, opath = semiglobal_affine_full(qs[b], ts[b], 1, 1, 3, 1)
         assert sc[b] == osc
         assert (ei[b], ej[b]) == opath[-1]
+
+
+def test_banded_affine_compressed_history_paths(rng):
+    """Affine banded + 8-bit compressed history: E/F reconstruction reads
+    through history_for, so paths stay bit-exact."""
+    from swtpu.batch import banded_align_batch
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    B = 3
+    qs, ts = _mutated_batch(rng, B, 160)
+    out = banded_align_batch(
+        qs, ts, gap_open=3, gap_extend=1, compress_history=True
+    )
+    for b in range(B):
+        assert out[b] == banded_affine_xdrop(
+            qs[b], ts[b], gap_open=3, gap_extend=1
+        )
