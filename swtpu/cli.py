@@ -329,6 +329,26 @@ def cmd_selftest(args):
             )
         )
 
+        from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+        from swtpu.oracle.banded_static import (
+            sw_banded_static_score_batch,
+        )
+
+        dev = np.asarray(
+            sw_banded_static_pallas(bq, bt, DNA_10_30_15, bandwidth=32)
+        )
+        checks.append(
+            (
+                "fixed_band_vs_oracle",
+                np.array_equal(
+                    dev,
+                    sw_banded_static_score_batch(
+                        bq, bt, DNA_10_30_15, 32
+                    ).astype(np.int32),
+                ),
+            )
+        )
+
     ok_all = True
     for name, ok in checks:
         ok = bool(ok)
