@@ -3,9 +3,10 @@
 A brand-new JAX / XLA / Pallas framework with the capabilities of the
 ``eukaryo/smith-waterman-simd`` reference (C++/AVX2, ``/root/reference/source.cpp``):
 
-- exact local (Smith-Waterman) and semi-global pairwise DNA alignment,
-  linear-gap scoring with a runtime 4x4 substitution matrix
-  (reference oracle: source.cpp:35-60),
+- exact local (Smith-Waterman) and semi-global pairwise alignment with
+  traceback, linear and affine (Gotoh) gaps in every engine family,
+  runtime substitution matrices (4x4 DNA, reference oracle
+  source.cpp:35-60; BLOSUM62 protein),
 - inter-pair *batch* DP kernels (the reference's fastest family,
   source.cpp:1227-1522) re-designed for the TPU VPU: batch on lanes,
   row-scan in time,
@@ -13,8 +14,11 @@ A brand-new JAX / XLA / Pallas framework with the capabilities of the
   as the alternate schedule for single long pairs,
 - adaptive-banded X-drop semi-global alignment with traceback
   (source.cpp:1836-2725): device forward pass, host traceback,
-- 8/16/32-bit precision tiers with overflow promotion,
-- pod-scale data-parallel batch engine via jax.sharding / shard_map.
+- fixed-band (static diagonal corridor) local alignment at the
+  issue-bound rate, with traceback,
+- 8/16/32-bit precision tiers with runtime overflow promotion,
+- pod-scale data-parallel batch engine and sequence-parallel single-pair
+  striping via jax.sharding / shard_map.
 
 Everything is validated by fixed-seed randomized differential testing
 against scalar oracles, mirroring the reference's harness strategy

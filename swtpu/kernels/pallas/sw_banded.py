@@ -66,8 +66,9 @@ NEG_EF = -(2**29)  # dead E/F for the affine chain
 
 
 def _kernel(q_ref, t_ref, out_ref, yoko_ref, *rest, n, W, WCOLS, match,
-            mismatch, gap, go=None, ge=None):
+            mismatch, gap, go=None, ge=None, planes=None):
     affine = go is not None
+    profile = planes is not None
     if affine:
         (yf_ref,) = rest
         go32, ge32 = jnp.int32(go), jnp.int32(ge)
@@ -87,19 +88,53 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *rest, n, W, WCOLS, match,
     # j0 and r are unrolled, so each compare is a compile-time vector)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, SUB, LANE), 0)
 
+    def lookup(planes_vals, bits, sh):
+        # packed-plane select tree + byte extract (see sw_profile.py)
+        vals = list(planes_vals)
+        level = 0
+        while len(vals) > 1:
+            b = bits[level]
+            nxt = []
+            for j in range(0, len(vals) - 1, 2):
+                nxt.append(jnp.where(b, vals[j + 1], vals[j]))
+            if len(vals) % 2:
+                nxt.append(vals[-1])
+            vals = nxt
+            level += 1
+        v = jax.lax.shift_right_logical(vals[0], sh)
+        return ((v & 0xFF) ^ 0x80) - 0x80
+
     def row_body(ig, best_c):
         ia = ig * ROWS
-        qrow = [q_ref[ia + r][None] for r in range(ROWS)]
+        if profile:
+            qrow = [
+                [q_ref[ia + r, g][None] for g in range(planes)]
+                for r in range(ROWS)
+            ]
+        else:
+            qrow = [q_ref[ia + r][None] for r in range(ROWS)]
 
         # static unroll over chunks: the band mask is static in (r, k)
         hl = [zero] * ROWS
         el = [negs] * ROWS if affine else None
         din = [zero] * ROWS
+        # Row r=0's left-band-edge diagonal is the PREVIOUS group's last
+        # row at old window coord ROWS-1 — one slot before the first
+        # up-read — not the dead 0 the other rows get (their left-edge
+        # diagonal is the masked out-of-band slot of row r-1). Missing
+        # this drops paths that hug the left band edge across a row-group
+        # boundary (caught by a protein-scoring parity test).
+        din[0] = yoko_ref[ROWS - 1]
         for jc in range(n_chunks):
             j0 = jc * CHUNK
             # t chars for columns [ia - W + j0, +CHUNK): padded t row x
             # holds t[x - W], so the slice starts at ia + j0
             t = t_ref[pl.ds(ia + j0, CHUNK)]
+            if profile:
+                sh = (t & 3) << 3
+                tpb = t >> 2
+                n_bits = max(1, (planes - 1).bit_length())
+                bits = [(tpb & (1 << k)) != 0 for k in range(n_bits)]
             # lagged boundary read: previous group's window coords
             prev = yoko_ref[pl.ds(j0 + ROWS, CHUNK)]
             if affine:
@@ -108,7 +143,10 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *rest, n, W, WCOLS, match,
             pres = []
             for r in range(ROWS):
                 diag = _shift_down(prev, din[r])
-                s = jnp.where(qrow[r] == t, match32, mm32)
+                if profile:
+                    s = lookup(qrow[r], bits, sh)
+                else:
+                    s = jnp.where(qrow[r] == t, match32, mm32)
                 if affine:
                     # Gotoh: F chunk-wide off the previous row, E in the
                     # serial chain. Dead slots hold h = 0 / f <= -go /
@@ -173,26 +211,34 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *rest, n, W, WCOLS, match,
 
 @functools.partial(
     jax.jit, static_argnames=("n", "TL", "W", "WCOLS", "match", "mismatch",
-                              "gap", "go", "ge")
+                              "gap", "go", "ge", "planes")
 )
 def _sw_banded_impl(qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap,
-                    go=None, ge=None):
-    T = qsT.shape[0] // n
+                    go=None, ge=None, planes=None):
+    T = tsT.shape[0] // TL
     scratch = [pltpu.VMEM((WCOLS + ROWS, SUB, LANE), jnp.int32)]
     if go is not None:
         scratch.append(pltpu.VMEM((WCOLS + ROWS, SUB, LANE), jnp.int32))
+    q_spec = (
+        pl.BlockSpec(
+            (n, planes, SUB, LANE), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if planes is not None
+        else pl.BlockSpec(
+            (n, SUB, LANE), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
     return pl.pallas_call(
         functools.partial(
             _kernel, n=n, W=W, WCOLS=WCOLS, match=match,
-            mismatch=mismatch, gap=gap, go=go, ge=ge,
+            mismatch=mismatch, gap=gap, go=go, ge=ge, planes=planes,
         ),
         out_shape=jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(
-                (n, SUB, LANE), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            q_spec,
             pl.BlockSpec(
                 (TL, SUB, LANE), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -262,5 +308,84 @@ def sw_banded_static_pallas(qs, ts, params: ScoringParams, bandwidth=32):
         qsT, tsT, n, TL, W, WCOLS, match, mismatch, gap,
         go=int(params.gap_open) if affine else None,
         ge=int(params.gap_extend) if affine else None,
+    )
+    return out.reshape(Bp)[:B]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "TL", "planes"))
+def _prepare_banded_profile(qs, tp, packed_tab, n, TL, planes):
+    """Packed query profile (sw_profile idiom) + banded t layout."""
+    B = qs.shape[0]
+    T = B // TILE_PAIRS
+    q32 = qs.astype(jnp.int32)[..., None]
+    prof = jnp.zeros((B, n, planes), jnp.int32)
+    for a in range(packed_tab.shape[0]):
+        prof = jnp.where(q32 == a, packed_tab[a], prof)
+    profT = (
+        prof.reshape(T, SUB, LANE, n, planes)
+        .transpose(0, 3, 4, 1, 2)
+        .reshape(T * n, planes, SUB, LANE)
+    )
+    tsT = (
+        tp.reshape(T, SUB, LANE, TL)
+        .transpose(0, 3, 1, 2)
+        .astype(jnp.int32)
+        .reshape(T * TL, SUB, LANE)
+    )
+    return profT, tsT
+
+
+def sw_banded_profile_pallas(qs, ts, params: ScoringParams, bandwidth=32):
+    """Batched fixed-band scores for GENERAL substitution matrices
+    (protein/BLOSUM62, non-uniform DNA), linear or affine gaps.
+
+    Same corridor contract as sw_banded_static_pallas; the score lookup
+    is the packed-profile idiom from sw_profile.py (plane select tree +
+    variable byte shift — still zero lane permutes). qs codes 0..A-1
+    (pad A), ts (pad A+1), A = params.alphabet_size.
+    """
+    from swtpu.kernels.pallas.sw_profile import _packed_table
+
+    affine = not params.is_linear
+    gap = int(params.gap_extend if affine else params.gap)
+    if gap <= 0:
+        raise NotImplementedError("dead-is-zero layout needs gap > 0")
+    packed_tab = _packed_table(params)
+    planes = packed_tab.shape[1]
+    A = params.alphabet_size
+    q_pad, t_pad = A, A + 1
+    W = int(bandwidth)
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), q_pad, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    WCOLS = -(-(2 * W + ROWS) // CHUNK) * CHUNK
+    TL = n + WCOLS
+    usable = min(m, TL - W)
+    tp = jnp.concatenate(
+        [
+            jnp.full((B, W), t_pad, ts.dtype),
+            ts[:, :usable],
+            jnp.full((B, TL - W - usable), t_pad, ts.dtype),
+        ],
+        axis=1,
+    )
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), q_pad, qs.dtype)])
+        tp = jnp.concatenate([tp, jnp.full((Bp - B, TL), t_pad, tp.dtype)])
+    profT, tsT = _prepare_banded_profile(
+        qs, tp, jnp.asarray(packed_tab), n, TL, planes
+    )
+    out = _sw_banded_impl(
+        profT, tsT, n, TL, W, WCOLS, 0, 0, gap,
+        go=int(params.gap_open) if affine else None,
+        ge=int(params.gap_extend) if affine else None,
+        planes=planes,
     )
     return out.reshape(Bp)[:B]

@@ -383,3 +383,53 @@ def test_fixed_band_pallas_affine(rng):
             )
         want = sw_banded_static_score_batch(qs, ts, params, bandwidth=W)
         assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_fixed_band_left_edge_crossing(rng):
+    """Adversarial: t = q[W:] puts the optimal path exactly on the left
+    band edge j = i - W, crossing every row-group boundary — the case
+    that exposed the din[0] group-boundary bug."""
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score_batch
+
+    W = 16
+    qq = random_dna(rng, (4, 64))
+    tt = qq[:, W:].copy()
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(
+            sw_banded_static_pallas(qq, tt, DNA_111, bandwidth=W)
+        )
+    want = sw_banded_static_score_batch(qq, tt, DNA_111, bandwidth=W)
+    assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_fixed_band_profile_protein(rng):
+    """General-matrix fixed band (packed-profile lookup): BLOSUM62 linear
+    + affine and a non-uniform DNA matrix, all vs the fixed-band oracle."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.kernels.pallas.sw_banded import sw_banded_profile_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score_batch
+
+    B, n = 4, 48
+    pq = rng.integers(0, 24, size=(B, n)).astype(np.uint8)
+    pt = rng.integers(0, 24, size=(B, n)).astype(np.uint8)
+    for params in (
+        ScoringParams.linear(BLOSUM62, 11),
+        ScoringParams(BLOSUM62, gap_open=11, gap_extend=1),
+    ):
+        with pltpu.force_tpu_interpret_mode():
+            dev = np.asarray(
+                sw_banded_profile_pallas(pq, pt, params, bandwidth=8)
+            )
+        want = sw_banded_static_score_batch(pq, pt, params, bandwidth=8)
+        assert np.array_equal(dev, want.astype(np.int32))
+    mat = dna_matrix(5, -4)
+    mat[0, 1] = mat[1, 0] = -2
+    dp_ = ScoringParams.linear(mat, 3)
+    q = random_dna(rng, (B, n))
+    t = random_dna(rng, (B, n))
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(sw_banded_profile_pallas(q, t, dp_, bandwidth=12))
+    want = sw_banded_static_score_batch(q, t, dp_, bandwidth=12)
+    assert np.array_equal(dev, want.astype(np.int32))
