@@ -225,11 +225,18 @@ def banded_static_align_batch(
     )
 
     if jax.devices()[0].platform == "tpu":
-        from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
-
-        scores = np.asarray(
-            sw_banded_static_pallas(qs, ts, params, bandwidth)
+        from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+        from swtpu.kernels.pallas.sw_banded import (
+            sw_banded_profile_pallas,
+            sw_banded_static_pallas,
         )
+
+        fwd = (
+            sw_banded_static_pallas
+            if _uniform_match_mismatch(params) is not None
+            else sw_banded_profile_pallas
+        )
+        scores = np.asarray(fwd(qs, ts, params, bandwidth))
     else:
         scores = sw_banded_static_score_batch(qs, ts, params, bandwidth)
     if native.available():

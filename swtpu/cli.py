@@ -125,20 +125,11 @@ def cmd_banded(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     match, mismatch = (int(x) for x in args.scoring.split(","))
     if args.fixed:
-        # fixed diagonal corridor |i-j| <= W: score-only, issue-bound
-        # engine (BASELINE configs 1-2 geometry)
+        # fixed diagonal corridor |i-j| <= W (BASELINE configs 1-2
+        # geometry); supports DNA and protein scoring via --alphabet
         import jax
 
-        from swtpu.core.scoring import ScoringParams, dna_matrix
-
-        mat = dna_matrix(match, mismatch)
-        params = (
-            ScoringParams(
-                mat, gap_open=args.gap_open, gap_extend=args.gap_extend
-            )
-            if args.gap_open is not None
-            else ScoringParams.linear(mat, args.gap)
-        )
+        params = _scoring(args)
         if args.traceback:
             from swtpu.batch.traceback import banded_static_align_batch
 
@@ -151,14 +142,21 @@ def cmd_banded(args):
                 )
             return
         if jax.devices()[0].platform == "tpu":
+            from swtpu.kernels.pallas.sw_batch import (
+                _uniform_match_mismatch,
+            )
             from swtpu.kernels.pallas.sw_banded import (
+                sw_banded_profile_pallas,
                 sw_banded_static_pallas,
             )
 
+            fwd = (
+                sw_banded_static_pallas
+                if _uniform_match_mismatch(params) is not None
+                else sw_banded_profile_pallas
+            )
             scores = np.asarray(
-                sw_banded_static_pallas(
-                    qs, ts, params, bandwidth=args.bandwidth
-                )
+                fwd(qs, ts, params, bandwidth=args.bandwidth)
             )
         else:
             from swtpu.oracle.banded_static import (
