@@ -31,9 +31,15 @@ Contract: score == swtpu.oracle.banded_static.sw_banded_static_score
 (local alignment restricted to |i - j| <= W). The reference's adaptive
 banded family is a different contract (its band follows the alignment);
 this engine is the fixed-geometry counterpart that BASELINE prescribes,
-at full-matrix-rowscan efficiency (~380 GCUPS of band cells vs ~11 for
-the adaptive kernel — the adaptive kernel's value is robustness to
-indels that walk off a fixed corridor).
+at full-matrix-rowscan efficiency (measured 435-470 GCUPS of band cells
+vs ~11 for the adaptive kernel — the adaptive kernel's value is
+robustness to indels that walk off a fixed corridor).
+
+Three score modes share the schedule: uniform match/mismatch (the
+compare-select flagship path), affine/Gotoh (F chunk-wide, E in the
+serial chain, ~307 band GCUPS), and general matrices via the packed
+query profile (sw_profile.py's plane-select lookup — BLOSUM62 protein
+with Gotoh gaps measures ~102 band GCUPS).
 """
 
 from __future__ import annotations

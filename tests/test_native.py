@@ -93,3 +93,17 @@ def test_native_banded_static_walker(rng):
             assert native.banded_static_traceback(
                 q, t, params.matrix, params.gap_open, params.gap_extend, 16
             ) == sw_banded_static_traceback(q, t, params, 16)
+
+
+def test_native_banded_static_walker_protein(rng):
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.oracle.banded_static import sw_banded_static_traceback
+
+    pp = ScoringParams(BLOSUM62, gap_open=11, gap_extend=1)
+    for _ in range(2):
+        q = rng.integers(0, 24, 80).astype(np.uint8)
+        t = rng.integers(0, 24, 80).astype(np.uint8)
+        assert native.banded_static_traceback(
+            q, t, pp.matrix, 11, 1, 16
+        ) == sw_banded_static_traceback(q, t, pp, 16)
