@@ -268,14 +268,31 @@ def _prepare_banded(qs, tp, n, TL):
     return qsT, tsT
 
 
-def sw_banded_static_pallas(qs, ts, params: ScoringParams, bandwidth=32):
+def _apply_lens(qs, ts, lens_q, lens_t, q_pad, t_pad):
+    """Overwrite positions past each pair's length with pad codes
+    (pads only lose, so variable-length batches need nothing else)."""
+    if lens_q is not None:
+        qs = np.asarray(qs).copy()
+        for b, L in enumerate(np.asarray(lens_q)):
+            qs[b, L:] = q_pad
+    if lens_t is not None:
+        ts = np.asarray(ts).copy()
+        for b, L in enumerate(np.asarray(lens_t)):
+            ts[b, L:] = t_pad
+    return qs, ts
+
+
+def sw_banded_static_pallas(
+    qs, ts, params: ScoringParams, bandwidth=32, lens_q=None, lens_t=None
+):
     """Batched fixed-band local-alignment scores (|i - j| <= bandwidth).
 
-    qs: [B, n] uint8 (0-3, pad 4), ts: [B, m] uint8 (pad 5). Uniform
-    match/mismatch scoring, linear or affine (mismatch < 0 < gap_extend).
-    Returns [B] int32 ==
-    swtpu.oracle.banded_static.sw_banded_static_score per pair.
+    qs: [B, n] uint8 (0-3, pad 4), ts: [B, m] uint8 (pad 5); optional
+    per-pair lengths apply the pad codes for you. Uniform match/mismatch
+    scoring, linear or affine (mismatch < 0 < gap_extend). Returns [B]
+    int32 == swtpu.oracle.banded_static.sw_banded_static_score per pair.
     """
+    qs, ts = _apply_lens(qs, ts, lens_q, lens_t, Q_PAD, T_PAD)
     affine = not params.is_linear
     mm = _uniform_match_mismatch(params)
     if mm is None:
@@ -341,16 +358,24 @@ def _prepare_banded_profile(qs, tp, packed_tab, n, TL, planes):
     return profT, tsT
 
 
-def sw_banded_profile_pallas(qs, ts, params: ScoringParams, bandwidth=32):
+def sw_banded_profile_pallas(
+    qs, ts, params: ScoringParams, bandwidth=32, lens_q=None, lens_t=None
+):
     """Batched fixed-band scores for GENERAL substitution matrices
     (protein/BLOSUM62, non-uniform DNA), linear or affine gaps.
 
     Same corridor contract as sw_banded_static_pallas; the score lookup
     is the packed-profile idiom from sw_profile.py (plane select tree +
     variable byte shift — still zero lane permutes). qs codes 0..A-1
-    (pad A), ts (pad A+1), A = params.alphabet_size.
+    (pad A), ts (pad A+1), A = params.alphabet_size; optional per-pair
+    lengths apply the pad codes for you.
     """
     from swtpu.kernels.pallas.sw_profile import _packed_table
+
+    qs, ts = _apply_lens(
+        qs, ts, lens_q, lens_t, params.alphabet_size,
+        params.alphabet_size + 1,
+    )
 
     affine = not params.is_linear
     gap = int(params.gap_extend if affine else params.gap)

@@ -433,3 +433,23 @@ def test_fixed_band_profile_protein(rng):
         dev = np.asarray(sw_banded_profile_pallas(q, t, dp_, bandwidth=12))
     want = sw_banded_static_score_batch(q, t, dp_, bandwidth=12)
     assert np.array_equal(dev, want.astype(np.int32))
+
+
+def test_fixed_band_varlen_lens(rng):
+    """Per-pair lens apply pad codes; scores equal truncated oracles."""
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score
+
+    B, n = 4, 48
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, n))
+    lq = [30, 48, 41, 25]
+    lt = [48, 33, 29, 48]
+    with pltpu.force_tpu_interpret_mode():
+        dev = np.asarray(
+            sw_banded_static_pallas(qs, ts, DNA_111, 12, lq, lt)
+        )
+    for b in range(B):
+        assert dev[b] == sw_banded_static_score(
+            qs[b, : lq[b]], ts[b, : lt[b]], DNA_111, 12
+        )
