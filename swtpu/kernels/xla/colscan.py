@@ -67,14 +67,78 @@ def _colscan_impl(qs, ts, table, gap):
     return best
 
 
-def sw_batch_colscan(qs, ts, params: ScoringParams):
-    """Batched SW scores, column-parallel schedule.
+NEG = -(2**29)
 
-    Same contract as sw_batch_diag (pads q:A, t:A+1; variable length free).
+
+@functools.partial(jax.jit, static_argnames=("go", "ge"))
+def _colscan_affine_impl(qs, ts, table, go, ge):
+    """Gotoh column scan. With go >= ge the vertical F chain decouples:
+
+        F[p] = max(F[p-1] - ge, H[p-1] - go)
+             = max_{q <= p-1} (pre[q] - go - (p-1-q) * ge)
+
+    (the F[p-1]-go term is dominated by F[p-1]-ge), i.e. the same
+    max-plus prefix scan as the linear engine over pre - go with decay
+    ge, shifted down one — Farrar's lazy-F loop for affine gaps, exactly,
+    in log depth. E is element-wise from the previous column.
     """
-    if not params.is_linear:
-        raise NotImplementedError("colscan affine tier pending (2x2 max-plus)")
+    B, n = qs.shape
+    m = ts.shape[1]
+    stride = table.shape[0]
+    q_pad, t_pad = stride - 2, stride - 1
+    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
+    flat = table.reshape(-1)
+    qi = qs * stride
+
+    def combine(a, b):
+        (v1, l1), (v2, l2) = a, b
+        return (jnp.maximum(v2, v1 - l2 * ge), l1 + l2)
+
+    ones = jnp.ones((B, n), jnp.int32)
+
+    def step(carry, j):
+        h_prev, e_prev, best = carry
+        t_col = jax.lax.dynamic_slice_in_dim(ts, j, 1, axis=1)
+        s = jnp.take(flat, qi + t_col, axis=0)
+        e = jnp.maximum(e_prev - ge, h_prev - go)
+        diag = jnp.pad(h_prev, ((0, 0), (1, 0)))[:, :-1]
+        pre = jnp.maximum(jnp.maximum(diag + s, e), 0)
+        fscan, _ = jax.lax.associative_scan(
+            combine, (pre - go, ones), axis=1
+        )
+        f = jnp.pad(fscan, ((0, 0), (1, 0)), constant_values=NEG)[:, :-1]
+        h = jnp.maximum(pre, f)
+        best = jnp.maximum(best, h.max(axis=1))
+        return (h, e, best), None
+
+    h0 = jnp.zeros((B, n), jnp.int32)
+    e0 = jnp.full((B, n), NEG, jnp.int32)
+    (h, e, best), _ = jax.lax.scan(
+        step, (h0, e0, jnp.zeros((B,), jnp.int32)), jnp.arange(m)
+    )
+    return best
+
+
+def sw_batch_colscan(qs, ts, params: ScoringParams):
+    """Batched SW scores, column-parallel schedule, linear or affine.
+
+    Same contract as sw_batch_diag (pads q:A, t:A+1; variable length
+    free). Affine needs gap_open >= gap_extend (the F-chain decoupling).
+    """
     table = jnp.asarray(_extended_table(params))
+    if not params.is_linear:
+        if params.gap_open < params.gap_extend:
+            raise NotImplementedError(
+                "colscan affine needs gap_open >= gap_extend"
+            )
+        return _colscan_affine_impl(
+            jnp.asarray(qs),
+            jnp.asarray(ts),
+            table,
+            int(params.gap_open),
+            int(params.gap_extend),
+        )
     return _colscan_impl(
         jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap)
     )

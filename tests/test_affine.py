@@ -328,3 +328,24 @@ def test_banded_affine_compressed_history_paths(rng):
         assert out[b] == banded_affine_xdrop(
             qs[b], ts[b], gap_open=3, gap_extend=1
         )
+
+
+def test_colscan_affine(rng):
+    """Farrar-striped-equivalent schedule, affine: the lazy-F loop as a
+    shifted max-plus associative scan (needs gap_open >= gap_extend)."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.kernels.xla.colscan import sw_batch_colscan
+
+    qs = random_dna(rng, (8, 96))
+    ts = random_dna(rng, (8, 80))
+    for params in (AFF, AFF111):
+        dev = np.asarray(sw_batch_colscan(qs, ts, params))
+        want = sw_affine_score_batch(qs, ts, params)
+        assert np.array_equal(dev, want.astype(np.int32))
+    pq = rng.integers(0, 24, size=(8, 64)).astype(np.uint8)
+    pt = rng.integers(0, 24, size=(8, 64)).astype(np.uint8)
+    pp = ScoringParams(BLOSUM62, gap_open=11, gap_extend=1)
+    dev = np.asarray(sw_batch_colscan(pq, pt, pp))
+    assert np.array_equal(
+        dev, sw_affine_score_batch(pq, pt, pp).astype(np.int32)
+    )
