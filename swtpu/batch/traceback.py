@@ -79,11 +79,14 @@ def semiglobal_align_batch(
     gap: int = 1,
     gap_open: Optional[int] = None,
     gap_extend: Optional[int] = None,
+    params: Optional[ScoringParams] = None,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """Batched semi-global alignment with traceback (full matrix),
     linear or affine (gap_open != gap_extend) gaps.
 
-    Device computes scores + endpoints; host walks each path.
+    Device computes scores + endpoints; host walks each path. Passing
+    ``params`` selects the general-substitution-matrix mode (DNA 4x4 or
+    protein/BLOSUM62; match/mismatch/gap args are then ignored).
     """
     import jax
 
@@ -91,6 +94,8 @@ def semiglobal_align_batch(
     from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
     from swtpu.oracle.semiglobal import semiglobal_affine_full, semiglobal_full
 
+    if params is not None:
+        return _semiglobal_align_batch_general(qs, ts, params)
     if gap_open is not None and gap_open == gap_extend:
         gap, gap_open, gap_extend = gap_open, None, None
     affine = gap_open is not None
@@ -135,6 +140,50 @@ def semiglobal_align_batch(
     for b in range(qs.shape[0]):
         sc, path = walker(qs[b], ts[b])
         assert sc == score[b] and path[-1] == (ei[b], ej[b])
+        out.append((sc, path))
+    return out
+
+
+def _semiglobal_align_batch_general(
+    qs: np.ndarray, ts: np.ndarray, params: ScoringParams
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """General-matrix semi-global with traceback: device table engine
+    forward, matrix-scored host walk (C++ twin preferred)."""
+    from swtpu import native
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_general
+    from swtpu.oracle.semiglobal import semiglobal_affine_full, semiglobal_full
+
+    fwd = semiglobal_batch_general(qs, ts, params)
+    score, ei, ej = (np.asarray(x) for x in fwd)
+    use_native = native.available()
+    if params.is_linear:
+        if use_native:
+            walker = lambda q, t: native.semiglobal_traceback_matrix(
+                q, t, params.matrix, params.gap
+            )
+        else:
+            walker = lambda q, t: semiglobal_full(
+                q, t, gap=params.gap, matrix=params.matrix
+            )
+    elif use_native:
+        walker = lambda q, t: native.semiglobal_affine_traceback(
+            q, t, params.matrix, params.gap_open, params.gap_extend
+        )
+    else:
+        walker = lambda q, t: semiglobal_affine_full(
+            q,
+            t,
+            gap_open=params.gap_open,
+            gap_extend=params.gap_extend,
+            matrix=params.matrix,
+        )
+    out = []
+    for b in range(qs.shape[0]):
+        sc, path = walker(qs[b], ts[b])
+        assert sc == score[b] and path[-1] == (ei[b], ej[b]), (
+            f"device/host semiglobal mismatch at pair {b}: "
+            f"{score[b]}@({ei[b]},{ej[b]}) vs {sc}@{path[-1]}"
+        )
         out.append((sc, path))
     return out
 

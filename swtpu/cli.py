@@ -106,15 +106,17 @@ def cmd_semiglobal(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     from swtpu.batch import semiglobal_align_batch
 
-    match, mismatch = (int(x) for x in args.scoring.split(","))
-    for name, (score, path) in zip(
-        names,
-        semiglobal_align_batch(
+    if args.alphabet == "protein":
+        # general-substitution-matrix mode (BLOSUM62 table engine)
+        out = semiglobal_align_batch(qs, ts, params=_scoring(args))
+    else:
+        match, mismatch = (int(x) for x in args.scoring.split(","))
+        out = semiglobal_align_batch(
             qs, ts, match, abs(mismatch), args.gap,
             gap_open=args.gap_open,
             gap_extend=args.gap_extend if args.gap_open is not None else None,
-        ),
-    ):
+        )
+    for name, (score, path) in zip(names, out):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:
             rec["path"] = path

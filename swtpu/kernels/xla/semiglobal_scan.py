@@ -162,6 +162,158 @@ def _semiglobal_affine_impl(qs, ts, match, mismatch, go, ge):
     return score, end_i, end_j
 
 
+@functools.partial(jax.jit, static_argnames=("gap",))
+def _semiglobal_table_impl(qs, ts, table, gap):
+    """Linear-gap semi-global with a general substitution table (the
+    general-matrix / protein mode; scoring via flat-table gather like
+    sw_scan/colscan instead of the uniform match/mismatch compare)."""
+    B, n = qs.shape
+    m = ts.shape[1]
+    stride = table.shape[0]
+    q_pad, t_pad = stride - 2, stride - 1
+    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
+    flat = table.reshape(-1)
+
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=q_pad)
+    qi = q_slot * stride  # fixed per-pair row offsets into flat
+    ts_rev_pad = jnp.pad(
+        ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
+    )
+    iota = jnp.arange(n + 1)[None, :]
+    minus_inf = jnp.int32(MINUS_INF)
+
+    def step(carry, d):
+        prev1, prev2, best_v, best_j = carry
+        off = m - d + n + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
+        # pad chars hit the table's _NEG rows/cols; those cells are always
+        # boundary-overwritten or phantom-clamped below, and
+        # MINUS_INF + _NEG stays well inside int32
+        s = jnp.take(flat, qi + t_diag, axis=0)
+        shift1 = lambda x: jnp.pad(
+            x, ((0, 0), (1, 0)), constant_values=MINUS_INF
+        )[:, :-1]
+        cur = jnp.maximum(
+            jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),
+            prev1 - gap,
+        )
+        cur = jnp.where(iota == 0, jnp.where(d <= m, -d * gap, minus_inf), cur)
+        cur = jnp.where(iota == d, jnp.where(d <= n, -d * gap, cur), cur)
+        j_of = d - iota
+        cur = jnp.where((j_of < 0) | (j_of > m), minus_inf, cur)
+        upd = cur > best_v
+        best_v = jnp.where(upd, cur, best_v)
+        best_j = jnp.where(upd, j_of, best_j)
+        return (cur, prev1, best_v, best_j), None
+
+    prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
+    d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
+    best_v0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones(
+        (B, 1), jnp.int32
+    )
+    best_j0 = jnp.zeros((B, n + 1), jnp.int32)
+    ds = jnp.arange(1, n + m + 1)
+    (p1, p2, best_v, best_j), _ = jax.lax.scan(
+        step, (d0, prev_init, best_v0, best_j0), ds
+    )
+    score = best_v.max(axis=1)
+    is_max = best_v == score[:, None]
+    big = jnp.int32(n + m + 2)
+    slot_key = jnp.where(is_max, jnp.arange(n + 1)[None, :], big)
+    end_i = slot_key.min(axis=1)
+    end_j = jnp.take_along_axis(best_j, end_i[:, None], axis=1)[:, 0]
+    return score, end_i, end_j
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ge"))
+def _semiglobal_affine_table_impl(qs, ts, table, go, ge):
+    """Gotoh semi-global with a general substitution table."""
+    B, n = qs.shape
+    m = ts.shape[1]
+    stride = table.shape[0]
+    q_pad, t_pad = stride - 2, stride - 1
+    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
+    flat = table.reshape(-1)
+
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=q_pad)
+    qi = q_slot * stride
+    ts_rev_pad = jnp.pad(
+        ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
+    )
+    iota = jnp.arange(n + 1)[None, :]
+    minus_inf = jnp.int32(MINUS_INF)
+
+    def step(carry, d):
+        h1, h2, e1, f1, best_v, best_j = carry
+        off = m - d + n + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
+        s = jnp.take(flat, qi + t_diag, axis=0)
+        shift1 = lambda x: jnp.pad(
+            x, ((0, 0), (1, 0)), constant_values=MINUS_INF
+        )[:, :-1]
+        e_cur = jnp.maximum(e1 - ge, h1 - go)
+        f_cur = jnp.maximum(shift1(f1) - ge, shift1(h1) - go)
+        cur = jnp.maximum(shift1(h2) + s, jnp.maximum(e_cur, f_cur))
+        bnd = -go - (d - 1) * ge
+        cur = jnp.where(iota == 0, jnp.where(d <= m, bnd, minus_inf), cur)
+        e_cur = jnp.where(iota == 0, jnp.where(d <= m, bnd, minus_inf), e_cur)
+        cur = jnp.where(iota == d, jnp.where(d <= n, bnd, cur), cur)
+        f_cur = jnp.where(iota == d, jnp.where(d <= n, bnd, f_cur), f_cur)
+        j_of = d - iota
+        phantom = (j_of < 0) | (j_of > m)
+        cur = jnp.where(phantom, minus_inf, cur)
+        e_cur = jnp.where(phantom, minus_inf, e_cur)
+        f_cur = jnp.where(phantom, minus_inf, f_cur)
+        upd = cur > best_v
+        best_v = jnp.where(upd, cur, best_v)
+        best_j = jnp.where(upd, j_of, best_j)
+        return (cur, h1, e_cur, f_cur, best_v, best_j), None
+
+    prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
+    d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
+    best_v0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones(
+        (B, 1), jnp.int32
+    )
+    best_j0 = jnp.zeros((B, n + 1), jnp.int32)
+    ds = jnp.arange(1, n + m + 1)
+    (h1, h2, e1, f1, best_v, best_j), _ = jax.lax.scan(
+        step, (d0, prev_init, prev_init, prev_init, best_v0, best_j0), ds
+    )
+    score = best_v.max(axis=1)
+    is_max = best_v == score[:, None]
+    big = jnp.int32(n + m + 2)
+    slot_key = jnp.where(is_max, jnp.arange(n + 1)[None, :], big)
+    end_i = slot_key.min(axis=1)
+    end_j = jnp.take_along_axis(best_j, end_i[:, None], axis=1)[:, 0]
+    return score, end_i, end_j
+
+
+def semiglobal_batch_general(qs, ts, params):
+    """Batched semi-global scores + endpoints for a general substitution
+    matrix (DNA 4x4 or protein/BLOSUM62), linear or affine gaps.
+
+    Same contract as semiglobal_batch_diag but scoring comes from
+    ``params.matrix`` (signed scores); matches the generalized oracles
+    semiglobal_full / semiglobal_affine_full with ``matrix=``.
+    """
+    from swtpu.kernels.xla.sw_scan import _extended_table
+
+    table = jnp.asarray(_extended_table(params))
+    if params.is_linear:
+        return _semiglobal_table_impl(
+            jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap)
+        )
+    return _semiglobal_affine_table_impl(
+        jnp.asarray(qs),
+        jnp.asarray(ts),
+        table,
+        int(params.gap_open),
+        int(params.gap_extend),
+    )
+
+
 def semiglobal_batch_diag(
     qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None
 ):

@@ -73,6 +73,14 @@ def _get_lib():
         lib.semiglobal_traceback.argtypes = [
             i8p, i64, i8p, i64, i32, i32, i32, i32p, i32p,
         ]
+        lib.semiglobal_traceback_matrix.restype = i64
+        lib.semiglobal_traceback_matrix.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32, i32, i32p, i32p,
+        ]
+        lib.semiglobal_affine_traceback.restype = i64
+        lib.semiglobal_affine_traceback.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32, i32, i32, i32p, i32p,
+        ]
         lib.banded_traceback.restype = i64
         lib.banded_traceback.argtypes = [
             i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32, i32, i32,
@@ -211,6 +219,57 @@ def semiglobal_traceback(
     )
     if ln < 0:
         raise AssertionError("inconsistent native semiglobal traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return int(score.value), [tuple(map(int, p)) for p in pairs]
+
+
+def semiglobal_traceback_matrix(
+    q: np.ndarray, t: np.ndarray, matrix: np.ndarray, gap: int
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """General-matrix linear-gap semi-global walk (twin of
+    oracle.semiglobal_full with matrix=)."""
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    mat, mp = _i32(matrix.reshape(-1))
+    path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    score = ctypes.c_int32(0)
+    ln = lib.semiglobal_traceback_matrix(
+        qp, len(q), tp, len(t), mp, int(A), int(gap), pp,
+        ctypes.byref(score),
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native semiglobal matrix traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return int(score.value), [tuple(map(int, p)) for p in pairs]
+
+
+def semiglobal_affine_traceback(
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """Gotoh semi-global walk (twin of oracle.semiglobal_affine_full)."""
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    mat, mp = _i32(matrix.reshape(-1))
+    path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    score = ctypes.c_int32(0)
+    ln = lib.semiglobal_affine_traceback(
+        qp, len(q), tp, len(t), mp, int(A), int(gap_open),
+        int(gap_extend), pp, ctypes.byref(score),
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native affine semiglobal traceback")
     pairs = path[: 2 * ln].reshape(-1, 2)
     return int(score.value), [tuple(map(int, p)) for p in pairs]
 

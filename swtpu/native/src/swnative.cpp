@@ -383,6 +383,161 @@ int64_t semiglobal_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
   return len;
 }
 
+// Full-matrix semi-global with a general substitution matrix
+// ([A*A] int32 row-major, q*A + t) — the general-matrix/protein mode of
+// swtpu/oracle/semiglobal.py semiglobal_full(matrix=...).
+int64_t semiglobal_traceback_matrix(const uint8_t* q, int64_t n,
+                                    const uint8_t* t, int64_t m,
+                                    const int32_t* matrix, int32_t A,
+                                    int32_t gap, int32_t* path_out,
+                                    int32_t* out_score) {
+  const int32_t MINF = INT32_MIN / 2;
+  const int64_t stride = m + 1;
+  std::vector<int32_t> dp((n + 1) * stride, MINF);
+  dp[0] = 0;
+  for (int64_t j = 1; j <= m; ++j) dp[j] = (int32_t)(-gap * j);
+  for (int64_t i = 1; i <= n; ++i) dp[i * stride] = (int32_t)(-gap * i);
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    const int32_t* srow = matrix + (int64_t)q[i - 1] * A;
+    for (int64_t j = 1; j <= m; ++j) {
+      int32_t v = dp[(i - 1) * stride + (j - 1)] + srow[t[j - 1]];
+      v = std::max(v, dp[(i - 1) * stride + j] - gap);
+      v = std::max(v, dp[i * stride + (j - 1)] - gap);
+      dp[i * stride + j] = v;
+      if (v > best) {
+        best = v;
+        bi = i;
+        bj = j;
+      }
+    }
+  }
+  *out_score = best;
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)bi;
+  path_out[2 * len + 1] = (int32_t)bj;
+  ++len;
+  int64_t i = bi, j = bj;
+  while (i || j) {
+    const int32_t v = dp[i * stride + j];
+    if (i && j &&
+        v == dp[(i - 1) * stride + (j - 1)] +
+                 matrix[(int64_t)q[i - 1] * A + t[j - 1]]) {
+      --i;
+      --j;
+    } else if (i && v == dp[(i - 1) * stride + j] - gap) {
+      --i;
+    } else if (j && v == dp[i * stride + (j - 1)] - gap) {
+      --j;
+    } else {
+      return -1;
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
+// Full-matrix semi-global with AFFINE (Gotoh) gaps and a general matrix —
+// the C++ twin of swtpu/oracle/semiglobal.py semiglobal_affine_full:
+// origin-anchored, ends at the row-major-first argmax of H, H-state walk
+// preference diag -> F (up) -> E (left).
+int64_t semiglobal_affine_traceback(const uint8_t* q, int64_t n,
+                                    const uint8_t* t, int64_t m,
+                                    const int32_t* matrix, int32_t A,
+                                    int32_t gap_open, int32_t gap_extend,
+                                    int32_t* path_out, int32_t* out_score) {
+  const int32_t MINF = INT32_MIN / 2;
+  const int64_t stride = m + 1;
+  std::vector<int32_t> H((n + 1) * stride, MINF);
+  std::vector<int32_t> E((n + 1) * stride, MINF);
+  std::vector<int32_t> F((n + 1) * stride, MINF);
+  H[0] = 0;
+  for (int64_t j = 1; j <= m; ++j)
+    H[j] = E[j] = (int32_t)(-gap_open - gap_extend * (j - 1));
+  for (int64_t i = 1; i <= n; ++i)
+    H[i * stride] = F[i * stride] =
+        (int32_t)(-gap_open - gap_extend * (i - 1));
+  int32_t best = 0;
+  int64_t bi = 0, bj = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    const int32_t* srow = matrix + (int64_t)q[i - 1] * A;
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t c = i * stride + j;
+      E[c] = std::max(E[c - 1] - gap_extend, H[c - 1] - gap_open);
+      F[c] = std::max(F[c - stride] - gap_extend, H[c - stride] - gap_open);
+      int32_t v = H[c - stride - 1] + srow[t[j - 1]];
+      v = std::max(v, std::max(E[c], F[c]));
+      H[c] = v;
+      if (v > best) {
+        best = v;
+        bi = i;
+        bj = j;
+      }
+    }
+  }
+  *out_score = best;
+  int64_t len = 0;
+  path_out[2 * len] = (int32_t)bi;
+  path_out[2 * len + 1] = (int32_t)bj;
+  ++len;
+  int64_t i = bi, j = bj;
+  int st = 0;
+  while (i || j) {
+    const int64_t c = i * stride + j;
+    if (st == 0) {
+      const int32_t v = H[c];
+      if (i && j &&
+          v == H[c - stride - 1] + matrix[(int64_t)q[i - 1] * A + t[j - 1]]) {
+        --i;
+        --j;
+      } else if (v == F[c]) {
+        st = 2;
+        continue;
+      } else if (v == E[c]) {
+        st = 1;
+        continue;
+      } else {
+        return -1;
+      }
+    } else if (st == 1) {
+      const int32_t v = E[c];
+      if (j && v == H[c - 1] - gap_open) {
+        --j;
+        st = 0;
+      } else if (j && v == E[c - 1] - gap_extend) {
+        --j;
+      } else {
+        return -1;
+      }
+    } else {
+      const int32_t v = F[c];
+      if (i && v == H[c - stride] - gap_open) {
+        --i;
+        st = 0;
+      } else if (i && v == F[c - stride] - gap_extend) {
+        --i;
+      } else {
+        return -1;
+      }
+    }
+    path_out[2 * len] = (int32_t)i;
+    path_out[2 * len + 1] = (int32_t)j;
+    ++len;
+  }
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
 // --------------------------------------------------- banded traceback ----
 
 // Walk one alignment's path from its device-computed band history.

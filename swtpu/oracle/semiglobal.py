@@ -29,6 +29,7 @@ def semiglobal_full(
     match: int = 1,
     mismatch: int = 1,
     gap: int = 1,
+    matrix: Optional[np.ndarray] = None,
 ) -> Tuple[int, List[Tuple[int, int]]]:
     """Full-matrix semi-global alignment with traceback.
 
@@ -38,6 +39,11 @@ def semiglobal_full(
     (source.cpp:1812-1833), including tie-breaks:
     argmax = first max in row-major scan with strict '<' against initial 0;
     traceback order diag → up → left.
+
+    If ``matrix`` is given it holds signed substitution *scores* indexed
+    [q_char, t_char] and match/mismatch are ignored (the general-matrix /
+    protein mode; the reference's semi-global family is (1,1,1)-only,
+    source.cpp:1776-1834 — this is the engine-matrix generalization).
     """
     q = np.asarray(q, dtype=np.int64)
     t = np.asarray(t, dtype=np.int64)
@@ -47,7 +53,10 @@ def semiglobal_full(
     # boundary gap chains (reference computes these through the same maxes)
     dp[0, 1:] = -gap * np.arange(1, m + 1)
     dp[1:, 0] = -gap * np.arange(1, n + 1)
-    sub = np.where(q[:, None] == t[None, :], match, -mismatch)
+    if matrix is not None:
+        sub = np.asarray(matrix, dtype=np.int64)[q[:, None], t[None, :]]
+    else:
+        sub = np.where(q[:, None] == t[None, :], match, -mismatch)
     # anti-diagonal fill: no intra-diagonal dependency
     for d in range(2, n + m + 1):
         lo = max(1, d - m)
@@ -90,6 +99,7 @@ def semiglobal_affine_full(
     mismatch: int = 1,
     gap_open: int = 3,
     gap_extend: int = 1,
+    matrix: Optional[np.ndarray] = None,
 ) -> Tuple[int, List[Tuple[int, int]]]:
     """Full-matrix semi-global alignment with AFFINE (Gotoh) gaps.
 
@@ -98,6 +108,7 @@ def semiglobal_affine_full(
     length L costs gap_open + (L-1)*gap_extend. H-state traceback
     preference diag -> F (up) -> E (left), the family's order. With
     gap_open == gap_extend this is bit-equal to semiglobal_full (tested).
+    ``matrix`` (signed scores [q_char, t_char]) overrides match/mismatch.
     """
     q = np.asarray(q, dtype=np.int64)
     t = np.asarray(t, dtype=np.int64)
@@ -110,7 +121,10 @@ def semiglobal_affine_full(
     # boundary gap chains are single open-extend runs
     H[0, 1:] = E[0, 1:] = -go - ge * np.arange(m)
     H[1:, 0] = F[1:, 0] = -go - ge * np.arange(n)
-    sub = np.where(q[:, None] == t[None, :], match, -mismatch)
+    if matrix is not None:
+        sub = np.asarray(matrix, dtype=np.int64)[q[:, None], t[None, :]]
+    else:
+        sub = np.where(q[:, None] == t[None, :], match, -mismatch)
     for i in range(1, n + 1):
         srow = sub[i - 1]
         for j in range(1, m + 1):

@@ -131,3 +131,32 @@ def test_semiglobal_pallas_matches_xla(rng):
     assert np.array_equal(s1, s2)
     assert np.array_equal(i1, i2)
     assert np.array_equal(j1, j2)
+
+
+def test_semiglobal_general_matrix(rng):
+    """General-substitution-matrix semi-global (table engine + matrix
+    walkers): linear DNA 5/-4 and affine BLOSUM62 vs generalized oracle."""
+    from swtpu.core.protein import BLOSUM62, blosum62_params
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.batch import semiglobal_align_batch
+    from swtpu.oracle.semiglobal import semiglobal_affine_full
+
+    mat = dna_matrix(5, -4)
+    qs = random_dna(rng, (6, 48))
+    ts = np.stack(
+        [mutate(rng, qs[b], out_len=60) for b in range(3)]
+        + [random_dna(rng, (60,)) for _ in range(3)]
+    )
+    out = semiglobal_align_batch(
+        qs, ts, params=ScoringParams.linear(mat, 3)
+    )
+    for b in range(6):
+        assert out[b] == semiglobal_full(qs[b], ts[b], gap=3, matrix=mat)
+
+    qp = rng.integers(0, 24, (4, 40)).astype(np.uint8)
+    tp = rng.integers(0, 24, (4, 50)).astype(np.uint8)
+    out = semiglobal_align_batch(qp, tp, params=blosum62_params())
+    for b in range(4):
+        assert out[b] == semiglobal_affine_full(
+            qp[b], tp[b], gap_open=11, gap_extend=1, matrix=BLOSUM62
+        )

@@ -122,3 +122,19 @@ def test_cli_protein_search(tmp_path):
          "--chunk", "4"]
     )
     assert len(recs) == 2 and all(len(r["hits"]) == 2 for r in recs)
+
+
+def test_cli_protein_semiglobal(tmp_path):
+    rng = np.random.default_rng(11)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    mk = lambda L: "".join(aa[i] for i in rng.integers(0, 20, L))
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text("".join(f">q{i}\n{mk(40)}\n" for i in range(2)))
+    tf.write_text("".join(f">t{i}\n{mk(48)}\n" for i in range(2)))
+    recs = _run(
+        ["semiglobal", "--queries", str(qf), "--targets", str(tf),
+         "--alphabet", "protein", "--gap-open", "11", "--gap-extend", "1",
+         "--traceback"]
+    )
+    assert len(recs) == 2
+    assert all(r["start"] == [0, 0] and r["path"] for r in recs)

@@ -39,6 +39,25 @@ def test_native_semiglobal(rng):
         )
 
 
+def test_native_semiglobal_matrix_walkers(rng):
+    """C++ general-matrix semiglobal walkers == generalized numpy oracle
+    (linear + Gotoh), on BLOSUM62 protein pairs."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.oracle.semiglobal import semiglobal_affine_full
+
+    for _ in range(3):
+        q = rng.integers(0, 24, (70,)).astype(np.uint8)
+        t = rng.integers(0, 24, (80,)).astype(np.uint8)
+        assert native.semiglobal_traceback_matrix(
+            q, t, BLOSUM62, 4
+        ) == semiglobal_full(q, t, gap=4, matrix=BLOSUM62)
+        assert native.semiglobal_affine_traceback(
+            q, t, BLOSUM62, 11, 1
+        ) == semiglobal_affine_full(
+            q, t, gap_open=11, gap_extend=1, matrix=BLOSUM62
+        )
+
+
 def test_native_banded_walker(rng):
     for _ in range(3):
         q = random_dna(rng, (250,))
