@@ -14,10 +14,12 @@ Tile internals use an anti-diagonal scan with explicit boundary-row/column
 I/O so tiles compose exactly; the composed score is bit-equal to the
 single-device oracle (tested on the virtual CPU mesh per SURVEY.md §4.7).
 
-Uniform match/mismatch scoring; linear AND affine (Gotoh) gaps — in the
-affine mode the F (vertical-gap) state crosses strip boundaries, so the
-inter-device exchange carries stacked (H, F) rows, while the E
-(horizontal-gap) state crosses column blocks and stays device-local.
+Any substitution matrix (uniform DNA, general 4x4, protein/BLOSUM62 —
+scoring rides the same extended table as the batch engines); linear AND
+affine (Gotoh) gaps — in the affine mode the F (vertical-gap) state
+crosses strip boundaries, so the inter-device exchange carries stacked
+(H, F) rows, while the E (horizontal-gap) state crosses column blocks and
+stays device-local.
 """
 
 from __future__ import annotations
@@ -33,13 +35,15 @@ from swtpu.core.scoring import ScoringParams
 NEGB = -(2**20)  # "outside the tile" marker
 
 
-def _tile_scan(q, t, top_row, left_col, corner, match, mismatch, gap):
+def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
     """One R x C tile of linear-gap local SW with explicit boundaries.
 
-    q: [R] strip chars; t: [C] block chars (int32, values 0..3 or pads);
+    q: [R] strip chars; t: [C] block chars (int32, alphabet codes);
     top_row: [C] = H[i0-1, j0 .. j0+C-1] (row above the tile);
     left_col: [R] = H[i0 .. i0+R-1, j0-1] (column left of the tile);
-    corner: H[i0-1, j0-1].
+    corner: H[i0-1, j0-1]; flat_table: [stride*stride] extended
+    substitution scores (ghost/pad indices score _NEG, see
+    sw_scan._extended_table).
     Returns (bottom_row [C], right_col [R], best) where bottom_row is the
     tile's last row and right_col its last column.
     """
@@ -49,14 +53,18 @@ def _tile_scan(q, t, top_row, left_col, corner, match, mismatch, gap):
     # Slot vector over i in [0, R]: slot 0 carries the top boundary row;
     # slots 1..R are tile rows. Local coords: cell (i, j), i in [1,R],
     # j in [1,C]; at diagonal d, slot i holds cell (i, d - i).
-    q_slot = jnp.concatenate([jnp.array([6], jnp.int32), q])  # ghost char
+    ghost_q, ghost_t = stride - 2, stride - 1
+    q_slot = jnp.concatenate(
+        [jnp.array([ghost_q], jnp.int32), jnp.minimum(q, ghost_q)]
+    )
     t_rev_pad = jnp.concatenate(
         [
-            jnp.full((R + 1,), 7, jnp.int32),
-            t[::-1],
-            jnp.full((R + 1,), 7, jnp.int32),
+            jnp.full((R + 1,), ghost_t, jnp.int32),
+            jnp.minimum(t[::-1], ghost_t),
+            jnp.full((R + 1,), ghost_t, jnp.int32),
         ]
     )
+    qi = q_slot * stride  # fixed row offsets into flat_table
     # extended left boundary: index i gives H[i0-1+i, j0-1]
     left_ext = jnp.concatenate([corner[None], left_col])  # [R+1]
     # extended top boundary: index j gives H[i0-1, j0-1+j]
@@ -70,7 +78,7 @@ def _tile_scan(q, t, top_row, left_col, corner, match, mismatch, gap):
         # chars for slot i: t[(d - i) - 1] = t_rev[C - d + i]
         off = C - d + R + 1
         t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
-        s = jnp.where((q_slot == t_diag) & (q_slot < 4), match, mismatch)
+        s = jnp.take(flat_table, qi + t_diag, axis=0)
 
         shift1 = lambda x: jnp.concatenate(
             [jnp.array([NEGB], jnp.int32), x[:-1]]
@@ -124,7 +132,7 @@ def _tile_scan(q, t, top_row, left_col, corner, match, mismatch, gap):
 
 def _tile_scan_affine(
     q, t, top_row, top_row_f, left_col, left_col_e, corner,
-    match, mismatch, go, ge,
+    flat_table, stride, go, ge,
 ):
     """One R x C tile of AFFINE (Gotoh) local SW with explicit boundaries.
 
@@ -136,14 +144,18 @@ def _tile_scan_affine(
     """
     R, C = q.shape[0], t.shape[0]
     iota = jnp.arange(R + 1)
-    q_slot = jnp.concatenate([jnp.array([6], jnp.int32), q])
+    ghost_q, ghost_t = stride - 2, stride - 1
+    q_slot = jnp.concatenate(
+        [jnp.array([ghost_q], jnp.int32), jnp.minimum(q, ghost_q)]
+    )
     t_rev_pad = jnp.concatenate(
         [
-            jnp.full((R + 1,), 7, jnp.int32),
-            t[::-1],
-            jnp.full((R + 1,), 7, jnp.int32),
+            jnp.full((R + 1,), ghost_t, jnp.int32),
+            jnp.minimum(t[::-1], ghost_t),
+            jnp.full((R + 1,), ghost_t, jnp.int32),
         ]
     )
+    qi = q_slot * stride
     left_ext = jnp.concatenate([corner[None], left_col])
     left_ext_e = jnp.concatenate(
         [jnp.array([NEGB], jnp.int32), left_col_e]
@@ -161,7 +173,7 @@ def _tile_scan_affine(
         prev1, prev2, f_prev1, e_prev1, best = carry
         off = C - d + R + 1
         t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
-        s = jnp.where((q_slot == t_diag) & (q_slot < 4), match, mismatch)
+        s = jnp.take(flat_table, qi + t_diag, axis=0)
 
         shift1 = lambda x: jnp.concatenate(
             [jnp.array([NEGB], jnp.int32), x[:-1]]
@@ -220,8 +232,8 @@ def _tile_scan_affine(
     return bottom_row, bottom_row_f, right_col, right_col_e, best
 
 
-def tile_sw_reference(q, t, top_row, left_col, corner, match, mismatch, gap):
-    """numpy mirror of _tile_scan for unit tests."""
+def tile_sw_reference(q, t, top_row, left_col, corner, matrix, gap):
+    """numpy mirror of _tile_scan for unit tests (matrix: [A, A] scores)."""
     R, C = len(q), len(t)
     H = np.zeros((R + 1, C + 1), np.int64)
     H[0, 0] = corner
@@ -230,7 +242,7 @@ def tile_sw_reference(q, t, top_row, left_col, corner, match, mismatch, gap):
     best = 0
     for i in range(1, R + 1):
         for j in range(1, C + 1):
-            s = match if q[i - 1] == t[j - 1] else mismatch
+            s = matrix[q[i - 1], t[j - 1]]
             H[i, j] = max(
                 0, H[i - 1, j - 1] + s, H[i - 1, j] - gap, H[i, j - 1] - gap
             )
@@ -240,9 +252,9 @@ def tile_sw_reference(q, t, top_row, left_col, corner, match, mismatch, gap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap", "block", "mesh", "axis"),
+    static_argnames=("gap", "block", "mesh", "axis"),
 )
-def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
+def _longpair_impl(q, t, table, gap, block, mesh, axis):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -252,6 +264,8 @@ def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
     n_blocks = t.shape[0] // C
     n_steps = n_blocks + n_dev - 1
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    stride = table.shape[0]
+    flat_table = table.reshape(-1)
 
     def per_device(q_strip):
         q_strip = q_strip.reshape(-1).astype(jnp.int32)
@@ -273,7 +287,7 @@ def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
             )
             bot, right, tile_best = _tile_scan(
                 q_strip, t_block, top, left, corner,
-                jnp.int32(match), jnp.int32(mismatch), jnp.int32(gap),
+                flat_table, stride, jnp.int32(gap),
             )
             best = jnp.where(active, jnp.maximum(best, tile_best), best)
             left_new = jnp.where(active, right, left_col)
@@ -301,10 +315,9 @@ def _longpair_impl(q, t, match, mismatch, gap, block, mesh, axis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "go", "ge", "block", "mesh",
-                     "axis"),
+    static_argnames=("go", "ge", "block", "mesh", "axis"),
 )
-def _longpair_affine_impl(q, t, match, mismatch, go, ge, block, mesh, axis):
+def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -314,6 +327,8 @@ def _longpair_affine_impl(q, t, match, mismatch, go, ge, block, mesh, axis):
     n_blocks = t.shape[0] // C
     n_steps = n_blocks + n_dev - 1
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    stride = table.shape[0]
+    flat_table = table.reshape(-1)
 
     def per_device(q_strip):
         q_strip = q_strip.reshape(-1).astype(jnp.int32)
@@ -339,8 +354,7 @@ def _longpair_affine_impl(q, t, match, mismatch, go, ge, block, mesh, axis):
             )
             bot, bot_f, right, right_e, tile_best = _tile_scan_affine(
                 q_strip, t_block, top, top_f, left, left_e, corner,
-                jnp.int32(match), jnp.int32(mismatch),
-                jnp.int32(go), jnp.int32(ge),
+                flat_table, stride, jnp.int32(go), jnp.int32(ge),
             )
             best = jnp.where(active, jnp.maximum(best, tile_best), best)
             left_new = jnp.where(active, right, left_col)
@@ -387,19 +401,16 @@ def longpair_sw_score(
 
     len(q) must divide evenly by the mesh size, len(t) by `block`.
     Returns the same score as the single-device engines / oracle.
+    Scoring is fully general (any substitution matrix incl. BLOSUM62).
     """
-    from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+    from swtpu.kernels.xla.sw_scan import _extended_table
 
-    mm = _uniform_match_mismatch(params)
-    if mm is None:
-        raise NotImplementedError("longpair: uniform match/mismatch only")
-    match, mismatch = mm
+    table = jnp.asarray(_extended_table(params))
     if not params.is_linear:
         out = _longpair_affine_impl(
             jnp.asarray(q, dtype=jnp.int32),
             jnp.asarray(t, dtype=jnp.int32),
-            match,
-            mismatch,
+            table,
             int(params.gap_open),
             int(params.gap_extend),
             block,
@@ -410,8 +421,7 @@ def longpair_sw_score(
     out = _longpair_impl(
         jnp.asarray(q, dtype=jnp.int32),
         jnp.asarray(t, dtype=jnp.int32),
-        match,
-        mismatch,
+        table,
         int(params.gap),
         block,
         mesh,

@@ -11,6 +11,9 @@ from swtpu.parallel.longpair import _tile_scan, tile_sw_reference
 
 
 def test_tile_scan_matches_reference(rng):
+    from swtpu.kernels.xla.sw_scan import _extended_table
+
+    table = _extended_table(DNA_10_30_15)
     for R, C in [(8, 8), (16, 8), (8, 24), (5, 7)]:
         q = rng.integers(0, 4, R)
         t = rng.integers(0, 4, C)
@@ -18,7 +21,7 @@ def test_tile_scan_matches_reference(rng):
         left = rng.integers(0, 50, R)
         corner = int(rng.integers(0, 50))
         bref, rref, bestref = tile_sw_reference(
-            q, t, top, left, corner, 10, -30, 15
+            q, t, top, left, corner, DNA_10_30_15.matrix, 15
         )
         b, r, best = _tile_scan(
             jnp.asarray(q, jnp.int32),
@@ -26,8 +29,8 @@ def test_tile_scan_matches_reference(rng):
             jnp.asarray(top, jnp.int32),
             jnp.asarray(left, jnp.int32),
             jnp.asarray(corner, jnp.int32),
-            jnp.int32(10),
-            jnp.int32(-30),
+            jnp.asarray(table.reshape(-1)),
+            table.shape[0],
             jnp.int32(15),
         )
         assert np.array_equal(np.asarray(b), bref)
@@ -68,3 +71,23 @@ def test_longpair_affine_sharded_score(rng):
         t = mutate(rng, q, out_len=256)
         got = longpair_sw_score(q, t, params, mesh, block=64)
         assert got == sw_affine_score(q, t, params)
+
+
+def test_longpair_protein(rng):
+    """General-matrix (BLOSUM62) longpair, linear + affine, vs the
+    single-device oracles."""
+    from swtpu.core.protein import BLOSUM62, blosum62_params
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.oracle.affine import sw_affine_score
+
+    mesh = make_mesh(8, axis="sp")
+    q = rng.integers(0, 24, 8 * 16).astype(np.uint8)
+    t = rng.integers(0, 24, 192).astype(np.uint8)
+    lin = ScoringParams.linear(BLOSUM62, 8)
+    assert longpair_sw_score(q, t, lin, mesh, block=64) == sw_score(
+        q, t, lin
+    )
+    aff = blosum62_params()
+    assert longpair_sw_score(q, t, aff, mesh, block=64) == sw_affine_score(
+        q, t, aff
+    )
