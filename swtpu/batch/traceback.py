@@ -200,6 +200,7 @@ def banded_traceback(
     mismatch: int = 1,
     gap: int = 1,
     bandwidth: int = 32,
+    matrix: Optional[np.ndarray] = None,
 ) -> List[Tuple[int, int]]:
     """Walk one alignment's path from its band history.
 
@@ -231,15 +232,16 @@ def banded_traceback(
         my += 1
         mx -= 1
 
+    def sub(i: int, j: int) -> int:
+        if matrix is not None:
+            return int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+        return match if q[i - 1] == t[j - 1] else -mismatch
+
     path = [(my, mx)]
     i, j = my, mx
     while i or j:
         v = get(i, j)
-        if (
-            i
-            and j
-            and v == get(i - 1, j - 1) + (match if q[i - 1] == t[j - 1] else -mismatch)
-        ):
+        if i and j and v == get(i - 1, j - 1) + sub(i, j):
             i, j = i - 1, j - 1
         elif i and v == get(i - 1, j) - gap:
             i -= 1
@@ -374,6 +376,7 @@ def banded_affine_traceback(
     gap_open: int,
     gap_extend: int,
     bandwidth: int = 32,
+    matrix: Optional[np.ndarray] = None,
 ) -> List[Tuple[int, int]]:
     """Gotoh three-state walk over a device band history (affine gaps).
 
@@ -415,7 +418,12 @@ def banded_affine_traceback(
     while i or j:
         if st == 0:
             v = get_h(i, j)
-            s = match if (i and j and q[i - 1] == t[j - 1]) else -mismatch
+            if not (i and j):
+                s = MINUS_INF
+            elif matrix is not None:
+                s = int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+            else:
+                s = match if q[i - 1] == t[j - 1] else -mismatch
             if i and j and v == get_h(i - 1, j - 1) + s:
                 i, j = i - 1, j - 1
                 path.append((i, j))
@@ -462,6 +470,7 @@ def banded_align_batch(
     compress_history: bool = False,
     gap_open: Optional[int] = None,
     gap_extend: Optional[int] = None,
+    matrix: Optional[np.ndarray] = None,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """Batched adaptive-banded X-drop alignment with traceback.
 
@@ -469,6 +478,8 @@ def banded_align_batch(
     round), host walks paths from the history. Output per pair is
     bit-identical to swtpu.oracle.banded_xdrop (linear gaps) /
     swtpu.oracle.banded_affine.banded_affine_xdrop (gap_open != gap_extend).
+    ``matrix`` selects the general-substitution-matrix / protein mode
+    (match/mismatch ignored; forward pass on the XLA table engine).
     """
     import jax
 
@@ -478,7 +489,13 @@ def banded_align_batch(
         gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
     affine = gap_open is not None
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and bandwidth in (32, 64):
+    kw = {}
+    if matrix is not None:
+        # the Pallas banded tiers are uniform-scoring; general matrices
+        # ride the XLA table engine
+        forward = banded_xdrop_batch
+        kw["matrix"] = matrix
+    elif on_tpu and bandwidth in (32, 64):
         from swtpu.kernels.pallas.banded_packed import (
             banded_xdrop_batch_packed as forward,
         )
@@ -501,6 +518,7 @@ def banded_align_batch(
         compress_history=compress_history,
         gap_open=gap_open,
         gap_extend=gap_extend,
+        **kw,
     )
     from swtpu import native
 
@@ -514,15 +532,16 @@ def banded_align_batch(
             else banded_affine_traceback
         )
         walker = lambda q, t, *a: aff_walker(
-            q, t, *a[:5], match, mismatch, gap_open, gap_extend, bandwidth
+            q, t, *a[:5], match, mismatch, gap_open, gap_extend, bandwidth,
+            matrix=matrix,
         )
     elif native.available():
         walker = lambda q, t, *a: native.banded_traceback(
-            q, t, *a, match, mismatch, gap, bandwidth
+            q, t, *a, match, mismatch, gap, bandwidth, matrix=matrix
         )
     else:
         walker = lambda q, t, *a: banded_traceback(
-            q, t, *a, match, mismatch, gap, bandwidth
+            q, t, *a, match, mismatch, gap, bandwidth, matrix=matrix
         )
     out = []
     for b in range(B):

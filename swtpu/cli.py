@@ -174,7 +174,8 @@ def cmd_banded(args):
     from swtpu.batch import banded_align_batch
 
     # linear and affine ride the same device forward pass; affine paths
-    # come from the host Gotoh walker over the device band history
+    # come from the host Gotoh walker over the device band history.
+    # --alphabet protein selects the general-matrix (BLOSUM62) mode.
     out = banded_align_batch(
         qs,
         ts,
@@ -187,6 +188,7 @@ def cmd_banded(args):
         x_threshold=args.x_drop,
         gap_open=args.gap_open,
         gap_extend=args.gap_extend if args.gap_open is not None else None,
+        matrix=_scoring(args).matrix if args.alphabet == "protein" else None,
     )
     for name, (score, path) in zip(names, out):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])

@@ -66,6 +66,7 @@ class BandedBatchResult:
 def _banded_impl(
     qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold,
     with_history=True, compress=False, gap_open=None, gap_extend=None,
+    table=None,
 ):
     affine = gap_open is not None and gap_open != gap_extend
     EF_DEAD = -(2**28)
@@ -150,7 +151,15 @@ def _banded_impl(
         )
         yc, xc = q_win, t_win
         valid = (yc >= 0) & (xc >= 0)
-        sc = jnp.where(valid & (yc == xc), match, -mismatch)
+        if table is None:
+            sc = jnp.where(valid & (yc == xc), match, -mismatch)
+        else:
+            # general-matrix mode: pad rows/cols of `table` already hold
+            # matrix.min() (see _banded_ext_table), so no valid-mask needed
+            stride = table.shape[0]
+            qi = jnp.where(yc >= 0, yc, stride - 2)
+            ti = jnp.where(xc >= 0, xc, stride - 1)
+            sc = jnp.take(table.reshape(-1), qi * stride + ti, axis=0)
 
         r_new = jnp.zeros((B, W), jnp.int32)
         r_new = jnp.where(
@@ -261,6 +270,20 @@ def _banded_impl(
     )
 
 
+def _banded_ext_table(matrix) -> np.ndarray:
+    """Extended substitution table for the banded family: any pad index
+    scores matrix.min() (the banded oracles' pad contract — the uniform
+    mode's 'pads score -mismatch' generalized)."""
+    matrix = np.asarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    stride = 8 if A <= 6 else 32
+    if A + 2 > stride:
+        raise NotImplementedError(f"alphabet of {A} letters unsupported")
+    ext = np.full((stride, stride), int(matrix.min()), dtype=np.int32)
+    ext[:A, :A] = matrix
+    return ext
+
+
 def banded_xdrop_batch(
     qs,
     ts,
@@ -275,6 +298,7 @@ def banded_xdrop_batch(
     with_history=True,
     gap_open=None,
     gap_extend=None,
+    matrix=None,
 ) -> BandedBatchResult:
     """Batched adaptive-banded X-drop forward pass.
 
@@ -285,6 +309,8 @@ def banded_xdrop_batch(
     qs: [B, n] uint8, ts: [B, m] uint8; optional per-pair lengths (defaults
     full width). Returns a BandedBatchResult whose per-alignment contents
     are bit-equal to swtpu.oracle.banded_xdrop(..., return_state=True).
+    ``matrix`` ([A, A] signed scores) selects the general-matrix / protein
+    mode (match/mismatch ignored; oracle parity via its ``matrix=`` arg).
     """
     qs = np.asarray(qs)
     ts = np.asarray(ts)
@@ -316,6 +342,10 @@ def banded_xdrop_batch(
         compress=compress_history,
         gap_open=gap_open,
         gap_extend=gap_extend,
+        table=(
+            None if matrix is None
+            else jnp.asarray(_banded_ext_table(matrix))
+        ),
     )
     if not with_history:
         return BandedBatchResult(

@@ -83,13 +83,13 @@ def _get_lib():
         ]
         lib.banded_traceback.restype = i64
         lib.banded_traceback.argtypes = [
-            i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32, i32, i32,
-            i32, i32p,
+            i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32p, i32,
+            i32, i32, i32p,
         ]
         lib.banded_affine_traceback.restype = i64
         lib.banded_affine_traceback.argtypes = [
-            i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32, i32, i32,
-            i32, i32, i32p,
+            i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32p, i32,
+            i32, i32, i32, i32p,
         ]
         _lib = lib
     except Exception as e:  # toolchain missing etc.
@@ -286,17 +286,25 @@ def banded_traceback(
     mismatch: int = 1,
     gap: int = 1,
     bandwidth: int = 32,
+    matrix=None,
 ) -> List[Tuple[int, int]]:
+    from swtpu.core.scoring import dna_matrix
+
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
     hist, hp = _i32(band_history[:n_rounds])
     py, pyp = _i32(pos_y[:n_rounds])
+    if matrix is None:
+        matrix = dna_matrix(match, -mismatch)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    mat, mp = _i32(matrix.reshape(-1))
     path = np.empty(2 * (len(q) + len(t) + 2 * bandwidth + 4), np.int32)
     pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     ln = lib.banded_traceback(
         qp, len(q), tp, len(t), hp, pyp, int(n_rounds), int(max_round),
-        int(max_score_off), int(match), int(mismatch), int(gap),
+        int(max_score_off), mp, int(A), int(gap),
         int(bandwidth), pp,
     )
     if ln < 0:
@@ -318,18 +326,26 @@ def banded_affine_traceback(
     gap_open: int,
     gap_extend: int,
     bandwidth: int = 32,
+    matrix=None,
 ) -> List[Tuple[int, int]]:
     """Gotoh walk over a device band history (E/F reconstructed in C++)."""
+    from swtpu.core.scoring import dna_matrix
+
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
     hist, hp = _i32(band_history[:n_rounds])
     py, pyp = _i32(pos_y[:n_rounds])
+    if matrix is None:
+        matrix = dna_matrix(match, -mismatch)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    mat, mp = _i32(matrix.reshape(-1))
     path = np.empty(2 * (len(q) + len(t) + 2 * bandwidth + 4), np.int32)
     pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     ln = lib.banded_affine_traceback(
         qp, len(q), tp, len(t), hp, pyp, int(n_rounds), int(max_round),
-        int(max_score_off), int(match), int(mismatch), int(gap_open),
+        int(max_score_off), mp, int(A), int(gap_open),
         int(gap_extend), int(bandwidth), pp,
     )
     if ln < 0:

@@ -543,11 +543,14 @@ int64_t semiglobal_affine_traceback(const uint8_t* q, int64_t n,
 // Walk one alignment's path from its device-computed band history.
 // hist: [n_rounds, W] int32, pos_y: [n_rounds] int32.
 // max_score_off = score + x_threshold (offset-inclusive).
+// Substitution scores come from a general [A*A] matrix (uniform scoring
+// is the dna_matrix(match, -mismatch) special case built by the Python
+// wrapper); only in-sequence chars are consulted during the walk.
 int64_t banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
                          int64_t m, const int32_t* hist,
                          const int32_t* pos_y, int64_t n_rounds,
                          int64_t max_round, int32_t max_score_off,
-                         int32_t match, int32_t mismatch, int32_t gap,
+                         const int32_t* matrix, int32_t A, int32_t gap,
                          int32_t W, int32_t* path_out) {
   const int32_t MINF = INT32_MIN / 2;
   auto get = [&](int64_t y, int64_t x) -> int32_t {
@@ -574,7 +577,7 @@ int64_t banded_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
   while (i || j) {
     const int32_t v = get(i, j);
     const int32_t s =
-        (i && j && q[i - 1] == t[j - 1]) ? match : -mismatch;
+        (i && j) ? matrix[(int64_t)q[i - 1] * A + t[j - 1]] : 0;
     if (i && j && v == get(i - 1, j - 1) + s) {
       --i;
       --j;
@@ -609,8 +612,9 @@ int64_t banded_affine_traceback(const uint8_t* q, int64_t n,
                                 const uint8_t* t, int64_t m,
                                 const int32_t* hist, const int32_t* pos_y,
                                 int64_t n_rounds, int64_t max_round,
-                                int32_t max_score_off, int32_t match,
-                                int32_t mismatch, int32_t gap_open,
+                                int32_t max_score_off,
+                                const int32_t* matrix, int32_t A,
+                                int32_t gap_open,
                                 int32_t gap_extend, int32_t W,
                                 int32_t* path_out) {
   const int32_t MINF = -(1 << 30);
@@ -684,7 +688,7 @@ int64_t banded_affine_traceback(const uint8_t* q, int64_t n,
     if (st == 0) {
       const int32_t v = get_h(i, j);
       const int32_t s =
-          (i && j && q[i - 1] == t[j - 1]) ? match : -mismatch;
+          (i && j) ? matrix[(int64_t)q[i - 1] * A + t[j - 1]] : 0;
       if (i && j && v == get_h(i - 1, j - 1) + s) {
         --i;
         --j;

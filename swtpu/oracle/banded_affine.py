@@ -53,8 +53,14 @@ def banded_affine_xdrop(
     bandwidth: int = 32,
     x_threshold: int = 70,
     return_state: bool = False,
+    matrix=None,
 ):
-    """Scalar oracle. Returns (score, path) or BandedAffineResult."""
+    """Scalar oracle. Returns (score, path) or BandedAffineResult.
+
+    ``matrix`` (signed scores [q_char, t_char]) selects the general-matrix
+    / protein mode; pad involvement scores ``matrix.min()`` (see the linear
+    banded oracle's contract note).
+    """
     q = np.asarray(q, dtype=np.int64)
     t = np.asarray(t, dtype=np.int64)
     n, m = len(q), len(t)
@@ -113,7 +119,14 @@ def banded_affine_xdrop(
         yc = qp[now_y + off]
         xc = tp[now_x - off]
         valid = (yc >= 0) & (xc >= 0)
-        sc = np.where(valid & (yc == xc), match, -mismatch)
+        if matrix is not None:
+            sc = np.where(
+                valid,
+                np.asarray(matrix)[np.maximum(yc, 0), np.maximum(xc, 0)],
+                int(np.asarray(matrix).min()),
+            )
+        else:
+            sc = np.where(valid & (yc == xc), match, -mismatch)
 
         # E from the horizontal predecessor (same row, previous column)
         e_new = np.maximum(
@@ -178,7 +191,12 @@ def banded_affine_xdrop(
     while i or j:
         if st == 0:
             v = get_h(i, j)
-            s = match if (i and j and q[i - 1] == t[j - 1]) else -mismatch
+            if not (i and j):
+                s = MINUS_INF
+            elif matrix is not None:
+                s = int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+            else:
+                s = match if q[i - 1] == t[j - 1] else -mismatch
             if i and j and v == get_h(i - 1, j - 1) + s:
                 i, j = i - 1, j - 1
                 path.append((i, j))

@@ -201,6 +201,7 @@ def banded_xdrop(
     bandwidth: int = 32,
     x_threshold: int = 70,
     return_state: bool = False,
+    matrix: Optional[np.ndarray] = None,
 ):
     """Adaptive-banded X-drop semi-global alignment, scalar oracle.
 
@@ -222,6 +223,12 @@ def banded_xdrop(
       top-right-most cell of the best round holding max_score
       (source.cpp:1953-1954), tie-break diag → up → left, coordinates 1-based
       unpadded (y, x).
+
+    ``matrix`` (signed scores [q_char, t_char]) selects the general-matrix
+    / protein mode: match/mismatch are ignored and pad involvement scores
+    ``matrix.min()`` — the generalization of the uniform rule (pads score
+    -mismatch = the uniform matrix's minimum), so a uniform matrix is
+    bit-identical to the uniform mode.
 
     Returns (score, path), or a :class:`BandedResult` if return_state.
     """
@@ -284,7 +291,14 @@ def banded_xdrop(
         yc = qp[now_y + off]
         xc = tp[now_x - off]
         valid = (yc >= 0) & (xc >= 0)
-        score = np.where(valid & (yc == xc), match, -mismatch)
+        if matrix is not None:
+            score = np.where(
+                valid,
+                np.asarray(matrix)[np.maximum(yc, 0), np.maximum(xc, 0)],
+                int(np.asarray(matrix).min()),
+            )
+        else:
+            score = np.where(valid & (yc == xc), match, -mismatch)
 
         result = np.zeros(W, dtype=np.int64)
         result = np.where(diagonal != 0, np.maximum(result, diagonal + score), result)
@@ -324,15 +338,16 @@ def banded_xdrop(
         my += 1
         mx -= 1
 
+    def sub(i: int, j: int) -> int:
+        if matrix is not None:
+            return int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+        return match if q[i - 1] == t[j - 1] else -mismatch
+
     path = [(my, mx)]
     i, j = my, mx
     while i or j:
         v = get(i, j)
-        if (
-            i
-            and j
-            and v == get(i - 1, j - 1) + (match if q[i - 1] == t[j - 1] else -mismatch)
-        ):
+        if i and j and v == get(i - 1, j - 1) + sub(i, j):
             i, j = i - 1, j - 1
         elif i and v == get(i - 1, j) - gap:
             i = i - 1

@@ -160,3 +160,43 @@ def test_semiglobal_general_matrix(rng):
         assert out[b] == semiglobal_affine_full(
             qp[b], tp[b], gap_open=11, gap_extend=1, matrix=BLOSUM62
         )
+
+
+def test_banded_general_matrix(rng):
+    """Adaptive-banded X-drop with a general substitution matrix
+    (BLOSUM62): XLA table engine + matrix walkers vs the generalized
+    scalar oracles, linear + affine; plus the uniform-matrix==uniform-mode
+    equivalence that pins the pad contract (pads score matrix.min())."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import dna_matrix
+    from swtpu.batch.traceback import banded_align_batch
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
+    q = random_dna(rng, (120,))
+    t = mutate(rng, q, out_len=120)
+    assert banded_xdrop(q, t, 1, 1, 1) == banded_xdrop(
+        q, t, matrix=dna_matrix(1, -1), gap=1
+    )
+    assert banded_affine_xdrop(q, t, 1, 1, 3, 1) == banded_affine_xdrop(
+        q, t, gap_open=3, gap_extend=1, matrix=dna_matrix(1, -1)
+    )
+
+    B = 3
+    qs = rng.integers(0, 24, (B, 120)).astype(np.uint8)
+    ts = qs.copy()
+    for b in range(B):
+        idx = rng.integers(0, 120, 20)
+        ts[b, idx] = rng.integers(0, 24, 20)
+    out = banded_align_batch(qs, ts, gap=6, x_threshold=120, matrix=BLOSUM62)
+    for b in range(B):
+        assert out[b] == banded_xdrop(
+            qs[b], ts[b], gap=6, x_threshold=120, matrix=BLOSUM62
+        )
+    out = banded_align_batch(
+        qs, ts, gap_open=11, gap_extend=1, x_threshold=120, matrix=BLOSUM62
+    )
+    for b in range(B):
+        assert out[b] == banded_affine_xdrop(
+            qs[b], ts[b], gap_open=11, gap_extend=1, x_threshold=120,
+            matrix=BLOSUM62,
+        )

@@ -138,3 +138,21 @@ def test_cli_protein_semiglobal(tmp_path):
     )
     assert len(recs) == 2
     assert all(r["start"] == [0, 0] and r["path"] for r in recs)
+
+
+def test_cli_protein_banded(tmp_path):
+    rng = np.random.default_rng(13)
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    base = [aa[i] for i in rng.integers(0, 20, 100)]
+    mut = list(base)
+    for i in rng.integers(0, 100, 12):
+        mut[i] = aa[rng.integers(0, 20)]
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text(f">q0\n{''.join(base)}\n")
+    tf.write_text(f">t0\n{''.join(mut)}\n")
+    recs = _run(
+        ["banded", "--queries", str(qf), "--targets", str(tf),
+         "--alphabet", "protein", "--gap-open", "11", "--gap-extend", "1",
+         "--x-drop", "120", "--traceback"]
+    )
+    assert len(recs) == 1 and recs[0]["path"]
