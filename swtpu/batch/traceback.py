@@ -147,13 +147,28 @@ def semiglobal_align_batch(
 def _semiglobal_align_batch_general(
     qs: np.ndarray, ts: np.ndarray, params: ScoringParams
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
-    """General-matrix semi-global with traceback: device table engine
-    forward, matrix-scored host walk (C++ twin preferred)."""
+    """General-matrix semi-global with traceback: device forward (Pallas
+    packed-profile kernel on TPU when the tile shape allows, else the XLA
+    table engine), matrix-scored host walk (C++ twin preferred)."""
+    import jax
+
     from swtpu import native
     from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_general
     from swtpu.oracle.semiglobal import semiglobal_affine_full, semiglobal_full
 
-    fwd = semiglobal_batch_general(qs, ts, params)
+    B, n = qs.shape
+    m = ts.shape[1]
+    if (
+        jax.devices()[0].platform == "tpu"
+        and B % 1024 == 0 and n % 8 == 0 and m % 16 == 0
+    ):
+        from swtpu.kernels.pallas.semiglobal_profile import (
+            semiglobal_batch_profile_pallas,
+        )
+
+        fwd = semiglobal_batch_profile_pallas(qs, ts, params)
+    else:
+        fwd = semiglobal_batch_general(qs, ts, params)
     score, ei, ej = (np.asarray(x) for x in fwd)
     use_native = native.available()
     if params.is_linear:
@@ -491,9 +506,15 @@ def banded_align_batch(
     on_tpu = jax.devices()[0].platform == "tpu"
     kw = {}
     if matrix is not None:
-        # the Pallas banded tiers are uniform-scoring; general matrices
-        # ride the XLA table engine
-        forward = banded_xdrop_batch
+        # general matrices: Pallas kernel with the baked-in packed table
+        # on TPU (banded_batch tier; the lane-packed tier stays uniform),
+        # XLA table engine elsewhere
+        if on_tpu and bandwidth <= 96:
+            from swtpu.kernels.pallas.banded_batch import (
+                banded_xdrop_batch_pallas as forward,
+            )
+        else:
+            forward = banded_xdrop_batch
         kw["matrix"] = matrix
     elif on_tpu and bandwidth in (32, 64):
         from swtpu.kernels.pallas.banded_packed import (

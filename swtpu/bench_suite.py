@@ -331,12 +331,33 @@ def bench_semiglobal_full(quick=False):
     dq, dt = jax.device_put(qs), jax.device_put(ts)
     engines = [("semiglobal_xla_diag", lambda a, b: semiglobal_batch_diag(a, b)[0])]
     if jax.devices()[0].platform == "tpu" and batch % 1024 == 0:
+        from swtpu.core.protein import BLOSUM62
+        from swtpu.core.scoring import ScoringParams
         from swtpu.kernels.pallas.semiglobal_batch import (
             semiglobal_batch_pallas,
         )
+        from swtpu.kernels.pallas.semiglobal_profile import (
+            semiglobal_batch_profile_pallas,
+        )
 
+        rng = np.random.default_rng(10000)
+        pq = jax.device_put(
+            rng.integers(0, 24, size=(batch, n)).astype(np.uint8)
+        )
+        pt = jax.device_put(
+            rng.integers(0, 24, size=(batch, m)).astype(np.uint8)
+        )
+        aff = ScoringParams(BLOSUM62, gap_open=11, gap_extend=1)
         engines.append(
             ("semiglobal_rowscan", lambda a, b: semiglobal_batch_pallas(a, b)[0])
+        )
+        engines.append(
+            (
+                "semiglobal_prof_blosum62_affine",
+                lambda a, b, _q=pq, _t=pt: semiglobal_batch_profile_pallas(
+                    _q, _t, aff
+                )[0],
+            )
         )
     out = []
     for name, fn in engines:

@@ -331,6 +331,50 @@ def cmd_selftest(args):
             )
         )
 
+        bpq = rng.integers(0, 24, size=(8, 200)).astype(np.uint8)
+        bpt = bpq.copy()
+        for b in range(8):
+            idx = rng.integers(0, 200, 30)
+            bpt[b, idx] = rng.integers(0, 24, 30)
+        ref = banded_xdrop_batch(
+            bpq, bpt, matrix=BLOSUM62, gap_open=11, gap_extend=1,
+            x_threshold=120, with_history=False,
+        )
+        dev = banded_xdrop_batch_pallas(
+            bpq, bpt, matrix=BLOSUM62, gap_open=11, gap_extend=1,
+            x_threshold=120, with_history=False,
+        )
+        checks.append(
+            (
+                "banded_blosum62_pallas_vs_xla",
+                np.array_equal(ref.score, dev.score)
+                and np.array_equal(ref.n_rounds, dev.n_rounds),
+            )
+        )
+
+        from swtpu.kernels.pallas.semiglobal_profile import (
+            semiglobal_batch_profile_pallas,
+        )
+        from swtpu.kernels.xla.semiglobal_scan import (
+            semiglobal_batch_general,
+        )
+
+        spq = rng.integers(0, 24, size=(1024, 24)).astype(np.uint8)
+        spt = rng.integers(0, 24, size=(1024, 32)).astype(np.uint8)
+        dev = tuple(
+            np.asarray(x)
+            for x in semiglobal_batch_profile_pallas(spq, spt, paff)
+        )
+        ref3 = tuple(
+            np.asarray(x) for x in semiglobal_batch_general(spq, spt, paff)
+        )
+        checks.append(
+            (
+                "semiglobal_prof_blosum62_vs_xla",
+                all(np.array_equal(a, b) for a, b in zip(dev, ref3)),
+            )
+        )
+
         from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
         from swtpu.oracle.banded_static import (
             sw_banded_static_score_batch,

@@ -56,6 +56,30 @@ LANE = 128
 RF = 64
 
 
+def _packed_banded_table(matrix):
+    """Static packed substitution table for the general-matrix mode:
+    [Ae][planes] nested tuples (hashable -> jit-static, baked into the
+    kernel as broadcast constants), 4 int8 scores per int32 plane.
+    Pad rows/cols score matrix.min() — the banded oracles' pad contract
+    (the uniform mode's 'pads score -mismatch' generalized)."""
+    matrix = np.asarray(matrix, dtype=np.int32)
+    if matrix.min() < -127 or matrix.max() > 127:
+        raise NotImplementedError(
+            "banded matrix mode needs scores in [-127, 127]"
+        )
+    A = matrix.shape[0]
+    Ae = A + 2
+    planes = -(-Ae // 4)
+    ext = np.full((Ae, planes * 4), int(matrix.min()), dtype=np.int32)
+    ext[:A, :A] = matrix
+    b = (ext & 0xFF).astype(np.uint32)
+    packed = (
+        b[:, 0::4] | (b[:, 1::4] << 8) | (b[:, 2::4] << 16)
+        | (b[:, 3::4] << 24)
+    ).view(np.int32)
+    return tuple(tuple(int(x) for x in row) for row in packed)
+
+
 def _kernel(
     meta_ref,
     q_ref,
@@ -78,6 +102,7 @@ def _kernel(
     rf,
     gap_open=None,
     gap_extend=None,
+    table=None,
 ):
     affine = gap_open is not None
     if with_history:
@@ -241,7 +266,44 @@ def _kernel(
         ti = jnp.clip((now_x - base_t) + fwd_iota, 0, LANE - 1)
         yc = jnp.take_along_axis(slab_q, qi, axis=1)
         xc = jnp.take_along_axis(slab_t, ti, axis=1)
-        sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
+        if table is None:
+            sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
+        else:
+            # general-matrix mode: the packed table is baked in as
+            # broadcast constants; two log-depth select trees (row by the
+            # query char, plane by xc>>2) + a variable-shift byte extract
+            # — ALU-only, no new permutes (this kernel is permute-bound).
+            # Pads (-1) map to the table's pad row/col (scores min(M)).
+            Ae = len(table)
+            planes = len(table[0])
+            qa = jnp.where(yc >= 0, yc, Ae - 2)
+            ta = jnp.where(xc >= 0, xc, Ae - 1)
+            nq = max(1, (Ae - 1).bit_length())
+            qbits = [(qa & (1 << k)) != 0 for k in range(nq)]
+            nt = max(1, (planes - 1).bit_length())
+            tbits = [((ta >> 2) & (1 << k)) != 0 for k in range(nt)]
+
+            def tree(vals, bits):
+                level = 0
+                while len(vals) > 1:
+                    bsel = bits[level]
+                    nxt = []
+                    for j in range(0, len(vals) - 1, 2):
+                        nxt.append(jnp.where(bsel, vals[j + 1], vals[j]))
+                    if len(vals) % 2:
+                        nxt.append(vals[-1])
+                    vals = nxt
+                    level += 1
+                return vals[0]
+
+            plane_vals = [
+                tree([jnp.int32(table[a][g]) for a in range(Ae)], qbits)
+                for g in range(planes)
+            ]
+            v = jax.lax.shift_right_logical(
+                tree(plane_vals, tbits), (ta & 3) << 3
+            )
+            sc = ((v & 0xFF) ^ 0x80) - 0x80
 
         dd = jnp.where(diagonal != 0, diagonal + sc, 0)
         if affine:
@@ -383,12 +445,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
-        "with_history", "early_exit", "gap_open", "gap_extend",
+        "with_history", "early_exit", "gap_open", "gap_extend", "table",
     ),
 )
 def _banded_pallas_impl(
     meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
     with_history, early_exit=False, gap_open=None, gap_extend=None,
+    table=None,
 ):
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
     rf = min(RF, LANE - 1 - W)
@@ -405,7 +468,7 @@ def _banded_pallas_impl(
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
         with_history=with_history, early_exit=early_exit, hl=hl, rf=rf,
-        gap_open=gap_open, gap_extend=gap_extend,
+        gap_open=gap_open, gap_extend=gap_extend, table=table,
     )
     small = pl.BlockSpec(
         (1, PAIRS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -492,6 +555,7 @@ def banded_xdrop_batch_pallas(
     early_exit=False,
     gap_open=None,
     gap_extend=None,
+    matrix=None,
 ) -> BandedBatchResult:
     """Batched adaptive-banded X-drop forward pass (Pallas fast path).
 
@@ -503,6 +567,10 @@ def banded_xdrop_batch_pallas(
     swtpu.batch.traceback.reconstruct_affine_bands). Supports bandwidth
     up to 96 (the slab scheme needs W + rf + 1 <= 128 with rf >= ~30 for
     the refill amortization, and two spare lanes carry posy/offs).
+    ``matrix`` ([A, A] signed scores, any alphabet to ~30 letters incl.
+    BLOSUM62) selects the general-matrix mode: match/mismatch are ignored
+    and the kernel scores via a baked-in packed table (ALU select trees,
+    no extra permutes).
     """
     W = int(bandwidth)
     X = int(x_threshold)
@@ -543,6 +611,7 @@ def banded_xdrop_batch_pallas(
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
         W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
         with_history, bool(early_exit), gap_open, gap_extend,
+        table=None if matrix is None else _packed_banded_table(matrix),
     )
     score = np.asarray(score)[:B]
     mround = np.asarray(mround)[:B]

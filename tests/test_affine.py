@@ -349,3 +349,32 @@ def test_colscan_affine(rng):
     assert np.array_equal(
         dev, sw_affine_score_batch(pq, pt, pp).astype(np.int32)
     )
+
+
+def test_semiglobal_profile_pallas_general_matrix(rng):
+    """Pallas packed-profile semi-global (general matrices) == XLA table
+    engine, linear + Gotoh, BLOSUM62 (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.protein import BLOSUM62, blosum62_params
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.kernels.pallas.semiglobal_profile import (
+        semiglobal_batch_profile_pallas,
+    )
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_general
+
+    B, n, m = 1024, 24, 32
+    qs = rng.integers(0, 24, (B, n)).astype(np.uint8)
+    ts = rng.integers(0, 24, (B, m)).astype(np.uint8)
+    ts[:4, :n] = qs[:4, :n]
+    for p in (ScoringParams.linear(BLOSUM62, 6), blosum62_params()):
+        with pltpu.force_tpu_interpret_mode():
+            got = tuple(
+                np.asarray(x)
+                for x in semiglobal_batch_profile_pallas(qs, ts, p)
+            )
+        want = tuple(
+            np.asarray(x) for x in semiglobal_batch_general(qs, ts, p)
+        )
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)
