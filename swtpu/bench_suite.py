@@ -112,8 +112,31 @@ def bench_semiglobal(quick=False):
             banded_xdrop_batch_packed,
         )
 
+        from swtpu.core.protein import BLOSUM62
+
         engines.append(
             ("banded_xdrop_32_70_pallas", banded_xdrop_batch_pallas)
+        )
+        # protein homology extension: ~70%-identity amino-acid pairs,
+        # BLOSUM62 + BLAST-default Gotoh gaps, X=120 (the BLAST-style
+        # protein X-drop workload; general-matrix baked-table mode).
+        # The lambda pins its own pairs/scoring and ignores the harness's
+        # uniform gap args (the affine re-run below targets engines[-1]).
+        pq = rng.integers(0, 24, size=(B, L)).astype(np.uint8)
+        pt = pq.copy()
+        nmut = L // 3
+        for b in range(B):
+            idx = rng.integers(0, L, nmut)
+            pt[b, idx] = rng.integers(0, 24, nmut)
+        engines.append(
+            (
+                "banded_xdrop_blosum62_affine_pallas",
+                lambda a, b, _q=pq, _t=pt, **kw: banded_xdrop_batch_pallas(
+                    _q, _t, matrix=BLOSUM62, gap_open=11, gap_extend=1,
+                    x_threshold=120,
+                    with_history=kw.get("with_history", False),
+                ),
+            )
         )
         engines.append(
             ("banded_xdrop_32_70_packed", banded_xdrop_batch_packed)
@@ -375,6 +398,82 @@ def bench_semiglobal_full(quick=False):
     return out
 
 
+def bench_varlen(quick=False):
+    """BASELINE config 4: variable-length DNA read batch (100-300 bp) vs
+    fixed reference windows, bucketed dispatch, with the overflow-
+    promotion tier and a traceback-coordinate sample."""
+    import jax
+
+    from swtpu.batch import sw_align_batch, sw_scores_bucketed
+    from swtpu.batch.promote import sw_scores_promoted
+    from swtpu.core.scoring import DNA_111
+
+    rng = np.random.default_rng(10000)
+    B = 4096 if quick else 32768
+    m = 320
+    lens = rng.integers(100, 301, B)
+    pairs = [
+        (
+            rng.integers(0, 4, L).astype(np.uint8),
+            rng.integers(0, 4, m).astype(np.uint8),
+        )
+        for L in lens
+    ]
+    # warm with the FULL batch: bucket occupancy determines the padded
+    # batch shapes, so a small warm-up slice compiles different shapes
+    sw_scores_bucketed(pairs, DNA_111)
+    t0 = time.perf_counter()
+    scores = sw_scores_bucketed(pairs, DNA_111)
+    wall = time.perf_counter() - t0
+    cells = int(lens.sum()) * m
+    out = [
+        dict(
+            kernel="varlen_reads_bucketed",
+            batch=B,
+            wall_ms=round(wall * 1e3, 1),
+            gcups=round(cells / wall / 1e9, 2),
+            alignments_per_s=round(B / wall, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+    ]
+    # overflow-promotion tier on the same read shape (fixed-length slab)
+    qs = rng.integers(0, 4, size=(B, 300)).astype(np.uint8)
+    ts = rng.integers(0, 4, size=(B, m)).astype(np.uint8)
+    sw_scores_promoted(qs[:1024], ts[:1024], DNA_111)
+    t0 = time.perf_counter()
+    _, promoted = sw_scores_promoted(qs, ts, DNA_111)
+    wall = time.perf_counter() - t0
+    out.append(
+        dict(
+            kernel="varlen_promoted_bf16_int32",
+            batch=B,
+            wall_ms=round(wall * 1e3, 1),
+            promoted_frac=round(float(promoted.mean()), 4),
+            alignments_per_s=round(B / wall, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+    )
+    # traceback coordinates for a sample of pairs (device forward + host
+    # walker; the reference's own forward/traceback split)
+    nb = 64
+    t0 = time.perf_counter()
+    paths = sw_align_batch(qs[:nb], ts[:nb], DNA_111)
+    wall = time.perf_counter() - t0
+    out.append(
+        dict(
+            kernel="varlen_traceback_sample",
+            batch=nb,
+            wall_ms=round(wall * 1e3, 1),
+            alignments_per_s=round(nb / wall, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+    )
+    for rec in out:
+        print(f"{rec['kernel']}: {rec['wall_ms']} ms / {rec['batch']}")
+        print("JSON:", json.dumps(rec))
+    return out
+
+
 def bench_unpack(quick=False):
     from swtpu.core.encode import pack_2bit, unpack_2bit
 
@@ -426,7 +525,7 @@ def main():
         default="all",
         choices=[
             "all", "sw", "semiglobal", "semiglobal_full", "affine",
-            "protein", "unpack",
+            "protein", "unpack", "varlen",
         ],
     )
     args = ap.parse_args()
@@ -444,6 +543,8 @@ def main():
         results += bench_affine(args.quick)
     if args.suite in ("all", "protein"):
         results += bench_protein(args.quick)
+    if args.suite in ("all", "varlen"):
+        results += bench_varlen(args.quick)
     if args.suite in ("all", "unpack"):
         results += bench_unpack(args.quick)
     json.dump(results, sys.stdout, indent=1)
