@@ -506,10 +506,13 @@ def banded_align_batch(
     on_tpu = jax.devices()[0].platform == "tpu"
     kw = {}
     if matrix is not None:
-        # general matrices: Pallas kernel with the baked-in packed table
-        # on TPU (banded_batch tier; the lane-packed tier stays uniform),
-        # XLA table engine elsewhere
-        if on_tpu and bandwidth <= 96:
+        # general matrices: same Pallas tiering as uniform scoring (the
+        # baked-table lookup rides both kernels), XLA table engine off-TPU
+        if on_tpu and bandwidth in (32, 64):
+            from swtpu.kernels.pallas.banded_packed import (
+                banded_xdrop_batch_packed as forward,
+            )
+        elif on_tpu and bandwidth <= 96:
             from swtpu.kernels.pallas.banded_batch import (
                 banded_xdrop_batch_pallas as forward,
             )

@@ -351,6 +351,21 @@ def cmd_selftest(args):
                 and np.array_equal(ref.n_rounds, dev.n_rounds),
             )
         )
+        from swtpu.kernels.pallas.banded_packed import (
+            banded_xdrop_batch_packed,
+        )
+
+        dev = banded_xdrop_batch_packed(
+            bpq, bpt, matrix=BLOSUM62, gap_open=11, gap_extend=1,
+            x_threshold=120, with_history=False,
+        )
+        checks.append(
+            (
+                "banded_blosum62_packed_vs_xla",
+                np.array_equal(ref.score, dev.score)
+                and np.array_equal(ref.n_rounds, dev.n_rounds),
+            )
+        )
 
         from swtpu.kernels.pallas.semiglobal_profile import (
             semiglobal_batch_profile_pallas,

@@ -80,6 +80,44 @@ def _packed_banded_table(matrix):
     return tuple(tuple(int(x) for x in row) for row in packed)
 
 
+def _table_lookup(yc, xc, table):
+    """General-matrix score lookup for the banded kernels: the packed
+    table is baked in as broadcast constants; two log-depth select trees
+    (row by the query char, plane by xc>>2) + a variable-shift byte
+    extract — ALU-only, no new permutes (these kernels are permute-bound).
+    Pads (-1) map to the table's pad row/col (which score min(M))."""
+    Ae = len(table)
+    planes = len(table[0])
+    qa = jnp.where(yc >= 0, yc, Ae - 2)
+    ta = jnp.where(xc >= 0, xc, Ae - 1)
+    nq = max(1, (Ae - 1).bit_length())
+    qbits = [(qa & (1 << k)) != 0 for k in range(nq)]
+    nt = max(1, (planes - 1).bit_length())
+    tbits = [((ta >> 2) & (1 << k)) != 0 for k in range(nt)]
+
+    def tree(vals, bits):
+        level = 0
+        while len(vals) > 1:
+            bsel = bits[level]
+            nxt = []
+            for j in range(0, len(vals) - 1, 2):
+                nxt.append(jnp.where(bsel, vals[j + 1], vals[j]))
+            if len(vals) % 2:
+                nxt.append(vals[-1])
+            vals = nxt
+            level += 1
+        return vals[0]
+
+    plane_vals = [
+        tree([jnp.int32(table[a][g]) for a in range(Ae)], qbits)
+        for g in range(planes)
+    ]
+    v = jax.lax.shift_right_logical(
+        tree(plane_vals, tbits), (ta & 3) << 3
+    )
+    return ((v & 0xFF) ^ 0x80) - 0x80
+
+
 def _kernel(
     meta_ref,
     q_ref,
@@ -269,41 +307,7 @@ def _kernel(
         if table is None:
             sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
         else:
-            # general-matrix mode: the packed table is baked in as
-            # broadcast constants; two log-depth select trees (row by the
-            # query char, plane by xc>>2) + a variable-shift byte extract
-            # — ALU-only, no new permutes (this kernel is permute-bound).
-            # Pads (-1) map to the table's pad row/col (scores min(M)).
-            Ae = len(table)
-            planes = len(table[0])
-            qa = jnp.where(yc >= 0, yc, Ae - 2)
-            ta = jnp.where(xc >= 0, xc, Ae - 1)
-            nq = max(1, (Ae - 1).bit_length())
-            qbits = [(qa & (1 << k)) != 0 for k in range(nq)]
-            nt = max(1, (planes - 1).bit_length())
-            tbits = [((ta >> 2) & (1 << k)) != 0 for k in range(nt)]
-
-            def tree(vals, bits):
-                level = 0
-                while len(vals) > 1:
-                    bsel = bits[level]
-                    nxt = []
-                    for j in range(0, len(vals) - 1, 2):
-                        nxt.append(jnp.where(bsel, vals[j + 1], vals[j]))
-                    if len(vals) % 2:
-                        nxt.append(vals[-1])
-                    vals = nxt
-                    level += 1
-                return vals[0]
-
-            plane_vals = [
-                tree([jnp.int32(table[a][g]) for a in range(Ae)], qbits)
-                for g in range(planes)
-            ]
-            v = jax.lax.shift_right_logical(
-                tree(plane_vals, tbits), (ta & 3) << 3
-            )
-            sc = ((v & 0xFF) ^ 0x80) - 0x80
+            sc = _table_lookup(yc, xc, table)
 
         dd = jnp.where(diagonal != 0, diagonal + sc, 0)
         if affine:

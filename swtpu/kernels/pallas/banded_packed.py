@@ -39,6 +39,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from swtpu.kernels.pallas.banded_batch import (
+    _packed_banded_table,
+    _table_lookup,
+)
 from swtpu.kernels.xla.banded_scan import BandedBatchResult
 
 LANE = 128
@@ -76,6 +80,7 @@ def _kernel(
     rf,
     gap_open=None,
     gap_extend=None,
+    table=None,
 ):
     affine = gap_open is not None
     GROUPS = _groups(W)
@@ -231,7 +236,10 @@ def _kernel(
         ti = jnp.clip((now_x - base_t) + fwd_g, 0, LANE - 1)
         yc = gather_groups(slabs_q, qi)
         xc = gather_groups(slabs_t, ti)
-        sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
+        if table is None:
+            sc = jnp.where((yc >= 0) & (xc >= 0) & (yc == xc), m32, mm32)
+        else:
+            sc = _table_lookup(yc, xc, table)
 
         dd = jnp.where(diagonal != 0, diagonal + sc, 0)
         if affine:
@@ -354,12 +362,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "W", "X", "match", "mismatch", "gap", "R_cap", "qlen", "tlen",
-        "with_history", "early_exit", "gap_open", "gap_extend",
+        "with_history", "early_exit", "gap_open", "gap_extend", "table",
     ),
 )
 def _banded_packed_impl(
     meta, qp, tp, W, X, match, mismatch, gap, R_cap, qlen, tlen,
     with_history, early_exit=False, gap_open=None, gap_extend=None,
+    table=None,
 ):
     PAIRS = _pairs(W)
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
@@ -372,7 +381,7 @@ def _banded_packed_impl(
         W=W, X=X, match=match, mismatch=mismatch, gap=gap,
         n_blocks=n_blocks, qlen=qlen, tlen=tlen,
         with_history=with_history, early_exit=early_exit, rf=rf,
-        gap_open=gap_open, gap_extend=gap_extend,
+        gap_open=gap_open, gap_extend=gap_extend, table=table,
     )
     small = pl.BlockSpec(
         (1, SROWS, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -474,13 +483,16 @@ def banded_xdrop_batch_packed(
     early_exit=False,
     gap_open=None,
     gap_extend=None,
+    matrix=None,
 ) -> BandedBatchResult:
     """Lane-packed banded X-drop forward pass (bandwidth 32/64).
 
     Same contract as banded_xdrop_batch / banded_xdrop_batch_pallas,
     including affine (Gotoh) gaps via gap_open/gap_extend (history stays
-    H-only; E/F are host-reconstructible); 128/bandwidth pairs share each
-    sublane row (512 alignments per grid step at the default bandwidth 32).
+    H-only; E/F are host-reconstructible) and the general-matrix mode via
+    ``matrix`` (baked packed table, ALU select-tree lookup); 128/bandwidth
+    pairs share each sublane row (512 alignments per grid step at the
+    default bandwidth 32).
     """
     W = int(bandwidth)
     if W not in (32, 64):
@@ -525,6 +537,7 @@ def banded_xdrop_batch_packed(
         jnp.asarray(tp.reshape(Bp * (tlen // LANE), LANE)),
         W, X, int(match), int(mismatch), int(gap), R_cap, qlen, tlen,
         with_history, bool(early_exit), gap_open, gap_extend,
+        table=None if matrix is None else _packed_banded_table(matrix),
     )
     score = np.asarray(score)[:B]
     mround = np.asarray(mround)[:B]
