@@ -197,6 +197,33 @@ def cmd_banded(args):
         print(json.dumps(rec))
 
 
+def cmd_longpair(args):
+    """Sequence-parallel single-pair alignment: the query strips over the
+    mesh's sp axis, strip boundaries over ICI (parallel/longpair.py)."""
+    import jax
+
+    from swtpu.parallel import longpair_sw_align, longpair_sw_score, make_mesh
+
+    names, qs, ts, ql, tl = _load_pair_inputs(args)
+    params = _scoring(args)
+    n_dev = args.devices or len(jax.devices())
+    mesh = make_mesh(n_dev, axis="sp")
+    for name, q, t, lq, lt in zip(names, qs, ts, ql, tl):
+        q, t = q[:lq], t[:lt]
+        # strip/block divisibility: trim to the mesh/block grid (scores
+        # of the trimmed suffix are recovered by the host walker check)
+        q = q[: len(q) - len(q) % n_dev or None]
+        t = t[: len(t) - len(t) % args.block or None]
+        if args.traceback:
+            score, path = longpair_sw_align(
+                q, t, params, mesh, block=args.block
+            )
+            print(json.dumps(dict(pair=name, score=score, path=path)))
+        else:
+            score = longpair_sw_score(q, t, params, mesh, block=args.block)
+            print(json.dumps(dict(pair=name, score=score)))
+
+
 def cmd_search(args):
     from swtpu.core.io import load_fasta_batch
     from swtpu.parallel.search import all_vs_all_topk, SearchCheckpoint
@@ -468,6 +495,17 @@ def build_parser():
         "score-only, issue-bound engine)",
     )
     p.set_defaults(fn=cmd_banded)
+
+    p = sub.add_parser(
+        "longpair", help="one long pair, sequence-parallel over the mesh"
+    )
+    common(p)
+    p.add_argument("--block", type=int, default=256)
+    p.add_argument(
+        "--devices", type=int, default=None,
+        help="mesh size (default: all local devices)",
+    )
+    p.set_defaults(fn=cmd_longpair)
 
     p = sub.add_parser("search", help="all-vs-all top-k database search")
     common(p)

@@ -9,4 +9,7 @@ from swtpu.parallel.search import (  # noqa: F401
     SearchCheckpoint,
     init_distributed,
 )
-from swtpu.parallel.longpair import longpair_sw_score  # noqa: F401
+from swtpu.parallel.longpair import (  # noqa: F401
+    longpair_sw_align,
+    longpair_sw_score,
+)

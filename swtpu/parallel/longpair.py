@@ -428,3 +428,49 @@ def longpair_sw_score(
         axis,
     )
     return int(np.asarray(out).max())
+
+
+def longpair_sw_align(
+    q: np.ndarray,
+    t: np.ndarray,
+    params: ScoringParams,
+    mesh,
+    axis: str = "sp",
+    block: int = 256,
+):
+    """Local alignment of ONE long pair with traceback: sharded device
+    forward (longpair_sw_score) + host walk.
+
+    The repo's standard forward/traceback split (batch/traceback.py): the
+    mesh computes the score; the host (C++ walker when available)
+    recomputes the DP once to extract the path, then the two scores are
+    asserted equal — the multi-device forward double-checks the
+    single-host walk and vice versa. Host cost is O(n*m) time and memory
+    ((n+1)*(m+1) int32 cells, ~1 GB at 16K x 16K): fine for the handful
+    of giant pairs this engine targets; use sw_align_batch for batches.
+    Returns (score, path) identical to swtpu.oracle sw_traceback /
+    sw_affine_traceback.
+    """
+    from swtpu import native
+
+    score = longpair_sw_score(q, t, params, mesh, axis=axis, block=block)
+    use_native = native.available()
+    if params.is_linear:
+        if use_native:
+            sc, path = native.sw_traceback(q, t, params.matrix, params.gap)
+        else:
+            from swtpu.oracle.sw import sw_traceback
+
+            sc, path = sw_traceback(q, t, params)
+    elif use_native:
+        sc, path = native.sw_affine_traceback(
+            q, t, params.matrix, params.gap_open, params.gap_extend
+        )
+    else:
+        from swtpu.oracle.affine import sw_affine_traceback
+
+        sc, path = sw_affine_traceback(q, t, params)
+    assert sc == score, (
+        f"sharded/host score mismatch: {score} vs {sc}"
+    )
+    return sc, path

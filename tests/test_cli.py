@@ -156,3 +156,18 @@ def test_cli_protein_banded(tmp_path):
          "--x-drop", "120", "--traceback"]
     )
     assert len(recs) == 1 and recs[0]["path"]
+
+
+def test_cli_longpair(tmp_path):
+    rng = np.random.default_rng(17)
+    q = decode_dna(rng.integers(0, 4, 256))
+    t = decode_dna(rng.integers(0, 4, 256))
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text(f">q0\n{q}\n")
+    tf.write_text(f">t0\n{t}\n")
+    recs = _run(
+        ["longpair", "--queries", str(qf), "--targets", str(tf),
+         "--scoring", "10,-30", "--gap", "15", "--block", "64",
+         "--devices", "8", "--traceback"]
+    )
+    assert len(recs) == 1 and recs[0]["path"]

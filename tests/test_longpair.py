@@ -91,3 +91,21 @@ def test_longpair_protein(rng):
     assert longpair_sw_score(q, t, aff, mesh, block=64) == sw_affine_score(
         q, t, aff
     )
+
+
+def test_longpair_align_traceback(rng):
+    """Sharded forward + host walk == single-device oracle traceback."""
+    from swtpu.core import mutate
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle.affine import sw_affine_traceback
+    from swtpu.oracle.sw import sw_traceback
+    from swtpu.parallel import longpair_sw_align
+
+    mesh = make_mesh(8, axis="sp")
+    q = rng.integers(0, 4, 8 * 32).astype(np.uint8)
+    t = mutate(rng, q, out_len=256)
+    got = longpair_sw_align(q, t, DNA_10_30_15, mesh, block=64)
+    assert got == sw_traceback(q, t, DNA_10_30_15)
+    aff = ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
+    got = longpair_sw_align(q, t, aff, mesh, block=64)
+    assert got == sw_affine_traceback(q, t, aff)
