@@ -160,7 +160,7 @@ def _semiglobal_align_batch_general(
     m = ts.shape[1]
     if (
         jax.devices()[0].platform == "tpu"
-        and B % 1024 == 0 and n % 8 == 0 and m % 16 == 0
+        and n % 8 == 0 and m % 16 == 0
     ):
         from swtpu.kernels.pallas.semiglobal_profile import (
             semiglobal_batch_profile_pallas,

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -230,21 +231,30 @@ def semiglobal_batch_profile_pallas(qs, ts, params: ScoringParams):
     matrix (Pallas fast path; BLOSUM62 + open/extend runs here).
 
     qs: [B, n], ts: [B, m] uint8 codes 0..A-1, fixed lengths
-    (B % 1024 == 0, n % 8 == 0, m % 16 == 0; route to the XLA table
-    engine otherwise). Returns (score, end_i, end_j) int32 [B], identical
-    to kernels.xla.semiglobal_scan.semiglobal_batch_general.
+    (n % 8 == 0, m % 16 == 0 — lengths are semantic for semi-global, so
+    they never pad; the batch axis pads itself to the 1024-pair tile).
+    Returns (score, end_i, end_j) int32 [B], identical to
+    kernels.xla.semiglobal_scan.semiglobal_batch_general.
     """
     affine = not params.is_linear
     gap = int(params.gap_extend if affine else params.gap)
     if gap <= 0:
         raise NotImplementedError("endpoint-on-pre tracking needs gap > 0")
+    qs = np.asarray(qs)
+    ts = np.asarray(ts)
     B, n = qs.shape
     m = ts.shape[1]
-    if B % TILE_PAIRS or n % ROWS or m % CHUNK:
+    if n % ROWS or m % CHUNK:
+        # sequence lengths are semantic for semi-global (boundary gap
+        # chains) — only the batch axis can pad
         raise ValueError(
-            f"need B%{TILE_PAIRS}==0, n%{ROWS}==0, m%{CHUNK}==0; "
-            f"got B={B}, n={n}, m={m} (route to the XLA engine)"
+            f"need n%{ROWS}==0, m%{CHUNK}==0; got n={n}, m={m} "
+            f"(route to the XLA engine)"
         )
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = np.concatenate([qs, np.broadcast_to(qs[:1], (Bp - B, n))])
+        ts = np.concatenate([ts, np.broadcast_to(ts[:1], (Bp - B, m))])
     packed_tab = _packed_table(params)
     planes = packed_tab.shape[1]
     profT, tsT = _prepare_profile(
