@@ -158,9 +158,17 @@ def _semiglobal_align_batch_general(
 
     B, n = qs.shape
     m = ts.shape[1]
+    planes = -(-(params.alphabet_size + 2) // 4)
     if (
         jax.devices()[0].platform == "tpu"
         and n % 8 == 0 and m % 16 == 0
+        # the Pallas kernel keeps the whole packed profile + two m-sized
+        # boundary buffers VMEM-resident and packs scores into int8 —
+        # outside these bounds the XLA table engine handles it
+        and n * planes <= 896 and m <= 512
+        and params.matrix.min() >= -127 and params.matrix.max() <= 127
+        and (params.is_linear and params.gap > 0
+             or not params.is_linear and params.gap_extend > 0)
     ):
         from swtpu.kernels.pallas.semiglobal_profile import (
             semiglobal_batch_profile_pallas,
@@ -247,9 +255,11 @@ def banded_traceback(
         my += 1
         mx -= 1
 
+    mat = None if matrix is None else np.asarray(matrix)
+
     def sub(i: int, j: int) -> int:
-        if matrix is not None:
-            return int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+        if mat is not None:
+            return int(mat[q[i - 1], t[j - 1]])
         return match if q[i - 1] == t[j - 1] else -mismatch
 
     path = [(my, mx)]
@@ -428,6 +438,7 @@ def banded_affine_traceback(
         my += 1
         mx -= 1
 
+    mat = None if matrix is None else np.asarray(matrix)
     path = [(my, mx)]
     i, j, st = my, mx, 0
     while i or j:
@@ -435,8 +446,8 @@ def banded_affine_traceback(
             v = get_h(i, j)
             if not (i and j):
                 s = MINUS_INF
-            elif matrix is not None:
-                s = int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+            elif mat is not None:
+                s = int(mat[q[i - 1], t[j - 1]])
             else:
                 s = match if q[i - 1] == t[j - 1] else -mismatch
             if i and j and v == get_h(i - 1, j - 1) + s:
@@ -494,7 +505,8 @@ def banded_align_batch(
     bit-identical to swtpu.oracle.banded_xdrop (linear gaps) /
     swtpu.oracle.banded_affine.banded_affine_xdrop (gap_open != gap_extend).
     ``matrix`` selects the general-substitution-matrix / protein mode
-    (match/mismatch ignored; forward pass on the XLA table engine).
+    (match/mismatch ignored; forward pass on the Pallas baked-table
+    kernels on TPU, the XLA table engine elsewhere).
     """
     import jax
 

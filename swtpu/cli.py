@@ -210,10 +210,17 @@ def cmd_longpair(args):
     mesh = make_mesh(n_dev, axis="sp")
     for name, q, t, lq, lt in zip(names, qs, ts, ql, tl):
         q, t = q[:lq], t[:lt]
-        # strip/block divisibility: trim to the mesh/block grid (scores
-        # of the trimmed suffix are recovered by the host walker check)
-        q = q[: len(q) - len(q) % n_dev or None]
-        t = t[: len(t) - len(t) % args.block or None]
+        # strip/block divisibility: trim to the mesh/block grid
+        if len(q) < n_dev or len(t) < args.block:
+            raise SystemExit(
+                f"longpair needs len(q) >= devices ({n_dev}) and len(t) >="
+                f" --block ({args.block}); got {len(q)}x{len(t)} for"
+                f" {name} — lower --block/--devices or use `align`"
+            )
+        if len(q) % n_dev:
+            q = q[: len(q) - len(q) % n_dev]
+        if len(t) % args.block:
+            t = t[: len(t) - len(t) % args.block]
         if args.traceback:
             score, path = longpair_sw_align(
                 q, t, params, mesh, block=args.block

@@ -59,24 +59,13 @@ RF = 64
 def _packed_banded_table(matrix):
     """Static packed substitution table for the general-matrix mode:
     [Ae][planes] nested tuples (hashable -> jit-static, baked into the
-    kernel as broadcast constants), 4 int8 scores per int32 plane.
-    Pad rows/cols score matrix.min() — the banded oracles' pad contract
-    (the uniform mode's 'pads score -mismatch' generalized)."""
+    kernel as broadcast constants). Pad rows/cols score matrix.min() —
+    the banded oracles' pad contract (the uniform mode's 'pads score
+    -mismatch' generalized)."""
+    from swtpu.kernels.pallas.sw_profile import pack_score_rows
+
     matrix = np.asarray(matrix, dtype=np.int32)
-    if matrix.min() < -127 or matrix.max() > 127:
-        raise NotImplementedError(
-            "banded matrix mode needs scores in [-127, 127]"
-        )
-    A = matrix.shape[0]
-    Ae = A + 2
-    planes = -(-Ae // 4)
-    ext = np.full((Ae, planes * 4), int(matrix.min()), dtype=np.int32)
-    ext[:A, :A] = matrix
-    b = (ext & 0xFF).astype(np.uint32)
-    packed = (
-        b[:, 0::4] | (b[:, 1::4] << 8) | (b[:, 2::4] << 16)
-        | (b[:, 3::4] << 24)
-    ).view(np.int32)
+    packed = pack_score_rows(matrix, int(matrix.min()))
     return tuple(tuple(int(x) for x in row) for row in packed)
 
 

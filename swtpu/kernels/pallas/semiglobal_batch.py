@@ -6,9 +6,16 @@ chain, 8-row unroll. Differences for semi-global (≙ SemiGlobal_111
 semantics, source.cpp:1776-1834): no zero floor, gap-chain boundaries
 (H[0,j] = -j*gap, H[i,0] = -i*gap), and argmax endpoint tracking with the
 reference's exact tie-break (first maximum in row-major scan order):
-strict '>' updates per column-residue slot during the scan (on the
-chunk-wide pre values — see track()), and a final cross-slot reduction
-preferring smaller i then smaller j.
+per-COLUMN best/argrow arrays updated with strict '>' during the scan (on
+the chunk-wide pre values — see track()). Each column sees its cells in
+ascending-row order (chunks partition columns, so the chunk-major sweep
+never interleaves a column with itself), hence strict '>' records the
+smallest row per column; the final cross-column reduction picks max
+value, then min row, then min column — exactly row-major-first. (A
+previous scheme tracked per column-residue slot k = (j-1) % CHUNK, which
+shares a slot across chunks and visits chunks before rows — a deeper-row
+cell in an earlier chunk could beat the row-major-first cell; caught by
+a randomized tie search, ~1/1500 pairs at (2,-1,1) scoring.)
 
 Fixed-length batches only (semi-global boundaries are length-dependent, so
 pad-char tricks don't apply; use bucketing for mixed lengths).
@@ -40,13 +47,15 @@ ROWS = 8  # row unroll (matches the flagship's measured optimum)
 MINF = -(2**29)
 
 
-def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
+def _kernel(q_ref, t_ref, bv_ref, bi_ref, yoko_ref, *rest, n, m,
             match, mismatch, gap, go=None, ge=None):
     affine = go is not None
     gap32 = jnp.int32(gap)
     match32, mm32 = jnp.int32(match), jnp.int32(mismatch)
 
     col1 = jax.lax.broadcasted_iota(jnp.int32, (m, SUB, LANE), 0) + 1
+    bv_ref[0] = jnp.full((m, SUB, LANE), MINF, jnp.int32)
+    bi_ref[0] = jnp.zeros((m, SUB, LANE), jnp.int32)
     if affine:
         (yf_ref,) = rest
         go32, ge32 = jnp.int32(go), jnp.int32(ge)
@@ -60,33 +69,33 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
     n_chunks = m // CHUNK
     n_rowgrps = n // ROWS
 
-    def track(best, pre, row_1b, j0):
+    def track(best, pre, row_1b):
         # endpoint tracking on the chunk-wide pre values (diag + s): every
         # global-max cell satisfies H == pre there (an H from up-gap or
         # left-gap implies a strictly larger predecessor), so max/argfirst
         # over pre equals max/argfirst over H — and pre needs no serial
         # chain.
-        bv, bi, bj0 = best
+        bv, bi = best
         upd = pre > bv
         bv = jnp.where(upd, pre, bv)
         bi = jnp.where(upd, row_1b, bi)
-        bj0 = jnp.where(upd, j0, bj0)
-        return (bv, bi, bj0)
+        return (bv, bi)
 
-    def row_body(ig, best):
+    def row_body(ig, _):
         ia = ig * ROWS
         qrow = [q_ref[ia + r][None] for r in range(ROWS)]
 
         def chunk_body(jc, carry):
             if affine:
-                hl, el, din, best = carry
+                hl, el, din = carry
                 hl, el, din = list(hl), list(el), list(din)
             else:
-                hl, din, best = carry
+                hl, din = carry
                 hl, din = list(hl), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]
             prev = yoko_ref[pl.ds(j0, CHUNK)]
+            best = (bv_ref[0, pl.ds(j0, CHUNK)], bi_ref[0, pl.ds(j0, CHUNK)])
             if affine:
                 prev_f = yf_ref[pl.ds(j0, CHUNK)]
 
@@ -118,17 +127,19 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
                         )
                         hs.append(h)
                 hl[r] = h
-                best = track(best, pre, ia + r + 1, j0)
+                best = track(best, pre, ia + r + 1)
                 din[r] = _last(prev)
                 prev = jnp.stack(hs)
                 if affine:
                     prev_f = f
 
             yoko_ref[pl.ds(j0, CHUNK)] = prev
+            bv_ref[0, pl.ds(j0, CHUNK)] = best[0]
+            bi_ref[0, pl.ds(j0, CHUNK)] = best[1]
             if affine:
                 yf_ref[pl.ds(j0, CHUNK)] = prev_f
-                return (tuple(hl), tuple(el), tuple(din), best)
-            return (tuple(hl), tuple(din), best)
+                return (tuple(hl), tuple(el), tuple(din))
+            return (tuple(hl), tuple(din))
 
         # column-0 boundary values for this row group (1-based row ia+r+1)
         if affine:
@@ -150,10 +161,8 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
                 )
                 for r in range(ROWS)
             )
-            out = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, (hl0, el0, din0, best)
-            )
-            return out[-1]
+            jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, el0, din0))
+            return 0
         hl0 = tuple(
             jnp.full((SUB, LANE), -(ia + r + 1) * gap, jnp.int32)
             for r in range(ROWS)
@@ -162,15 +171,10 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
             jnp.full((SUB, LANE), -(ia + r) * gap, jnp.int32)
             for r in range(ROWS)
         )
-        out = jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, din0, best))
-        return out[-1]
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, din0))
+        return 0
 
-    zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
-    best0 = (zero_c + MINF, zero_c, zero_c)
-    bv, bi, bj0 = jax.lax.fori_loop(0, n_rowgrps, row_body, best0)
-    bv_ref[0] = bv
-    bi_ref[0] = bi
-    bj_ref[0] = bj0
+    jax.lax.fori_loop(0, n_rowgrps, row_body, 0)
 
 
 @functools.partial(
@@ -180,9 +184,9 @@ def _kernel(q_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest, n, m,
 def _semiglobal_pallas_impl(qsT, tsT, n, m, match, mismatch, gap,
                             go=None, ge=None):
     T = qsT.shape[0] // n
-    shp = jax.ShapeDtypeStruct((T, CHUNK, SUB, LANE), jnp.int32)
+    shp = jax.ShapeDtypeStruct((T, m, SUB, LANE), jnp.int32)
     spec = pl.BlockSpec(
-        (1, CHUNK, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, m, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     scratch = [pltpu.VMEM((m, SUB, LANE), jnp.int32)]
     if go is not None:
@@ -192,7 +196,7 @@ def _semiglobal_pallas_impl(qsT, tsT, n, m, match, mismatch, gap,
             _kernel, n=n, m=m, match=match, mismatch=mismatch, gap=gap,
             go=go, ge=ge,
         ),
-        out_shape=(shp, shp, shp),
+        out_shape=(shp, shp),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(
@@ -202,25 +206,23 @@ def _semiglobal_pallas_impl(qsT, tsT, n, m, match, mismatch, gap,
                 (m, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=(spec, spec, spec),
+        out_specs=(spec, spec),
         scratch_shapes=scratch,
     )(qsT, tsT)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "m"))
-def _reduce_endpoints(bv, bi, bj0, n, m):
-    """Cross-slot reduction with the row-major-first tie rule."""
+def _reduce_endpoints(bv, bi, n, m):
+    """Cross-column reduction with the row-major-first tie rule: max
+    value, then min row (each column's bi is already the min row for its
+    best value), then min column."""
     T = bv.shape[0]
-    k = jnp.arange(CHUNK, dtype=jnp.int32)[None, :, None, None]
-    bj = bj0 + k + 1  # 1-based column
-    # order slots by (-v, i, j): encode as a single sortable key is risky;
-    # do it in two passes: max value, then mask and pick min i, then min j.
-    v = bv
-    vmax = v.max(axis=1, keepdims=True)
+    bj = jnp.arange(m, dtype=jnp.int32)[None, :, None, None] + 1
+    vmax = bv.max(axis=1, keepdims=True)
     big = jnp.int32(1 << 30)
-    i_cand = jnp.where(v == vmax, bi, big)
+    i_cand = jnp.where(bv == vmax, bi, big)
     imin = i_cand.min(axis=1, keepdims=True)
-    j_cand = jnp.where((v == vmax) & (bi == imin), bj, big)
+    j_cand = jnp.where((bv == vmax) & (bi == imin), bj, big)
     jmin = j_cand.min(axis=1)
     return (
         vmax[:, 0].reshape(T * SUB * LANE),
@@ -252,12 +254,12 @@ def semiglobal_batch_pallas(
             f"got B={B}, n={n}, m={m} (route to the XLA engine)"
         )
     qsT, tsT = _prepare(jnp.asarray(qs), jnp.asarray(ts), n, m)
-    bv, bi, bj0 = _semiglobal_pallas_impl(
+    bv, bi = _semiglobal_pallas_impl(
         qsT, tsT, n, m, int(match), -int(mismatch), int(gap),
         go=int(gap_open) if affine else None,
         ge=int(gap_extend) if affine else None,
     )
-    score, ei, ej = _reduce_endpoints(bv, bi, bj0, n, m)
+    score, ei, ej = _reduce_endpoints(bv, bi, n, m)
     # the H[0,0] = 0 start cell wins unless an interior cell STRICTLY
     # exceeds 0 (the reference's strict-'<' update, source.cpp:1804)
     zero_beats = score[:B] <= 0

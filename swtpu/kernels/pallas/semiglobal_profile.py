@@ -47,15 +47,21 @@ from swtpu.kernels.pallas.semiglobal_batch import (
     ROWS,
     _reduce_endpoints,
 )
-from swtpu.kernels.pallas.sw_profile import _packed_table, _prepare_profile
+from swtpu.kernels.pallas.sw_profile import (
+    _packed_table,
+    _prepare_profile,
+    plane_lookup,
+)
 
 
-def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
+def _kernel(prof_ref, t_ref, bv_ref, bi_ref, yoko_ref, *rest,
             n, m, planes, gap, go=None, ge=None):
     affine = go is not None
     gap32 = jnp.int32(gap)
 
     col1 = jax.lax.broadcasted_iota(jnp.int32, (m, SUB, LANE), 0) + 1
+    bv_ref[0] = jnp.full((m, SUB, LANE), MINF, jnp.int32)
+    bi_ref[0] = jnp.zeros((m, SUB, LANE), jnp.int32)
     if affine:
         (yf_ref,) = rest
         go32, ge32 = jnp.int32(go), jnp.int32(ge)
@@ -67,30 +73,20 @@ def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
     n_chunks = m // CHUNK
     n_rowgrps = n // ROWS
 
-    def lookup(planes_vals, bits, sh):
-        vals = list(planes_vals)
-        level = 0
-        while len(vals) > 1:
-            b = bits[level]
-            nxt = []
-            for j in range(0, len(vals) - 1, 2):
-                nxt.append(jnp.where(b, vals[j + 1], vals[j]))
-            if len(vals) % 2:
-                nxt.append(vals[-1])
-            vals = nxt
-            level += 1
-        v = jax.lax.shift_right_logical(vals[0], sh)
-        return ((v & 0xFF) ^ 0x80) - 0x80
+    lookup = plane_lookup
 
-    def track(best, pre, row_1b, j0):
-        bv, bi, bj0 = best
+    def track(best, pre, row_1b):
+        # per-COLUMN best/argrow with strict '>': columns see their cells
+        # in ascending-row order, so ties keep the smallest row; the
+        # cross-column reduce finishes the row-major-first rule (see
+        # semiglobal_batch.py's module docstring for the tie-break story)
+        bv, bi = best
         upd = pre > bv
         bv = jnp.where(upd, pre, bv)
         bi = jnp.where(upd, row_1b, bi)
-        bj0 = jnp.where(upd, j0, bj0)
-        return (bv, bi, bj0)
+        return (bv, bi)
 
-    def row_body(ig, best):
+    def row_body(ig, _):
         ia = ig * ROWS
         prow = [
             [prof_ref[ia + r, g][None] for g in range(planes)]
@@ -99,14 +95,15 @@ def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
 
         def chunk_body(jc, carry):
             if affine:
-                hl, el, din, best = carry
+                hl, el, din = carry
                 hl, el, din = list(hl), list(el), list(din)
             else:
-                hl, din, best = carry
+                hl, din = carry
                 hl, din = list(hl), list(din)
             j0 = jc * CHUNK
             t = t_ref[pl.ds(j0, CHUNK)]
             prev = yoko_ref[pl.ds(j0, CHUNK)]
+            best = (bv_ref[0, pl.ds(j0, CHUNK)], bi_ref[0, pl.ds(j0, CHUNK)])
             if affine:
                 prev_f = yf_ref[pl.ds(j0, CHUNK)]
 
@@ -138,17 +135,19 @@ def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
                         )
                         hs.append(h)
                 hl[r] = h
-                best = track(best, pre, ia + r + 1, j0)
+                best = track(best, pre, ia + r + 1)
                 din[r] = _last(prev)
                 prev = jnp.stack(hs)
                 if affine:
                     prev_f = f
 
             yoko_ref[pl.ds(j0, CHUNK)] = prev
+            bv_ref[0, pl.ds(j0, CHUNK)] = best[0]
+            bi_ref[0, pl.ds(j0, CHUNK)] = best[1]
             if affine:
                 yf_ref[pl.ds(j0, CHUNK)] = prev_f
-                return (tuple(hl), tuple(el), tuple(din), best)
-            return (tuple(hl), tuple(din), best)
+                return (tuple(hl), tuple(el), tuple(din))
+            return (tuple(hl), tuple(din))
 
         if affine:
             hl0 = tuple(
@@ -168,10 +167,8 @@ def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
                 )
                 for r in range(ROWS)
             )
-            out = jax.lax.fori_loop(
-                0, n_chunks, chunk_body, (hl0, el0, din0, best)
-            )
-            return out[-1]
+            jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, el0, din0))
+            return 0
         hl0 = tuple(
             jnp.full((SUB, LANE), -(ia + r + 1) * gap, jnp.int32)
             for r in range(ROWS)
@@ -180,15 +177,10 @@ def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
             jnp.full((SUB, LANE), -(ia + r) * gap, jnp.int32)
             for r in range(ROWS)
         )
-        out = jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, din0, best))
-        return out[-1]
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (hl0, din0))
+        return 0
 
-    zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
-    best0 = (zero_c + MINF, zero_c, zero_c)
-    bv, bi, bj0 = jax.lax.fori_loop(0, n_rowgrps, row_body, best0)
-    bv_ref[0] = bv
-    bi_ref[0] = bi
-    bj_ref[0] = bj0
+    jax.lax.fori_loop(0, n_rowgrps, row_body, 0)
 
 
 @functools.partial(
@@ -197,9 +189,9 @@ def _kernel(prof_ref, t_ref, bv_ref, bi_ref, bj_ref, yoko_ref, *rest,
 def _semiglobal_profile_impl(profT, tsT, n, m, planes, gap, go=None,
                              ge=None):
     T = tsT.shape[0] // m
-    shp = jax.ShapeDtypeStruct((T, CHUNK, SUB, LANE), jnp.int32)
+    shp = jax.ShapeDtypeStruct((T, m, SUB, LANE), jnp.int32)
     spec = pl.BlockSpec(
-        (1, CHUNK, SUB, LANE), lambda i: (i, 0, 0, 0),
+        (1, m, SUB, LANE), lambda i: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     scratch = [pltpu.VMEM((m, SUB, LANE), jnp.int32)]
@@ -209,7 +201,7 @@ def _semiglobal_profile_impl(profT, tsT, n, m, planes, gap, go=None,
         functools.partial(
             _kernel, n=n, m=m, planes=planes, gap=gap, go=go, ge=ge
         ),
-        out_shape=(shp, shp, shp),
+        out_shape=(shp, shp),
         grid=(T,),
         in_specs=[
             pl.BlockSpec(
@@ -221,7 +213,7 @@ def _semiglobal_profile_impl(profT, tsT, n, m, planes, gap, go=None,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(spec, spec, spec),
+        out_specs=(spec, spec),
         scratch_shapes=scratch,
     )(profT, tsT)
 
@@ -261,12 +253,12 @@ def semiglobal_batch_profile_pallas(qs, ts, params: ScoringParams):
         jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(packed_tab), n, m,
         planes,
     )
-    bv, bi, bj0 = _semiglobal_profile_impl(
+    bv, bi = _semiglobal_profile_impl(
         profT, tsT, n, m, planes, gap,
         go=int(params.gap_open) if affine else None,
         ge=int(params.gap_extend) if affine else None,
     )
-    score, ei, ej = _reduce_endpoints(bv, bi, bj0, n, m)
+    score, ei, ej = _reduce_endpoints(bv, bi, n, m)
     zero_beats = score[:B] <= 0
     return (
         jnp.where(zero_beats, 0, score[:B]),

@@ -56,20 +56,22 @@ PAD_SCORE = -128
 
 
 
-def _packed_table(params: ScoringParams) -> np.ndarray:
-    """[Ae, planes] int32: row q holds the extended substitution row for q,
-    packed 4 int8 scores per int32 (little-endian byte b = t code 4g+b).
-    Ae = alphabet + 2 pad codes; pad rows/cols score PAD_SCORE."""
-    A = params.alphabet_size
-    Ae = A + 2
-    mat = params.matrix
-    if mat.min() < -127 or mat.max() > 127:
+def pack_score_rows(matrix, pad_score) -> np.ndarray:
+    """[Ae, planes] int32: row q holds the extended substitution row for
+    q, packed 4 int8 scores per int32 (little-endian byte b = t code
+    4g+b). Ae = alphabet + 2 pad codes; pad rows/cols score pad_score.
+    Shared by the profile kernels (pad_score=PAD_SCORE) and the banded
+    baked-table mode (pad_score=matrix.min(), the banded pad contract)."""
+    matrix = np.asarray(matrix, dtype=np.int32)
+    if matrix.min() < -127 or matrix.max() > 127:
         raise NotImplementedError(
-            "packed-profile kernel needs scores in [-127, 127]"
+            "packed score tables need scores in [-127, 127]"
         )
+    A = matrix.shape[0]
+    Ae = A + 2
     planes = -(-Ae // 4)
-    ext = np.full((Ae, planes * 4), PAD_SCORE, dtype=np.int32)
-    ext[:A, :A] = mat
+    ext = np.full((Ae, planes * 4), int(pad_score), dtype=np.int32)
+    ext[:A, :A] = matrix
     b = (ext & 0xFF).astype(np.uint32)
     packed = (
         b[:, 0::4] | (b[:, 1::4] << 8) | (b[:, 2::4] << 16)
@@ -78,7 +80,31 @@ def _packed_table(params: ScoringParams) -> np.ndarray:
     return packed.view(np.int32)
 
 
+def _packed_table(params: ScoringParams) -> np.ndarray:
+    return pack_score_rows(params.matrix, PAD_SCORE)
+
+
 NEG_EF = -(2**29)  # E/F "minus infinity" for the affine chain
+
+
+def plane_lookup(planes_vals, bits, sh):
+    """Select the packed plane by the t>>2 bits (log-depth select tree,
+    odd tails carried down a level), then extract byte (t&3) via a
+    variable vector shift + sign-extend. Shared by every packed-profile
+    kernel (local + semi-global)."""
+    vals = list(planes_vals)
+    level = 0
+    while len(vals) > 1:
+        b = bits[level]
+        nxt = []
+        for j in range(0, len(vals) - 1, 2):
+            nxt.append(jnp.where(b, vals[j + 1], vals[j]))
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+        level += 1
+    v = jax.lax.shift_right_logical(vals[0], sh)
+    return ((v & 0xFF) ^ 0x80) - 0x80
 
 
 def _kernel(
@@ -109,21 +135,7 @@ def _kernel(
     n_chunks = m // CHUNK
     n_rowgrps = rg // ROWS
 
-    def lookup(planes_vals, bits, sh):
-        """Select the packed plane by the t>>2 bits, extract byte (t&3)."""
-        vals = list(planes_vals)
-        level = 0
-        while len(vals) > 1:
-            b = bits[level]
-            nxt = []
-            for j in range(0, len(vals) - 1, 2):
-                nxt.append(jnp.where(b, vals[j + 1], vals[j]))
-            if len(vals) % 2:
-                nxt.append(vals[-1])
-            vals = nxt
-            level += 1
-        v = jax.lax.shift_right_logical(vals[0], sh)
-        return ((v & 0xFF) ^ 0x80) - 0x80
+    lookup = plane_lookup
 
     def serial_chain_affine(pre, h_left, e_left):
         # Gotoh E joins H in the serial chain (see sw_affine.py):

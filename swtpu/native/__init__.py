@@ -60,7 +60,9 @@ def _get_lib():
         lib.sw_pack_2bit.argtypes = [i8p, i64, i8p]
         lib.sw_unpack_2bit.argtypes = [i8p, i64, i8p]
         lib.sw_traceback.restype = i64
-        lib.sw_traceback.argtypes = [i8p, i64, i8p, i64, i32p, i32, i32p, i32p]
+        lib.sw_traceback.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32, i32, i32p, i32p,
+        ]
         lib.banded_static_traceback.restype = i64
         lib.banded_static_traceback.argtypes = [
             i8p, i64, i8p, i64, i32p, i32, i32, i32, i32, i32p, i32p,
@@ -111,6 +113,22 @@ def _i32(a):
     return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
+def _uniform_matrix_for(q, t, match, mismatch) -> np.ndarray:
+    """Uniform match/mismatch as a matrix sized to the observed alphabet
+    (the C++ walkers index matrix[q*A + t], and the uniform contract is
+    any-alphabet: score = match iff chars equal)."""
+    A = int(
+        max(
+            4,
+            (int(q.max()) + 1) if len(q) else 4,
+            (int(t.max()) + 1) if len(t) else 4,
+        )
+    )
+    m = np.full((A, A), -int(mismatch), dtype=np.int32)
+    np.fill_diagonal(m, int(match))
+    return m
+
+
 def pack_2bit(seq: np.ndarray) -> np.ndarray:
     lib = _get_lib()
     seq, sp = _u8(seq.reshape(-1))
@@ -136,13 +154,15 @@ def sw_traceback(
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
     mat, mp = _i32(matrix.reshape(-1))
     path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
-    _, pp = _i32(path)
     pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     score = ctypes.c_int32(0)
     ln = lib.sw_traceback(
-        qp, len(q), tp, len(t), mp, int(gap), pp, ctypes.byref(score)
+        qp, len(q), tp, len(t), mp, int(A), int(gap), pp,
+        ctypes.byref(score),
     )
     if ln < 0:
         raise AssertionError("inconsistent native traceback")
@@ -288,15 +308,13 @@ def banded_traceback(
     bandwidth: int = 32,
     matrix=None,
 ) -> List[Tuple[int, int]]:
-    from swtpu.core.scoring import dna_matrix
-
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
     hist, hp = _i32(band_history[:n_rounds])
     py, pyp = _i32(pos_y[:n_rounds])
     if matrix is None:
-        matrix = dna_matrix(match, -mismatch)
+        matrix = _uniform_matrix_for(q, t, match, mismatch)
     matrix = np.ascontiguousarray(matrix, dtype=np.int32)
     A = matrix.shape[0]
     mat, mp = _i32(matrix.reshape(-1))
@@ -329,15 +347,13 @@ def banded_affine_traceback(
     matrix=None,
 ) -> List[Tuple[int, int]]:
     """Gotoh walk over a device band history (E/F reconstructed in C++)."""
-    from swtpu.core.scoring import dna_matrix
-
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
     hist, hp = _i32(band_history[:n_rounds])
     py, pyp = _i32(pos_y[:n_rounds])
     if matrix is None:
-        matrix = dna_matrix(match, -mismatch)
+        matrix = _uniform_matrix_for(q, t, match, mismatch)
     matrix = np.ascontiguousarray(matrix, dtype=np.int32)
     A = matrix.shape[0]
     mat, mp = _i32(matrix.reshape(-1))

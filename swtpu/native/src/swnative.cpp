@@ -42,18 +42,18 @@ void sw_unpack_2bit(const uint8_t* src, int64_t n_packed, uint8_t* dst) {
 
 // ---------------------------------------------- local SW with traceback --
 
-// Full-matrix recompute + walk. matrix: 16 int32 row-major (q*4 + t).
+// Full-matrix recompute + walk. matrix: [A*A] int32 row-major (q*A + t).
 // path_out receives (i, j) pairs (1-based DP coords); returns path length.
 // Caller provides path_out sized 2*(n+m+2).
 int64_t sw_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
-                     int64_t m, const int32_t* matrix, int32_t gap,
-                     int32_t* path_out, int32_t* out_score) {
+                     int64_t m, const int32_t* matrix, int32_t A,
+                     int32_t gap, int32_t* path_out, int32_t* out_score) {
   std::vector<int32_t> dp((n + 1) * (m + 1), 0);
   const int64_t stride = m + 1;
   int32_t best = 0;
   int64_t bi = 0, bj = 0;
   for (int64_t i = 1; i <= n; ++i) {
-    const int32_t* srow = matrix + q[i - 1] * 4;
+    const int32_t* srow = matrix + (int64_t)q[i - 1] * A;
     int32_t left = 0;
     for (int64_t j = 1; j <= m; ++j) {
       int32_t v = 0;
@@ -79,7 +79,8 @@ int64_t sw_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
     const int32_t v = dp[i * stride + j];
     if (v == 0) break;
     if (i && j &&
-        v == dp[(i - 1) * stride + (j - 1)] + matrix[q[i - 1] * 4 + t[j - 1]]) {
+        v == dp[(i - 1) * stride + (j - 1)] +
+                 matrix[(int64_t)q[i - 1] * A + t[j - 1]]) {
       --i;
       --j;
     } else if (i && v == dp[(i - 1) * stride + j] - gap) {

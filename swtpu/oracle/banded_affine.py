@@ -67,6 +67,8 @@ def banded_affine_xdrop(
     W = int(bandwidth)
     X = int(x_threshold)
     go, ge = int(gap_open), int(gap_extend)
+    mat = None if matrix is None else np.asarray(matrix)
+    pad_sc = None if mat is None else int(mat.min())
 
     qp = np.full(1 + n + W, -1, dtype=np.int64)
     qp[1 : 1 + n] = q
@@ -119,11 +121,9 @@ def banded_affine_xdrop(
         yc = qp[now_y + off]
         xc = tp[now_x - off]
         valid = (yc >= 0) & (xc >= 0)
-        if matrix is not None:
+        if mat is not None:
             sc = np.where(
-                valid,
-                np.asarray(matrix)[np.maximum(yc, 0), np.maximum(xc, 0)],
-                int(np.asarray(matrix).min()),
+                valid, mat[np.maximum(yc, 0), np.maximum(xc, 0)], pad_sc
             )
         else:
             sc = np.where(valid & (yc == xc), match, -mismatch)
@@ -193,8 +193,8 @@ def banded_affine_xdrop(
             v = get_h(i, j)
             if not (i and j):
                 s = MINUS_INF
-            elif matrix is not None:
-                s = int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+            elif mat is not None:
+                s = int(mat[q[i - 1], t[j - 1]])
             else:
                 s = match if q[i - 1] == t[j - 1] else -mismatch
             if i and j and v == get_h(i - 1, j - 1) + s:

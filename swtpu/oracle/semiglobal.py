@@ -237,6 +237,8 @@ def banded_xdrop(
     n, m = len(q), len(t)
     W = int(bandwidth)
     X = int(x_threshold)
+    mat = None if matrix is None else np.asarray(matrix)
+    pad_sc = None if mat is None else int(mat.min())
 
     # padded sequences: q gets 1 front + (W-1) back pad; t gets W front +
     # (W-1) back pad. Pad char = -1 (≙ 0xF0: "not a base"). One extra pad
@@ -291,11 +293,9 @@ def banded_xdrop(
         yc = qp[now_y + off]
         xc = tp[now_x - off]
         valid = (yc >= 0) & (xc >= 0)
-        if matrix is not None:
+        if mat is not None:
             score = np.where(
-                valid,
-                np.asarray(matrix)[np.maximum(yc, 0), np.maximum(xc, 0)],
-                int(np.asarray(matrix).min()),
+                valid, mat[np.maximum(yc, 0), np.maximum(xc, 0)], pad_sc
             )
         else:
             score = np.where(valid & (yc == xc), match, -mismatch)
@@ -339,8 +339,8 @@ def banded_xdrop(
         mx -= 1
 
     def sub(i: int, j: int) -> int:
-        if matrix is not None:
-            return int(np.asarray(matrix)[q[i - 1], t[j - 1]])
+        if mat is not None:
+            return int(mat[q[i - 1], t[j - 1]])
         return match if q[i - 1] == t[j - 1] else -mismatch
 
     path = [(my, mx)]

@@ -200,3 +200,33 @@ def test_banded_general_matrix(rng):
             qs[b], ts[b], gap_open=11, gap_extend=1, x_threshold=120,
             matrix=BLOSUM62,
         )
+
+
+def test_semiglobal_pallas_endpoint_tie_break(rng):
+    """Regression: row-major-first endpoint rule under ties. A per-SLOT
+    tracking scheme (slot = column mod 16, shared across chunks) visited
+    chunks before rows and picked a deeper-row cell from an earlier chunk
+    (found by randomized search at (2,-1,1) scoring); the per-COLUMN
+    scheme must match the XLA engine on tie-rich batches and on the
+    specific divergent pair."""
+    from swtpu.kernels.pallas.semiglobal_batch import semiglobal_batch_pallas
+
+    q = np.array([2,2,1,3,1,2,1,0,2,2,1,0,1,3,1,3], np.uint8)
+    t = np.array(
+        [3,1,2,0,2,2,3,1,3,3,3,2,3,3,1,0,0,0,1,0,1,2,0,3,
+         1,2,0,3,2,0,1,0,0,3,1,3,1,2,3,1,0,0,2,2,2,1,1,1], np.uint8)
+    qs = np.broadcast_to(q, (1024, 16)).copy()
+    ts = np.broadcast_to(t, (1024, 48)).copy()
+    qs[1:] = rng.integers(0, 3, (1023, 16))
+    ts[1:] = rng.integers(0, 3, (1023, 48))
+    with pltpu.force_tpu_interpret_mode():
+        got = tuple(
+            np.asarray(x)
+            for x in semiglobal_batch_pallas(qs, ts, match=2, mismatch=1)
+        )
+    want = tuple(
+        np.asarray(x)
+        for x in semiglobal_batch_diag(qs, ts, match=2, mismatch=1)
+    )
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)

@@ -126,3 +126,17 @@ def test_native_banded_static_walker_protein(rng):
         assert native.banded_static_traceback(
             q, t, pp.matrix, 11, 1, 16
         ) == sw_banded_static_traceback(q, t, pp, 16)
+
+
+def test_native_sw_traceback_protein():
+    """Regression: the C++ local walker must stride the matrix by its
+    real alphabet size (it hardcoded 4, breaking linear-gap BLOSUM62)."""
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.oracle.sw import sw_traceback
+
+    rng2 = np.random.default_rng(23)
+    q = rng2.integers(0, 24, 60).astype(np.uint8)
+    t = rng2.integers(0, 24, 70).astype(np.uint8)
+    p = ScoringParams.linear(BLOSUM62, 8)
+    assert native.sw_traceback(q, t, BLOSUM62, 8) == sw_traceback(q, t, p)
