@@ -378,3 +378,30 @@ def test_semiglobal_profile_pallas_general_matrix(rng):
         )
         for g, w in zip(got, want):
             assert np.array_equal(g, w)
+
+
+def test_semiglobal_profile_tie_break(rng):
+    """Regression: row-major-first endpoints under ties in the
+    general-matrix profile kernel (same per-column fix as the uniform
+    kernel; tie-rich small-alphabet scoring)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.kernels.pallas.semiglobal_profile import (
+        semiglobal_batch_profile_pallas,
+    )
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_general
+
+    p = ScoringParams.linear(dna_matrix(2, -1), 1)
+    qs = rng.integers(0, 3, (1024, 16)).astype(np.uint8)
+    ts = rng.integers(0, 3, (1024, 48)).astype(np.uint8)
+    with pltpu.force_tpu_interpret_mode():
+        got = tuple(
+            np.asarray(x)
+            for x in semiglobal_batch_profile_pallas(qs, ts, p)
+        )
+    want = tuple(
+        np.asarray(x) for x in semiglobal_batch_general(qs, ts, p)
+    )
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
