@@ -35,16 +35,15 @@ def sw_align_batch(
     from swtpu.oracle.sw import sw_traceback
 
     affine = not params.is_linear
+    ends = None
     if engine is None:
-        if affine:
-            from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
+        from swtpu.ops.variants import best_ends_engine
 
-            engine = lambda q, t: sw_affine_batch_diag(q, t, params)
-        else:
-            from swtpu.kernels.xla import sw_batch_diag
-
-            engine = lambda q, t: sw_batch_diag(q, t, params)
-    scores = np.asarray(engine(qs, ts))
+        engine = best_ends_engine(params)
+        scores, ei, ej = (np.asarray(x) for x in engine(qs, ts))
+        ends = (ei, ej)
+    else:
+        scores = np.asarray(engine(qs, ts))
     use_native = native.available()
     if affine:
         from swtpu.oracle.affine import sw_affine_traceback
@@ -63,7 +62,21 @@ def sw_align_batch(
         walker = lambda q, t: sw_traceback(q, t, params)
     out = []
     for b in range(qs.shape[0]):
-        sc, path = walker(qs[b], ts[b])
+        if ends is not None:
+            # endpoint-bounded walk (the reference's device-forward/
+            # host-walk split, source.cpp:1526-1576 / 2130-2162): the
+            # device argmax (ei, ej) is the row-major-first max, so the
+            # DP over the [0..ei, 0..ej] prefix has its own row-major-
+            # first argmax AT (ei, ej) and an identical path — the walker
+            # recomputes only ei*ej cells instead of n*m.
+            bi, bj = int(ends[0][b]), int(ends[1][b])
+            sc, path = walker(qs[b][:bi], ts[b][:bj])
+            assert path[-1] == (bi, bj) or sc == 0, (
+                f"device/host endpoint mismatch at pair {b}: "
+                f"({bi},{bj}) vs {path[-1]}"
+            )
+        else:
+            sc, path = walker(qs[b], ts[b])
         assert sc == scores[b], (
             f"device/host score mismatch at pair {b}: {scores[b]} vs {sc}"
         )
@@ -254,6 +267,12 @@ def banded_traceback(
     while get(my, mx) != max_score_off:
         my += 1
         mx -= 1
+        # mirror the C++ twin's guard (swnative.cpp): inconsistent device
+        # history must fail loudly, not hang the walker
+        if my > n + W:
+            raise AssertionError(
+                "banded_traceback: max cell not found in band history "
+                f"(round {max_round}, expected {max_score_off})")
 
     mat = None if matrix is None else np.asarray(matrix)
 
@@ -437,6 +456,10 @@ def banded_affine_traceback(
     while get_h(my, mx) != max_score_off:
         my += 1
         mx -= 1
+        if my > n + W:
+            raise AssertionError(
+                "banded_affine_traceback: max cell not found in band history "
+                f"(round {max_round}, expected {max_score_off})")
 
     mat = None if matrix is None else np.asarray(matrix)
     path = [(my, mx)]

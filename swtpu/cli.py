@@ -218,9 +218,23 @@ def cmd_longpair(args):
                 f" {name} — lower --block/--devices or use `align`"
             )
         if len(q) % n_dev:
-            q = q[: len(q) - len(q) % n_dev]
+            new_lq = len(q) - len(q) % n_dev
+            print(
+                f"warning: {name}: query trimmed {len(q)} -> {new_lq} to a"
+                f" multiple of --devices ({n_dev}); reported score is for"
+                " the TRIMMED pair",
+                file=sys.stderr,
+            )
+            q = q[:new_lq]
         if len(t) % args.block:
-            t = t[: len(t) - len(t) % args.block]
+            new_lt = len(t) - len(t) % args.block
+            print(
+                f"warning: {name}: target trimmed {len(t)} -> {new_lt} to a"
+                f" multiple of --block ({args.block}); reported score is for"
+                " the TRIMMED pair",
+                file=sys.stderr,
+            )
+            t = t[:new_lt]
         if args.traceback:
             score, path = longpair_sw_align(
                 q, t, params, mesh, block=args.block

@@ -46,13 +46,21 @@ NEG_EF = -(2**29)
 
 
 def _kernel(
-    q_ref, t_ref, out_ref, yh_ref, yf_ref, *, n, m, match, mismatch, go, ge
+    q_ref, t_ref, out_ref, yh_ref, yf_ref, *, n, m, match, mismatch, go, ge,
+    rowbits=None,
 ):
+    """rowbits=None: out_ref[0] is the [SUB, LANE] best score. rowbits set:
+    out_ref[0] is a per-column [m, SUB, LANE] packed endpoint buffer
+    ``comb = pre * 2^rowbits - row`` (see sw_batch._kernel_ends)."""
+    ends = rowbits is not None
     zero = jnp.zeros((SUB, LANE), jnp.int32)
     zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
     negs = jnp.full((SUB, LANE), NEG_EF, jnp.int32)
     go32, ge32 = jnp.int32(go), jnp.int32(ge)
     match32, mm32 = jnp.int32(match), jnp.int32(mismatch)
+    if ends:
+        K = jnp.int32(1 << rowbits)
+        out_ref[0] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
 
     yh_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
     yf_ref[:] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
@@ -83,6 +91,8 @@ def _kernel(
             t = t_ref[pl.ds(j0, CHUNK)]
             prev_h = yh_ref[pl.ds(j0, CHUNK)]  # H of row ia-1
             prev_f = yf_ref[pl.ds(j0, CHUNK)]  # F of row ia-1
+            if ends:
+                bc = out_ref[0, pl.ds(j0, CHUNK)]
 
             pres = []
             for r in range(ROWS):
@@ -92,12 +102,21 @@ def _kernel(
                     jnp.maximum(diag + score(t, qrow[r]), f), 0
                 )
                 new, hl[r], el[r] = serial_chain(pre, hl[r], el[r])
-                pres.append(pre)
+                if ends:
+                    # an F/E-derived max implies a strictly larger
+                    # predecessor (go, ge > 0), so every global-max cell
+                    # still satisfies H == pre
+                    bc = jnp.maximum(bc, pre * K - jnp.int32(ia + r + 1))
+                else:
+                    pres.append(pre)
                 din[r] = _last(prev_h)
                 prev_h, prev_f = new, f
 
             yh_ref[pl.ds(j0, CHUNK)] = prev_h
             yf_ref[pl.ds(j0, CHUNK)] = prev_f
+            if ends:
+                out_ref[0, pl.ds(j0, CHUNK)] = bc
+                return (tuple(hl), tuple(el), tuple(din), best_c)
             # best tracking on pre only: H = max(pre, E) and any E term
             # implies a strictly larger earlier H, so max(H) == max(pre)
             acc = pres[0]
@@ -114,7 +133,8 @@ def _kernel(
         return out[-1]
 
     best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
-    out_ref[0] = best_c.max(axis=0)
+    if not ends:
+        out_ref[0] = best_c.max(axis=0)
 
 
 @functools.partial(
@@ -144,6 +164,86 @@ def _sw_affine_pallas_impl(qsT, tsT, n, m, match, mismatch, go, ge):
             pltpu.VMEM((m, SUB, LANE), jnp.int32),
         ],
     )(qsT, tsT)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "match", "mismatch", "go", "ge", "rowbits"),
+)
+def _sw_affine_ends_impl(qsT, tsT, n, m, match, mismatch, go, ge, rowbits):
+    T = qsT.shape[0] // n
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, n=n, m=m, match=match, mismatch=mismatch, go=go, ge=ge,
+            rowbits=rowbits,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, m, SUB, LANE), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (m, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, SUB, LANE), jnp.int32),
+            pltpu.VMEM((m, SUB, LANE), jnp.int32),
+        ],
+    )(qsT, tsT)
+
+
+def sw_affine_pallas_ends(qs, ts, params: ScoringParams):
+    """Batched affine-gap scores + argmax endpoints (Pallas row-scan).
+
+    Returns (score, end_i, end_j) int32 [B] with the row-major-first
+    argmax rule of ``oracle.affine.sw_affine_traceback``; score 0 maps to
+    (0, 0). No transpose swap (would change the tie-break scan order).
+    """
+    from swtpu.kernels.pallas.sw_batch import _reduce_comb
+
+    mm = _uniform_match_mismatch(params)
+    if mm is None:
+        raise NotImplementedError("general matrices: use the profile kernel")
+    match, mismatch = mm
+    if mismatch >= 0 or params.gap_extend <= 0 or params.gap_open <= 0:
+        raise NotImplementedError("pad-decay layout needs mismatch < 0 < gap")
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), Q_PAD, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    mp = -(-m // CHUNK) * CHUNK
+    if mp != m:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, mp - m), T_PAD, ts.dtype)], axis=1
+        )
+        m = mp
+    rowbits = n.bit_length()
+    if max(match, 1) * min(n, m) >= (1 << (31 - rowbits)):
+        raise NotImplementedError(
+            "packed (value,row) tracking would overflow int32; route to "
+            "the XLA ends engine"
+        )
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
+    qsT, tsT = _prepare(qs, ts, n, m)
+    bc = _sw_affine_ends_impl(
+        qsT, tsT, n, m, match, mismatch,
+        int(params.gap_open), int(params.gap_extend), rowbits,
+    )
+    score, ei, ej = _reduce_comb(bc, rowbits)
+    return score[:B], ei[:B], ej[:B]
 
 
 def sw_affine_pallas(qs, ts, params: ScoringParams):

@@ -143,6 +143,167 @@ def _kernel(q_ref, t_ref, out_ref, yoko_ref, *, n, m, match, mismatch, gap):
     out_ref[0] = best_c.max(axis=0)
 
 
+def _kernel_ends(q_ref, t_ref, bc_ref, yoko_ref, *, n, m, match, mismatch,
+                 gap, rowbits):
+    """Row-scan with endpoint tracking: per COLUMN keep one packed int32
+    ``comb = pre * 2^rowbits - row`` (max comb == max pre with the
+    smallest row — the per-column half of the row-major-first argmax
+    rule; see semiglobal_batch.py's postmortem for why tracking must be
+    per column). Columns are reduced on the XLA side: max comb, then min
+    column. Packing halves the tracking VMEM and ops vs separate
+    (value, row) buffers."""
+    zero = jnp.zeros((SUB, LANE), jnp.int32)
+    gap32 = jnp.int32(gap)
+    match32 = jnp.int32(match)
+    mm32 = jnp.int32(mismatch)
+    K = jnp.int32(1 << rowbits)
+
+    yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
+    bc_ref[0] = jnp.full((m, SUB, LANE), -(2**29), jnp.int32)
+
+    n_chunks = m // CHUNK
+    n_rowgrps = n // ROWS
+
+    def row_body(ig, _):
+        ia = ig * ROWS
+        qrow = [q_ref[ia + r][None] for r in range(ROWS)]
+
+        def chunk_body(jc, carry):
+            hl, din = carry
+            hl, din = list(hl), list(din)
+            j0 = jc * CHUNK
+            t = t_ref[pl.ds(j0, CHUNK)]
+            prev = yoko_ref[pl.ds(j0, CHUNK)]
+            bc = bc_ref[0, pl.ds(j0, CHUNK)]
+
+            for r in range(ROWS):
+                diag = _shift_down(prev, din[r])
+                s = jnp.where(qrow[r] == t, match32, mm32)
+                pre = jnp.maximum(diag + s, 0)
+                h = hl[r]
+                hs = []
+                for k in range(CHUNK):
+                    h = jnp.maximum(
+                        _at(pre, k),
+                        jnp.maximum(_at(prev, k), h) - gap32,
+                    )
+                    hs.append(h)
+                hl[r] = h
+                # every global-max cell satisfies H == pre (an H from a
+                # gap implies a strictly larger predecessor), so argmax
+                # over pre == argmax over H
+                bc = jnp.maximum(bc, pre * K - jnp.int32(ia + r + 1))
+                din[r] = _last(prev)
+                prev = jnp.stack(hs)
+
+            yoko_ref[pl.ds(j0, CHUNK)] = prev
+            bc_ref[0, pl.ds(j0, CHUNK)] = bc
+            return (tuple(hl), tuple(din))
+
+        zeros = tuple(zero for _ in range(ROWS))
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (zeros, zeros))
+        return 0
+
+    jax.lax.fori_loop(0, n_rowgrps, row_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "m", "match", "mismatch", "gap", "rowbits")
+)
+def _sw_batch_ends_impl(qsT, tsT, n, m, match, mismatch, gap, rowbits):
+    T = qsT.shape[0] // n
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_ends, n=n, m=m, match=match, mismatch=mismatch, gap=gap,
+            rowbits=rowbits,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, m, SUB, LANE), jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (n, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (m, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, SUB, LANE), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((m, SUB, LANE), jnp.int32)],
+    )(qsT, tsT)
+
+
+@functools.partial(jax.jit, static_argnames=("rowbits",))
+def _reduce_comb(bc, rowbits):
+    """[T, m, SUB, LANE] packed comb -> (score, end_i, end_j) [T*SUB*LANE]
+    with the row-major-first rule: max value, then min row (packed), then
+    min column (argmax of the first comb == vmax along the column axis)."""
+    T, m = bc.shape[0], bc.shape[1]
+    K = jnp.int32(1 << rowbits)
+    vmax = bc.max(axis=1)
+    jsel = jnp.argmax(bc == vmax[:, None], axis=1).astype(jnp.int32)
+    pre = (vmax + K - 1) // K
+    row = pre * K - vmax
+    pos = pre > 0
+    flat = lambda x: x.reshape(T * SUB * LANE)
+    return (
+        flat(jnp.maximum(pre, 0)),
+        flat(jnp.where(pos, row, 0)),
+        flat(jnp.where(pos, jsel + 1, 0)),
+    )
+
+
+def sw_batch_pallas_ends(qs, ts, params: ScoringParams):
+    """Batched local scores + argmax endpoints (Pallas row-scan).
+
+    Same contract as :func:`sw_batch_pallas` plus (end_i, end_j): the
+    1-based coordinates of the first maximum in row-major scan order
+    (≙ SmithWaterman_111_long's argmax, source.cpp:1545-1549); score 0
+    maps to (0, 0). No transpose swap (it would change the scan order the
+    tie-break is defined in), so n must satisfy the VMEM bound directly.
+    """
+    if not params.is_linear:
+        raise NotImplementedError("affine tier: use sw_affine_pallas_ends")
+    mm = _uniform_match_mismatch(params)
+    if mm is None:
+        raise NotImplementedError("general matrices: use the profile kernel")
+    match, mismatch = mm
+    if mismatch >= 0 or params.gap <= 0:
+        raise NotImplementedError("pad-decay layout needs mismatch < 0 < gap")
+    B, n = qs.shape
+    m = ts.shape[1]
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    if n % ROWS:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, ROWS - n % ROWS), Q_PAD, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    mp = -(-m // CHUNK) * CHUNK
+    if mp != m:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, mp - m), T_PAD, ts.dtype)], axis=1
+        )
+        m = mp
+    rowbits = n.bit_length()  # 2^rowbits > n >= row index
+    if max(match, 1) * min(n, m) >= (1 << (31 - rowbits)):
+        raise NotImplementedError(
+            "packed (value,row) tracking would overflow int32 at this "
+            "score range; route to the XLA ends engine"
+        )
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
+    qsT, tsT = _prepare(qs, ts, n, m)
+    bc = _sw_batch_ends_impl(
+        qsT, tsT, n, m, match, mismatch, int(params.gap), rowbits
+    )
+    score, ei, ej = _reduce_comb(bc, rowbits)
+    return score[:B], ei[:B], ej[:B]
+
+
 @functools.partial(
     jax.jit, static_argnames=("n", "m", "match", "mismatch", "gap")
 )

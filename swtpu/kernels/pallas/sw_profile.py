@@ -109,9 +109,10 @@ def plane_lookup(planes_vals, bits, sh):
 
 def _kernel(
     prof_ref, t_ref, out_ref, yoko_ref, *rest, rg, m, planes, gap,
-    go=None, ge=None,
+    go=None, ge=None, rowbits=None,
 ):
     affine = go is not None
+    ends = rowbits is not None
     if affine:
         (yf_ref,) = rest
         go32, ge32 = jnp.int32(go), jnp.int32(ge)
@@ -119,6 +120,8 @@ def _kernel(
     zero = jnp.zeros((SUB, LANE), jnp.int32)
     zero_c = jnp.zeros((CHUNK, SUB, LANE), jnp.int32)
     gap32 = jnp.int32(gap)
+    if ends:
+        K = jnp.int32(1 << rowbits)
 
     # the row-group grid axis streams the profile: the row boundary
     # (yoko) and the running best persist in scratch/output across grid
@@ -131,6 +134,8 @@ def _kernel(
         yoko_ref[:] = jnp.zeros((m, SUB, LANE), jnp.int32)
         if affine:
             yf_ref[:] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
+        if ends:
+            out_ref[0] = jnp.full((m, SUB, LANE), NEG_EF, jnp.int32)
 
     n_chunks = m // CHUNK
     n_rowgrps = rg // ROWS
@@ -168,6 +173,8 @@ def _kernel(
             prev = yoko_ref[pl.ds(j0, CHUNK)]
             if affine:
                 prev_f = yf_ref[pl.ds(j0, CHUNK)]
+            if ends:
+                bc = out_ref[0, pl.ds(j0, CHUNK)]
 
             # hoisted once per chunk, shared by all ROWS rows
             sh = (t & 3) << 3
@@ -200,11 +207,23 @@ def _kernel(
                     hl[r] = h
                     din[r] = _last(prev)
                     prev = jnp.stack(hs)
-                pres.append(pre)
+                if ends:
+                    # absolute row = streamed row-group base + local row;
+                    # max-cell H == pre argument as in sw_batch/_affine
+                    bc = jnp.maximum(
+                        bc, pre * K - (g_id * rg + jnp.int32(ia + r + 1))
+                    )
+                else:
+                    pres.append(pre)
 
             yoko_ref[pl.ds(j0, CHUNK)] = prev
             if affine:
                 yf_ref[pl.ds(j0, CHUNK)] = prev_f
+            if ends:
+                out_ref[0, pl.ds(j0, CHUNK)] = bc
+                if affine:
+                    return (tuple(hl), tuple(el), tuple(din), best_c)
+                return (tuple(hl), tuple(din), best_c)
             acc = pres[0]
             for r in range(1, ROWS):
                 acc = jnp.maximum(acc, pres[r])
@@ -229,6 +248,8 @@ def _kernel(
         (best_c,) = jax.lax.fori_loop(0, n_rowgrps, row_body, (zero_c,))
     else:
         best_c = jax.lax.fori_loop(0, n_rowgrps, row_body, zero_c)
+    if ends:
+        return
     best = best_c.max(axis=0)
 
     @pl.when(g_id == 0)
@@ -306,6 +327,99 @@ def _prepare_profile(qs, ts, packed_tab, n, m, planes):
         .reshape(T * m, SUB, LANE)
     )
     return profT, tsT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "planes", "gap", "go", "ge", "rowbits"),
+)
+def _sw_profile_ends_impl(profT, tsT, n, m, planes, gap, rowbits,
+                          go=None, ge=None):
+    T = tsT.shape[0] // m
+    rg = min(n, ROW_GROUP)
+    G = n // rg
+    scratch = [pltpu.VMEM((m, SUB, LANE), jnp.int32)]
+    if go is not None:
+        scratch.append(pltpu.VMEM((m, SUB, LANE), jnp.int32))
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, rg=rg, m=m, planes=planes, gap=gap, go=go, ge=ge,
+            rowbits=rowbits,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, m, SUB, LANE), jnp.int32),
+        grid=(T, G),
+        in_specs=[
+            pl.BlockSpec(
+                (rg, planes, SUB, LANE),
+                lambda i, g: (i * (n // rg) + g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (m, SUB, LANE),
+                lambda i, g: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, SUB, LANE),
+            lambda i, g: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch,
+    )(profT, tsT)
+
+
+def sw_batch_profile_pallas_ends(qs, ts, params: ScoringParams):
+    """Batched general-matrix local scores + argmax endpoints (linear or
+    affine). Same contract as :func:`sw_batch_profile_pallas` plus
+    (end_i, end_j) under the row-major-first argmax rule; score 0 maps to
+    (0, 0). No transpose swap (would change the tie-break scan order)."""
+    from swtpu.kernels.pallas.sw_batch import _reduce_comb
+
+    affine = not params.is_linear
+    gap = int(params.gap_extend if affine else params.gap)
+    if gap <= 0 or (affine and params.gap_open <= 0):
+        raise NotImplementedError("pad-decay layout needs gap > 0")
+    A = params.alphabet_size
+    B, n = qs.shape
+    m = ts.shape[1]
+    packed_tab = _packed_table(params)
+    planes = packed_tab.shape[1]
+    q_pad, t_pad = A, A + 1
+    qs = jnp.asarray(qs)
+    ts = jnp.asarray(ts)
+    step = ROWS if n <= ROW_GROUP else ROW_GROUP
+    if n % step:
+        qs = jnp.concatenate(
+            [qs, jnp.full((B, step - n % step), q_pad, qs.dtype)], axis=1
+        )
+        n = qs.shape[1]
+    mp = -(-m // CHUNK) * CHUNK
+    if mp != m:
+        ts = jnp.concatenate(
+            [ts, jnp.full((B, mp - m), t_pad, ts.dtype)], axis=1
+        )
+        m = mp
+    rowbits = n.bit_length()
+    if max(int(params.matrix.max()), 1) * min(n, m) >= (1 << (31 - rowbits)):
+        raise NotImplementedError(
+            "packed (value,row) tracking would overflow int32; route to "
+            "the XLA ends engine"
+        )
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), q_pad, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), t_pad, ts.dtype)])
+    profT, tsT = _prepare_profile(
+        qs, ts, jnp.asarray(packed_tab), n, m, planes
+    )
+    bc = _sw_profile_ends_impl(
+        profT, tsT, n, m, planes, gap, rowbits,
+        go=int(params.gap_open) if affine else None,
+        ge=int(params.gap_extend) if affine else None,
+    )
+    score, ei, ej = _reduce_comb(bc, rowbits)
+    return score[:B], ei[:B], ej[:B]
 
 
 def sw_batch_profile_pallas(qs, ts, params: ScoringParams):

@@ -109,3 +109,68 @@ def sw_batch_diag(qs, ts, params: ScoringParams):
     """
     table = jnp.asarray(_extended_table(params))
     return _sw_batch_diag_impl(qs, ts, table, int(params.gap))
+
+
+@functools.partial(jax.jit, static_argnames=("gap",))
+def _sw_batch_diag_ends_impl(qs, ts, table, gap):
+    B, n = qs.shape
+    m = ts.shape[1]
+    stride = table.shape[0]
+    q_pad, t_pad = stride - 2, stride - 1
+    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
+    q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=q_pad)
+    ts_rev_pad = jnp.pad(
+        ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
+    )
+    flat_table = table.reshape(-1)
+    rows = jnp.arange(n + 1, dtype=jnp.int32)[None, :]  # slot i == row i
+    big = jnp.int32(1 << 30)
+
+    def step(carry, d):
+        prev1, prev2, best, bi, bj = carry
+        off = m - d + n + 1
+        t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
+        s = jnp.take(flat_table, q_slot * stride + t_diag, axis=0)
+        shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+        cur = jnp.maximum(
+            jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),
+            jnp.maximum(prev1 - gap, 0),
+        )
+        # Endpoint with the oracle's tie-break (first max in row-major
+        # scan order, oracle/sw.py:134): within this diagonal ties pick
+        # the smallest row; across diagonals replace only on a strictly
+        # greater value OR an equal value at a strictly smaller row
+        # (equal value + equal row across different diagonals means a
+        # larger column — keep the earlier one).
+        vmax = cur.max(axis=1)
+        i_at = jnp.where(cur == vmax[:, None], rows, big).min(axis=1)
+        upd = (vmax > best) | ((vmax == best) & (i_at < bi))
+        best = jnp.where(upd, vmax, best)
+        bi = jnp.where(upd, i_at, bi)
+        bj = jnp.where(upd, d - i_at, bj)
+        return (cur, prev1, best, bi, bj), None
+
+    prev = jnp.zeros((B, n + 1), dtype=jnp.int32)
+    zero1 = jnp.zeros((B,), dtype=jnp.int32)
+    ds = jnp.arange(2, n + m + 1)
+    (c1, c2, best, bi, bj), _ = jax.lax.scan(
+        step, (prev, prev, zero1, zero1, zero1), ds
+    )
+    # score 0 => the oracle argmax is the (0, 0) boundary cell
+    pos = best > 0
+    return best, jnp.where(pos, bi, 0), jnp.where(pos, bj, 0)
+
+
+def sw_batch_diag_ends(qs, ts, params: ScoringParams):
+    """Batched local scores + argmax endpoints on device.
+
+    Returns (score, end_i, end_j) int32 [B]: the score and the 1-based DP
+    coordinates of the first maximum in row-major scan order — exactly
+    ``oracle.sw.sw_traceback``'s argmax cell (≙ SmithWaterman_111_long's
+    strict-'<' update, source.cpp:1545-1549). Score 0 maps to (0, 0).
+    """
+    table = jnp.asarray(_extended_table(params))
+    return _sw_batch_diag_ends_impl(
+        jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap)
+    )

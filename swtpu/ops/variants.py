@@ -99,6 +99,71 @@ def get_variant(name: str) -> Callable:
     return VARIANTS[name]
 
 
+def best_ends_engine(params: ScoringParams) -> Callable:
+    """fn(qs, ts) -> (score, end_i, end_j) int32 [B] each: the fastest
+    endpoint-returning engine for these params on the current backend.
+    Endpoints are the 1-based argmax cell under the reference's
+    first-max-in-row-major-scan rule (source.cpp:1545-1549); score 0 maps
+    to (0, 0). Used by the traceback engines to bound the host walk to
+    the [0..end_i, 0..end_j] submatrix."""
+    import jax
+
+    def _xla_ends(params):
+        if params.is_linear:
+            from swtpu.kernels.xla.sw_scan import sw_batch_diag_ends
+
+            return lambda q, t: sw_batch_diag_ends(q, t, params)
+        from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag_ends
+
+        return lambda q, t: sw_affine_batch_diag_ends(q, t, params)
+
+    def _with_fallback(pallas_fn):
+        """Pallas tier with XLA fallback on its static guards (packed-row
+        overflow, non-positive gaps)."""
+        xla_fn = _xla_ends(params)
+
+        def run(q, t):
+            try:
+                return pallas_fn(q, t)
+            except NotImplementedError:
+                return xla_fn(q, t)
+
+        return run
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+
+        mm = _uniform_match_mismatch(params)
+        if params.is_linear and mm is not None and mm[1] < 0 < params.gap:
+            from swtpu.kernels.pallas.sw_batch import sw_batch_pallas_ends
+
+            return _with_fallback(
+                lambda q, t: sw_batch_pallas_ends(q, t, params)
+            )
+        if not params.is_linear and mm is not None:
+            from swtpu.kernels.pallas.sw_affine import sw_affine_pallas_ends
+
+            return _with_fallback(
+                lambda q, t: sw_affine_pallas_ends(q, t, params)
+            )
+        if (
+            mm is None
+            and params.matrix.min() >= -127
+            and params.matrix.max() <= 127
+            and (params.gap_extend if not params.is_linear else params.gap)
+            > 0
+        ):
+            from swtpu.kernels.pallas.sw_profile import (
+                sw_batch_profile_pallas_ends,
+            )
+
+            return _with_fallback(
+                lambda q, t: sw_batch_profile_pallas_ends(q, t, params)
+            )
+    return _xla_ends(params)
+
+
 def best_engine(params: ScoringParams) -> Callable:
     """fn(qs, ts) -> [B] int32 scores: the fastest engine for these params
     on the current backend (Pallas tiers on TPU, XLA scans elsewhere)."""

@@ -84,12 +84,13 @@ def time_kernel(
         np.asarray(run_k(jnp.int32(0), *args))
         tk = min(measure(run_k, salt + i) for i in range(reps))
         signal = tk - o
+        per = signal / (k - 1)  # per-call time at the k actually measured
         if signal >= 4 * o or k >= max_k or tk >= 1.0:
             break
         # grow k so the next chain's expected signal clears the 4*o bar
         # (with margin); a non-positive signal means the kernel is far
         # smaller than the overhead noise — jump straight to the cap
-        per_est = signal / (k - 1) if signal > 0 else 0.0
+        per_est = per if signal > 0 else 0.0
         k_need = int(6 * o / per_est) + 1 if per_est > 0 else max_k
         k = min(max_k, max(2 * k, k_need))
-    return float(max(signal / (k - 1), 1e-9))
+    return float(max(per, 1e-9))
