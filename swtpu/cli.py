@@ -458,6 +458,64 @@ def cmd_selftest(args):
             )
         )
 
+        # endpoint kernels (score, end_i, end_j) vs the XLA ends anchor
+        from swtpu.kernels.pallas.sw_batch import sw_batch_pallas_ends
+        from swtpu.kernels.pallas.sw_affine import sw_affine_pallas_ends
+        from swtpu.kernels.pallas.sw_profile import (
+            sw_batch_profile_pallas_ends,
+        )
+        from swtpu.kernels.xla.sw_scan import sw_batch_diag_ends
+        from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag_ends
+
+        tie = ScoringParams.linear(
+            np.where(np.eye(4, dtype=bool), 2, -1).astype(np.int32), 1
+        )
+        dev = tuple(np.asarray(x) for x in sw_batch_pallas_ends(qs, ts, tie))
+        ref3 = tuple(np.asarray(x) for x in sw_batch_diag_ends(qs, ts, tie))
+        checks.append(
+            (
+                "rowscan_ends_vs_xla",
+                all(np.array_equal(a, b) for a, b in zip(dev, ref3)),
+            )
+        )
+        taff = ScoringParams(tie.matrix, gap_open=3, gap_extend=1)
+        dev = tuple(
+            np.asarray(x) for x in sw_affine_pallas_ends(qs, ts, taff)
+        )
+        ref3 = tuple(
+            np.asarray(x) for x in sw_affine_batch_diag_ends(qs, ts, taff)
+        )
+        checks.append(
+            (
+                "affine_rowscan_ends_vs_xla",
+                all(np.array_equal(a, b) for a, b in zip(dev, ref3)),
+            )
+        )
+        dev = tuple(
+            np.asarray(x) for x in sw_batch_profile_pallas_ends(pq, pt, paff)
+        )
+        ref3 = tuple(
+            np.asarray(x)
+            for x in sw_affine_batch_diag_ends(pq, pt, paff)
+        )
+        checks.append(
+            (
+                "profile_ends_blosum62_vs_xla",
+                all(np.array_equal(a, b) for a, b in zip(dev, ref3)),
+            )
+        )
+
+    # short soak: one round of every fuzz family (the full harness is
+    # `python -m swtpu fuzz`; reference-scale soaks are source.cpp:2943+)
+    from swtpu.fuzz import run_fuzz
+
+    try:
+        run_fuzz(minutes=30, max_rounds=7, log=None, save_dir=None,
+                 pairs_per_round=256)
+        checks.append(("fuzz_soak_short", True))
+    except AssertionError:
+        checks.append(("fuzz_soak_short", False))
+
     ok_all = True
     for name, ok in checks:
         ok = bool(ok)
@@ -465,6 +523,33 @@ def cmd_selftest(args):
         print(json.dumps(dict(selftest=name, ok=ok)))
     if not ok_all:
         raise SystemExit(1)
+
+
+def cmd_fuzz(args):
+    """Soak-scale randomized differential testing (swtpu.fuzz)."""
+    from swtpu.fuzz import run_fuzz
+
+    families = args.families.split(",") if args.families else None
+    use_pallas = None
+    if args.interpret:
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+
+        if jax.devices()[0].platform != "tpu":
+            with pltpu.force_tpu_interpret_mode():
+                run_fuzz(
+                    minutes=args.minutes, seed=args.seed,
+                    pairs_per_round=args.pairs, families=families,
+                    use_pallas=True, save_dir=args.save_dir,
+                    max_rounds=args.rounds,
+                )
+            return
+        use_pallas = True
+    run_fuzz(
+        minutes=args.minutes, seed=args.seed, pairs_per_round=args.pairs,
+        families=families, use_pallas=use_pallas, save_dir=args.save_dir,
+        max_rounds=args.rounds,
+    )
 
 
 def build_parser():
@@ -542,6 +627,27 @@ def build_parser():
 
     p = sub.add_parser("selftest", help="quick differential self-check")
     p.set_defaults(fn=cmd_selftest)
+
+    p = sub.add_parser(
+        "fuzz",
+        help="soak-scale randomized differential testing (the reference's "
+        "10M-iteration harness pattern, time-bounded)",
+    )
+    p.add_argument("--minutes", type=float, default=1.0)
+    p.add_argument("--rounds", type=int, default=None,
+                   help="stop after N rounds (default: time-bounded only)")
+    p.add_argument("--seed", type=int, default=10000)
+    p.add_argument("--pairs", type=int, default=512,
+                   help="pairs per round")
+    p.add_argument("--families", default=None,
+                   help="comma list: uniform,tie_rich,general4,affine,"
+                   "protein,semiglobal,banded")
+    p.add_argument("--save-dir", default="fuzz_failures",
+                   help="where to write .npz repros on mismatch")
+    p.add_argument("--interpret", action="store_true",
+                   help="on CPU: also run the Pallas tiers in interpret "
+                   "mode (slow)")
+    p.set_defaults(fn=cmd_fuzz)
     return ap
 
 

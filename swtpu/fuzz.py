@@ -1,0 +1,345 @@
+"""Soak-scale randomized differential testing.
+
+The reference validates every kernel with 10M-iteration fixed-seed random
+differential loops (``TestSimdSmithWaterman*``, source.cpp:2943-3030;
+``TestSemiGlobal``'s mutation-model generator, :2733-2786). swtpu's pytest
+suite reproduces the *strategy* at small scale; this module reproduces the
+*scale*: a time-bounded loop that streams seed-derived random batches
+through every engine tier and counts mismatches against the tier's oracle.
+
+Design:
+- Each round draws a config from a rotating family list (uniform DNA,
+  tie-rich scoring, general 4x4 matrix, affine, protein/BLOSUM62,
+  semi-global, banded mutation-model), generates a fresh batch from
+  ``seed + round`` (reproducible: any failing round can be re-run alone),
+  and differential-tests all applicable engines.
+- Local families use the *vectorized* numpy oracle full-batch (the
+  throughput anchor) plus a per-pair traceback-oracle endpoint subsample.
+  Semi-global/banded use cross-engine equality full-batch plus a per-pair
+  scalar-oracle subsample (their scalar oracles are python loops).
+- On mismatch, the failing batch is saved as an .npz repro and the loop
+  continues; the run fails at the end (exit code / raised error).
+
+CLI: ``python -m swtpu fuzz --minutes 2`` (see cli.py). A short soak is
+wired into ``python -m swtpu selftest`` on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from swtpu.core import mutate, random_dna
+from swtpu.core.scoring import ScoringParams, dna_matrix
+
+#: general (non-uniform) DNA matrix exercising the packed-profile path
+GENERAL4 = np.array(
+    [[3, -2, -1, -2], [-2, 3, -2, -1], [-1, -2, 3, -2], [-2, -1, -2, 3]],
+    dtype=np.int32,
+)
+
+
+@dataclasses.dataclass
+class FuzzStats:
+    rounds: int = 0
+    pairs: int = 0
+    cells: int = 0
+    mismatches: int = 0
+    failures: List[str] = dataclasses.field(default_factory=list)
+
+
+def _engines_local(params: ScoringParams, use_pallas: bool):
+    """name -> fn(qs, ts) -> scores, every applicable local tier."""
+    from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+
+    eng: Dict[str, Callable] = {}
+    if params.is_linear:
+        from swtpu.kernels.xla import sw_batch_diag
+        from swtpu.kernels.xla.colscan import sw_batch_colscan
+
+        eng["xla_diag"] = lambda q, t: sw_batch_diag(q, t, params)
+        eng["colscan"] = lambda q, t: sw_batch_colscan(q, t, params)
+    else:
+        from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
+
+        eng["xla_affine"] = lambda q, t: sw_affine_batch_diag(q, t, params)
+    if use_pallas:
+        mm = _uniform_match_mismatch(params)
+        if params.is_linear and mm is not None and mm[1] < 0 < params.gap:
+            from swtpu.kernels.pallas import sw_batch_pallas
+
+            eng["rowscan"] = lambda q, t: sw_batch_pallas(q, t, params)
+        elif not params.is_linear and mm is not None:
+            from swtpu.kernels.pallas.sw_affine import sw_affine_pallas
+
+            eng["rowscan_affine"] = lambda q, t: sw_affine_pallas(
+                q, t, params
+            )
+        if (
+            mm is None
+            and params.matrix.min() >= -127
+            and params.matrix.max() <= 127
+            and (params.gap if params.is_linear else params.gap_extend) > 0
+        ):
+            from swtpu.kernels.pallas.sw_profile import (
+                sw_batch_profile_pallas,
+            )
+
+            eng["rowscan_prof"] = lambda q, t: sw_batch_profile_pallas(
+                q, t, params
+            )
+    return eng
+
+
+def _oracle_local(qs, ts, params: ScoringParams) -> np.ndarray:
+    if params.is_linear:
+        from swtpu.oracle import sw_score_batch
+
+        return sw_score_batch(qs, ts, params).astype(np.int64)
+    from swtpu.oracle.affine import sw_affine_score_batch
+
+    return sw_affine_score_batch(qs, ts, params).astype(np.int64)
+
+
+def _record_failure(stats: FuzzStats, family, rnd, detail, repro: dict,
+                    save_dir: Optional[str]):
+    stats.mismatches += 1
+    msg = f"round {rnd} family {family}: {detail}"
+    stats.failures.append(msg)
+    if save_dir:
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
+        path = os.path.join(save_dir, f"fuzz_r{rnd}_{family}.npz")
+        np.savez_compressed(path, **repro)
+        stats.failures[-1] += f" (repro: {path})"
+
+
+def _round_local(rng, stats, family, rnd, params, B, n, m, use_pallas,
+                 save_dir, ends_check=True, pad_tail=True):
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, m))
+    want = _oracle_local(qs, ts, params)
+    # engines see a pad-extended batch on a subset of rounds: the pad
+    # contract (q:4/t:5 never raise the max) is part of the spec
+    if pad_tail and rnd % 3 == 0:
+        qe = np.concatenate([qs, np.full((B, 8), 4, np.uint8)], axis=1)
+        te = np.concatenate([ts, np.full((B, 8), 5, np.uint8)], axis=1)
+    else:
+        qe, te = qs, ts
+    for name, fn in _engines_local(params, use_pallas).items():
+        got = np.asarray(fn(qe, te)).astype(np.int64)
+        if not np.array_equal(got, want):
+            bad = int(np.flatnonzero(got != want)[0])
+            _record_failure(
+                stats, family, rnd,
+                f"{name} score mismatch at pair {bad}: "
+                f"{got[bad]} != {want[bad]}",
+                dict(qs=qs, ts=ts, matrix=params.matrix,
+                     go=params.gap_open, ge=params.gap_extend), save_dir,
+            )
+        stats.pairs += B
+        stats.cells += B * n * m
+    if ends_check:
+        # endpoints: device argmax vs the traceback oracle on a subsample
+        from swtpu.ops.variants import best_ends_engine
+
+        sub = slice(0, 4)
+        sc, ei, ej = (
+            np.asarray(x) for x in best_ends_engine(params)(qe[sub], te[sub])
+        )
+        if params.is_linear:
+            from swtpu.oracle import sw_traceback as tb
+        else:
+            from swtpu.oracle.affine import sw_affine_traceback as tb
+        for b in range(4):
+            s0, path = tb(qs[b], ts[b], params)
+            if not (s0 == sc[b] and path[-1] == (ei[b], ej[b])):
+                _record_failure(
+                    stats, family, rnd,
+                    f"endpoint mismatch at pair {b}: "
+                    f"({sc[b]},{ei[b]},{ej[b]}) vs {s0}@{path[-1]}",
+                    dict(qs=qs[:4], ts=ts[:4], matrix=params.matrix,
+                         go=params.gap_open, ge=params.gap_extend),
+                    save_dir,
+                )
+
+
+def _round_protein(rng, stats, rnd, B, use_pallas, save_dir):
+    from swtpu.core.protein import blosum62_params, random_protein
+
+    params = blosum62_params()
+    n, m = 48, 64
+    qs = random_protein(rng, (B, n))
+    ts = random_protein(rng, (B, m))
+    want = _oracle_local(qs, ts, params)
+    for name, fn in _engines_local(params, use_pallas).items():
+        got = np.asarray(fn(qs, ts)).astype(np.int64)
+        if not np.array_equal(got, want):
+            bad = int(np.flatnonzero(got != want)[0])
+            _record_failure(
+                stats, "protein", rnd,
+                f"{name} mismatch at pair {bad}: {got[bad]} != {want[bad]}",
+                dict(qs=qs, ts=ts, matrix=params.matrix,
+                     go=params.gap_open, ge=params.gap_extend), save_dir,
+            )
+        stats.pairs += B
+        stats.cells += B * n * m
+
+
+def _round_semiglobal(rng, stats, rnd, B, use_pallas, save_dir):
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
+    from swtpu.oracle.semiglobal import semiglobal_full
+
+    n, m = 48, 64
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, m))
+    # tie-rich (2,-1,1) on odd rounds: endpoint tie-breaks are spec
+    ma, mi, g = (2, 1, 1) if rnd % 2 else (1, 1, 1)
+    fwd = [np.asarray(x) for x in
+           semiglobal_batch_diag(qs, ts, ma, mi, g)]
+    if use_pallas and B % 1024 == 0 and n % 8 == 0 and m % 16 == 0:
+        from swtpu.kernels.pallas.semiglobal_batch import (
+            semiglobal_batch_pallas,
+        )
+
+        fwd2 = [np.asarray(x) for x in
+                semiglobal_batch_pallas(qs, ts, ma, mi, g)]
+        for a, b, what in zip(fwd, fwd2, ("score", "end_i", "end_j")):
+            if not np.array_equal(a, b):
+                bad = int(np.flatnonzero(a != b)[0])
+                _record_failure(
+                    stats, "semiglobal", rnd,
+                    f"pallas/xla {what} mismatch at pair {bad}",
+                    dict(qs=qs, ts=ts, scoring=np.array([ma, mi, g])),
+                    save_dir,
+                )
+        stats.pairs += B
+    # scalar-oracle anchor on a subsample
+    for b in range(4):
+        s0, path = semiglobal_full(qs[b], ts[b], ma, mi, g)
+        if not (s0 == fwd[0][b] and path[-1] == (fwd[1][b], fwd[2][b])):
+            _record_failure(
+                stats, "semiglobal", rnd,
+                f"oracle mismatch at pair {b}: "
+                f"({fwd[0][b]},{fwd[1][b]},{fwd[2][b]}) vs {s0}@{path[-1]}",
+                dict(qs=qs[:4], ts=ts[:4], scoring=np.array([ma, mi, g])),
+                save_dir,
+            )
+    stats.pairs += B
+    stats.cells += B * n * m
+
+
+def _round_banded(rng, stats, rnd, B, save_dir):
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.oracle.semiglobal import banded_xdrop
+
+    L = 192
+    qs = random_dna(rng, (B, L))
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    res = banded_xdrop_batch(qs, ts, with_history=False)
+    for b in range(min(B, 8)):
+        score0, _ = banded_xdrop(qs[b], ts[b])
+        if int(res.score[b]) != score0:
+            _record_failure(
+                stats, "banded", rnd,
+                f"score mismatch at pair {b}: "
+                f"{int(res.score[b])} != {score0}",
+                dict(qs=qs[:8], ts=ts[:8]), save_dir,
+            )
+    stats.pairs += B
+    stats.cells += B * 32 * 2 * L  # band cells upper bound
+
+
+def run_fuzz(
+    minutes: float = 1.0,
+    seed: int = 10000,
+    pairs_per_round: int = 512,
+    families: Optional[List[str]] = None,
+    use_pallas: Optional[bool] = None,
+    save_dir: Optional[str] = "fuzz_failures",
+    log: Optional[Callable[[str], None]] = print,
+    max_rounds: Optional[int] = None,
+) -> FuzzStats:
+    """Run the soak loop for ~minutes of wall time. Returns FuzzStats;
+    raises AssertionError at the end if any mismatch was recorded."""
+    import jax
+
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    all_families = [
+        "uniform", "tie_rich", "general4", "affine",
+        "protein", "semiglobal", "banded",
+    ]
+    families = families or all_families
+    for f in families:
+        if f not in all_families:
+            raise ValueError(f"unknown family {f!r}; have {all_families}")
+    stats = FuzzStats()
+    B = pairs_per_round
+    deadline = time.monotonic() + minutes * 60.0
+    rnd = 0
+    while time.monotonic() < deadline:
+        if max_rounds is not None and rnd >= max_rounds:
+            break
+        fam = families[rnd % len(families)]
+        # per-round RNG: failing rounds re-run standalone
+        rng = np.random.default_rng(seed + rnd)
+        # geometry from a fixed palette (incl. non-tile-aligned lengths):
+        # varied coverage without per-round recompilation
+        n, m = [(64, 96), (128, 128), (100, 137), (48, 64)][rnd % 4]
+        if fam == "uniform":
+            sc = [(1, -1, 1), (10, -30, 15)][rnd % 2]
+            _round_local(
+                rng, stats, fam, rnd,
+                ScoringParams.linear(dna_matrix(sc[0], sc[1]), sc[2]),
+                B, n, m, use_pallas, save_dir,
+            )
+        elif fam == "tie_rich":
+            _round_local(
+                rng, stats, fam, rnd,
+                ScoringParams.linear(dna_matrix(2, -1), 1),
+                B, n, m, use_pallas, save_dir,
+            )
+        elif fam == "general4":
+            _round_local(
+                rng, stats, fam, rnd, ScoringParams.linear(GENERAL4, 2),
+                B, n, m, use_pallas, save_dir,
+            )
+        elif fam == "affine":
+            _round_local(
+                rng, stats, fam, rnd,
+                ScoringParams(dna_matrix(2, -1), gap_open=3, gap_extend=1),
+                B, n, m, use_pallas, save_dir,
+            )
+        elif fam == "protein":
+            _round_protein(rng, stats, rnd, max(B // 4, 32), use_pallas,
+                           save_dir)
+        elif fam == "semiglobal":
+            _round_semiglobal(rng, stats, rnd, B, use_pallas, save_dir)
+        elif fam == "banded":
+            _round_banded(rng, stats, rnd, max(B // 8, 16), save_dir)
+        stats.rounds = rnd = rnd + 1
+        if log and rnd % 20 == 0:
+            log(
+                f"fuzz: {rnd} rounds, {stats.pairs} pairs, "
+                f"{stats.cells / 1e9:.2f} Gcells, "
+                f"{stats.mismatches} mismatches"
+            )
+    if log:
+        log(json.dumps(dict(
+            rounds=stats.rounds, pairs=stats.pairs, cells=stats.cells,
+            mismatches=stats.mismatches,
+        )))
+        for f in stats.failures[:20]:
+            log("FAIL: " + f)
+    if stats.mismatches:
+        raise AssertionError(
+            f"fuzz found {stats.mismatches} mismatches "
+            f"({stats.rounds} rounds, {stats.pairs} pairs)"
+        )
+    return stats
