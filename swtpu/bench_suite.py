@@ -495,6 +495,156 @@ def bench_unpack(quick=False):
     return [rec]
 
 
+def bench_dist(quick=False, subprocess_virtual=True):
+    """BASELINE north-star scaling: alignments/s at 1..D mesh devices.
+
+    Three axes: data-parallel batch scoring (dp), sharded all-vs-all top-k
+    search (search), and the sequence-parallel longpair forward (sp).
+    Weak-scaling efficiency = (aligns/s at d) / (d * aligns/s at 1 dev).
+
+    With one physical device (the single-chip tunnel), the 1-device anchor
+    is measured here and the multi-device curve is measured in a subprocess
+    on a virtual 8-device CPU mesh (records tagged virtual=true) — the same
+    environment the driver's dryrun uses; on a real pod slice the same code
+    measures the physical curve.
+    """
+    import jax
+
+    results = []
+    D = len(jax.devices())
+    if D == 1 and subprocess_virtual:
+        # 1-device anchor on the real device
+        results += _bench_dist_curve(quick, [1], virtual=False)
+        # virtual weak-scaling curve in a fresh CPU-mesh subprocess
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        proc = subprocess.run(
+            [sys.executable, "-m", "swtpu.bench_suite", "--suite", "dist",
+             "--cpu-mesh", "8"] + (["--quick"] if quick else []),
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        if proc.returncode:
+            print("dist subprocess failed:", proc.stderr[-2000:])
+        else:
+            for line in proc.stdout.splitlines():
+                if line.startswith("JSON: "):
+                    rec = json.loads(line[len("JSON: "):])
+                    print(line)
+                    results.append(rec)
+    else:
+        sizes = [d for d in (1, 2, 4, 8) if d <= D]
+        results += _bench_dist_curve(quick, sizes, virtual=D <= 8)
+    return results
+
+
+def _bench_dist_curve(quick, sizes, virtual):
+    import jax
+    import jax.numpy as jnp
+
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.ops.variants import best_engine
+    from swtpu.parallel import make_mesh, data_parallel_scores
+    from swtpu.parallel.longpair import longpair_sw_score
+    from swtpu.parallel.search import sharded_all_vs_all_topk
+    from swtpu.utils import time_kernel
+
+    params = DNA_10_30_15
+    results = []
+    per_dev_b = 1024 if quick else 4096
+    n = m = 128
+    anchors = {}
+    for d in sizes:
+        mesh = make_mesh(d)
+        # --- dp axis: per-device batch constant (weak scaling)
+        B = per_dev_b * d
+        qs, ts = _inputs(B, n, m)
+        engine = best_engine(params)
+        run = lambda a, b: data_parallel_scores(a, b, params, mesh,
+                                                engine=engine)
+        per_call = time_kernel(run, (jnp.asarray(qs), jnp.asarray(ts)), k=4)
+        aps = B / per_call
+        anchors.setdefault("dp", aps / d if d == sizes[0] and d == 1 else None)
+        eff = (
+            round(aps / (d * anchors["dp"]), 3)
+            if anchors.get("dp")
+            else None
+        )
+        rec = dict(
+            kernel="dist_dp_weak", devices=d, batch=B,
+            alignments_per_s=round(aps, 1),
+            gcups=round(B * n * m / per_call / 1e9, 2),
+            efficiency_vs_1dev=eff, virtual=virtual,
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"dist_dp_weak[{d}dev]: {per_call*1e3:.2f} ms / {B}")
+        print("JSON:", json.dumps(rec))
+        results.append(rec)
+
+        # --- search axis: per-device DB shard constant
+        nt_per = 512 if quick else 2048
+        Nq = 8
+        rng = np.random.default_rng(10000)
+        Q = rng.integers(0, 4, size=(Nq, n)).astype(np.uint8)
+        T = rng.integers(0, 4, size=(nt_per * d, m)).astype(np.uint8)
+        sharded_all_vs_all_topk(Q, T, params, mesh, k=8)  # compile
+        t0 = time.perf_counter()
+        sharded_all_vs_all_topk(Q, T, params, mesh, k=8)
+        wall = time.perf_counter() - t0
+        aps = Nq * len(T) / wall
+        anchors.setdefault(
+            "search", aps / d if d == sizes[0] and d == 1 else None
+        )
+        eff = (
+            round(aps / (d * anchors["search"]), 3)
+            if anchors.get("search")
+            else None
+        )
+        rec = dict(
+            kernel="dist_search_weak", devices=d, queries=Nq,
+            targets=len(T), alignments_per_s=round(aps, 1),
+            efficiency_vs_1dev=eff, virtual=virtual,
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"dist_search_weak[{d}dev]: {wall*1e3:.1f} ms / {Nq*len(T)}")
+        print("JSON:", json.dumps(rec))
+        results.append(rec)
+
+        # --- sp axis (longpair): query length grows with the mesh
+        Lq = (2048 if quick else 4096) * d
+        Lt = 2048 if quick else 4096
+        q1 = rng.integers(0, 4, size=Lq).astype(np.uint8)
+        t1 = rng.integers(0, 4, size=Lt).astype(np.uint8)
+        spmesh = make_mesh(d, axis="sp")
+        longpair_sw_score(q1, t1, params, spmesh)  # compile
+        t0 = time.perf_counter()
+        longpair_sw_score(q1, t1, params, spmesh)
+        wall = time.perf_counter() - t0
+        cps = Lq * Lt / wall
+        anchors.setdefault(
+            "sp", cps / d if d == sizes[0] and d == 1 else None
+        )
+        eff = (
+            round(cps / (d * anchors["sp"]), 3)
+            if anchors.get("sp")
+            else None
+        )
+        rec = dict(
+            kernel="dist_longpair_weak", devices=d, shape=f"{Lq}x{Lt}",
+            gcups=round(cps / 1e9, 2), efficiency_vs_1dev=eff,
+            virtual=virtual, device=str(jax.devices()[0].device_kind),
+        )
+        print(f"dist_longpair_weak[{d}dev]: {wall*1e3:.1f} ms / {Lq}x{Lt}")
+        print("JSON:", json.dumps(rec))
+        results.append(rec)
+    return results
+
+
 def forever(variant_name: str):
     """Infinite loop of one kernel for external profilers (≙ InfinitySW,
     source.cpp:3149-3170). Ctrl-C to stop."""
@@ -525,14 +675,30 @@ def main():
         default="all",
         choices=[
             "all", "sw", "semiglobal", "semiglobal_full", "affine",
-            "protein", "unpack", "varlen",
+            "protein", "unpack", "varlen", "dist",
         ],
     )
+    ap.add_argument(
+        "--cpu-mesh", type=int, default=None, metavar="N",
+        help="force the CPU backend with N virtual devices (used by the "
+        "dist suite's weak-scaling subprocess; requires XLA_FLAGS "
+        "--xla_force_host_platform_device_count=N in the environment)",
+    )
     args = ap.parse_args()
+    if args.cpu_mesh:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.forever:
         forever(args.forever)
         return
     results = []
+    if args.suite == "dist":
+        results = bench_dist(args.quick,
+                             subprocess_virtual=not args.cpu_mesh)
+        json.dump(results, sys.stdout, indent=1)
+        print()
+        return
     if args.suite in ("all", "sw"):
         results += bench_sw_variants(args.quick)
     if args.suite in ("all", "semiglobal"):

@@ -37,19 +37,30 @@ def shard_batch(arr, mesh: Mesh, axis: str = "pairs"):
 
 
 def data_parallel_scores(
-    qs, ts, params: ScoringParams, mesh: Mesh, axis: str = "pairs"
+    qs, ts, params: ScoringParams, mesh: Mesh, axis: str = "pairs",
+    engine=None,
 ):
     """Batched SW scores with the batch sharded over `axis`.
 
     qs: [B, n], ts: [B, m] with B divisible by the mesh size. Returns [B]
     scores, sharded over the same axis (replicate with jax.device_get or an
-    explicit with_sharding_constraint if needed).
+    explicit with_sharding_constraint if needed). The per-shard scorer is
+    ``best_engine(params)`` (Pallas flagship on TPU pods, XLA scans
+    elsewhere), traced inside a shard_map so every device runs the
+    single-chip hot path on its shard.
     """
     import jax.numpy as jnp
+    from jax import shard_map
 
-    qs = shard_batch(qs, mesh, axis)
-    ts = shard_batch(ts, mesh, axis)
-    table = jax.device_put(
-        jnp.asarray(_extended_table(params)), NamedSharding(mesh, P())
+    if engine is None:
+        from swtpu.ops.variants import best_engine
+
+        engine = best_engine(params)
+    fn = shard_map(
+        engine,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
     )
-    return _sw_batch_diag_impl(qs, ts, table, int(params.gap))
+    return fn(jnp.asarray(qs), jnp.asarray(ts))

@@ -67,9 +67,11 @@ class SearchCheckpoint:
         )
 
     def save(self, cursor: int, scores: np.ndarray, ids: np.ndarray):
-        tmp = self.path + ".tmp"
+        # explicit .npz temp name: np.savez appends .npz only when the
+        # name lacks it, which silently changes the file being written
+        tmp = self.path + ".tmp.npz"
         np.savez(tmp, cursor=cursor, scores=scores, ids=ids)
-        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, self.path)
+        os.replace(tmp, self.path)
 
 
 def _merge_topk(
@@ -148,9 +150,25 @@ def all_vs_all_topk(
                     )
                 )
                 break
-            except Exception:
+            except (TypeError, ValueError, NotImplementedError):
+                # deterministic (trace/shape/config) errors: retrying the
+                # same executable cannot help
+                raise
+            except Exception as e:  # runtime/device/transport failures
+                if log is not None:
+                    log(
+                        json.dumps(
+                            dict(
+                                event="search_chunk_retry",
+                                cursor=c0,
+                                attempt=attempt,
+                                error=f"{type(e).__name__}: {e}"[:500],
+                            )
+                        )
+                    )
                 if attempt == max_retries:
                     raise
+                time.sleep(0.5 * (2**attempt))  # simple backoff
         scores = scores[:, :C]
         ids = np.arange(c0, c0 + C, dtype=np.int32)[None, :].repeat(Nq, 0)
         best_s, best_i = _merge_topk(best_s, best_i, scores, ids, k)
@@ -178,41 +196,55 @@ def sharded_all_vs_all_topk(
     mesh: Mesh,
     k: int = 10,
     axis: str = "pairs",
+    engine: Optional[Callable] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Single-controller sharded search: target DB split over the mesh axis,
     queries replicated, per-shard scores reduced to top-k on device, shard
-    top-ks merged deterministically.
+    top-ks merged deterministically (score desc, then id asc).
 
-    Demonstrates the ICI-riding layout (scores gathered, not raw DP) on any
-    mesh, incl. the virtual CPU mesh used in tests.
+    The per-shard scorer is the fastest engine for ``params`` on this
+    backend (``best_engine``: Pallas flagship / profile / affine tiers on
+    TPU, XLA scans elsewhere), traced inside the shard_map so a pod runs
+    the same kernel the single-chip bench does. Any DB size works: the DB
+    is padded internally to the shard grid with pad targets whose hits are
+    masked out of the merge (score -1 / id INT32_MAX sentinels, matching
+    all_vs_all_topk). Demonstrates the ICI-riding layout (scores gathered,
+    not raw DP) on any mesh, incl. the virtual CPU mesh used in tests.
     """
     from jax import shard_map
+
+    if engine is None:
+        from swtpu.ops.variants import best_engine
+
+        engine = best_engine(params)
 
     n_dev = mesh.devices.size
     Nq = queries.shape[0]
     Nt = targets.shape[0]
-    assert Nt % n_dev == 0, "shard the DB evenly (pad it) before calling"
-    shard = Nt // n_dev
-
-    from swtpu.kernels.xla.sw_scan import _extended_table, _sw_batch_diag_impl
-
-    table = jnp.asarray(_extended_table(params))
-    gap = int(params.gap)
+    m = targets.shape[1]
+    # pad the DB to the shard grid; pad targets (t-pad char = alphabet+1)
+    # are masked out of the merge below by id
+    Ntp = -(-Nt // n_dev) * n_dev
+    if Ntp != Nt:
+        t_pad = params.alphabet_size + 1
+        targets = np.concatenate(
+            [targets, np.full((Ntp - Nt, m), t_pad, targets.dtype)]
+        )
+    shard = Ntp // n_dev
+    kk = min(k, shard)
 
     def local(qs, ts_shard):
-        # ts_shard: [1?, shard, m] local block
         ts_local = ts_shard.reshape(shard, -1)
         n = qs.shape[1]
-        m = ts_local.shape[1]
         qq = jnp.broadcast_to(qs[:, None, :], (Nq, shard, n)).reshape(-1, n)
         tt = jnp.broadcast_to(
             ts_local[None, :, :], (Nq, shard, m)
         ).reshape(-1, m)
-        scores = _sw_batch_diag_impl(qq, tt, table, gap).reshape(Nq, shard)
-        top_s, top_i = jax.lax.top_k(scores, min(k, shard))
+        scores = engine(qq, tt).reshape(Nq, shard)
+        top_s, top_i = jax.lax.top_k(scores, kk)
         my = jax.lax.axis_index(axis)
         top_i = top_i + my * shard
-        # gather every shard's top-k: [n_dev * k] per query over ICI
+        # gather every shard's top-k: [n_dev * kk] per query over ICI
         gs = jax.lax.all_gather(top_s, axis, axis=1).reshape(Nq, -1)
         gi = jax.lax.all_gather(top_i, axis, axis=1).reshape(Nq, -1)
         return gs, gi
@@ -225,9 +257,19 @@ def sharded_all_vs_all_topk(
         check_vma=False,
     )
     gs, gi = fn(jnp.asarray(queries), jnp.asarray(targets))
-    gs, gi = np.asarray(gs), np.asarray(gi)
+    gs = np.asarray(gs).astype(np.int64)
+    gi = np.array(gi)  # writable copy (device arrays map read-only)
+    pad_hit = gi >= Nt
+    gs[pad_hit] = -1
+    gi[pad_hit] = np.iinfo(np.int32).max
     order = np.lexsort((gi, -gs), axis=1)[:, :k]
-    return (
-        np.take_along_axis(gs, order, axis=1),
-        np.take_along_axis(gi, order, axis=1),
-    )
+    out_s = np.take_along_axis(gs, order, axis=1)
+    out_i = np.take_along_axis(gi, order, axis=1)
+    if out_s.shape[1] < k:  # k > Ntp/n_dev * n_dev gathered candidates
+        padw = k - out_s.shape[1]
+        out_s = np.pad(out_s, ((0, 0), (0, padw)), constant_values=-1)
+        out_i = np.pad(
+            out_i, ((0, 0), (0, padw)),
+            constant_values=np.iinfo(np.int32).max,
+        )
+    return out_s.astype(np.int32), out_i.astype(np.int32)

@@ -101,6 +101,74 @@ def test_chunk_retry_on_transient_failure(rng):
     assert np.array_equal(s, s2) and np.array_equal(i, i2)
 
 
+def test_sharded_topk_uneven_db_and_affine(rng):
+    """DB not divisible by the mesh: internal padding, pad hits masked;
+    affine params route through best_engine inside the shard_map."""
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle.affine import sw_affine_score_batch
+
+    mesh = make_mesh(8)
+    Q = random_dna(rng, (3, 48))
+    T = random_dna(rng, (53, 48))  # 53 % 8 != 0
+    params = ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
+    s, i = sharded_all_vs_all_topk(Q, T, params, mesh, k=5)
+    ref = np.stack(
+        [
+            sw_affine_score_batch(np.repeat(Q[x : x + 1], len(T), 0), T, params)
+            for x in range(len(Q))
+        ]
+    )
+    rids = np.arange(len(T))[None, :].repeat(len(Q), 0)
+    order = np.lexsort((rids, -ref), axis=1)[:, :5]
+    assert np.array_equal(i, order)
+    assert np.array_equal(
+        s, np.take_along_axis(ref, order, axis=1).astype(np.int32)
+    )
+
+
+def test_sharded_topk_protein(rng):
+    """Protein/BLOSUM62 DB through the sharded path."""
+    from swtpu.core.protein import blosum62_params, random_protein
+    from swtpu.oracle.affine import sw_affine_score_batch
+
+    mesh = make_mesh(8)
+    params = blosum62_params()
+    Q = random_protein(rng, (2, 32))
+    T = random_protein(rng, (19, 32))
+    s, i = sharded_all_vs_all_topk(Q, T, params, mesh, k=4)
+    ref = np.stack(
+        [
+            sw_affine_score_batch(np.repeat(Q[x : x + 1], len(T), 0), T, params)
+            for x in range(len(Q))
+        ]
+    )
+    rids = np.arange(len(T))[None, :].repeat(len(Q), 0)
+    order = np.lexsort((rids, -ref), axis=1)[:, :4]
+    assert np.array_equal(i, order)
+    assert np.array_equal(
+        s, np.take_along_axis(ref, order, axis=1).astype(np.int32)
+    )
+
+
+def test_search_deterministic_error_not_retried(rng):
+    """A deterministic (shape/config) failure raises immediately instead
+    of being retried max_retries times."""
+    Q = random_dna(rng, (2, 48))
+    T = random_dna(rng, (16, 48))
+    calls = {"n": 0}
+
+    def broken(q, t):
+        calls["n"] += 1
+        raise ValueError("deterministic config error")
+
+    try:
+        all_vs_all_topk(Q, T, DNA_111, k=3, chunk_size=8, engine=broken)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert calls["n"] == 1
+
+
 def test_search_affine_scoring(rng):
     """all_vs_all_topk with Gotoh params: best_engine routes the affine
     scorer; hits match a brute-force affine rescore."""
