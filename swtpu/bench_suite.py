@@ -163,6 +163,34 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
+    # reference-scale geometry: 16384-mers end to end WITH traceback (the
+    # SemiGlobal_111 / SpeedtestSemiGlobal shape, source.cpp:1776-1834,
+    # 2804-2860): device banded forward + history, host walker
+    from swtpu.batch import banded_align_batch
+
+    B16 = 2 if quick else 8
+    L16 = 16384
+    q16 = rng.integers(0, 4, size=(B16, L16)).astype(np.uint8)
+    t16 = np.stack([mutate(rng, q16[b], out_len=L16) for b in range(B16)])
+    banded_align_batch(q16[:1], t16[:1], [L16], [L16])  # compile
+    t0 = time.perf_counter()
+    out16 = banded_align_batch(q16, t16, [L16] * B16, [L16] * B16)
+    wall = time.perf_counter() - t0
+    rec = dict(
+        kernel="banded_16k_traceback_e2e",
+        batch=B16,
+        seq_len=L16,
+        wall_ms=round(wall * 1e3, 1),
+        alignments_per_s=round(B16 / wall, 2),
+        mean_path_len=round(
+            float(np.mean([len(p) for _, p in out16])), 1
+        ),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(f"banded_16k_traceback_e2e: {wall*1e3:.0f} ms / {B16}")
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
+
     # fixed-band rowscan (the issue-bound banded tier, BASELINE configs
     # 1-2 geometry): band cells at full-rowscan efficiency
     if jax.devices()[0].platform == "tpu":
@@ -495,6 +523,106 @@ def bench_unpack(quick=False):
     return [rec]
 
 
+def bench_protein_swissprot(quick=False):
+    """BASELINE config 3 verbatim: Farrar-striped full-matrix SW on
+    protein queries vs a small SwissProt subset with BLOSUM62, linear and
+    11/1 Gotoh gaps.
+
+    The subset is the frozen synthetic stand-in bundled at
+    swtpu/data/swissprot_like_256.fasta (256 sequences, SwissProt amino-
+    acid background frequencies + log-normal length distribution, seed
+    10000; swap in a real subset by pointing the same loader at e.g.
+    `uniprot_sprot.fasta` filtered to 256 records — no downloader runs
+    here by design: the bench must be hermetic). Queries are 64 mutated
+    120-mer fragments cut from the subset, so the hit structure is
+    homologous, not random. Engines: ``colscan`` (the TPU-native
+    Farrar-striped schedule, kernels/xla/colscan.py; Farrar 2007 is the
+    reference's own citation, README.md:15) and ``rowscan_prof`` (the
+    Pallas packed-profile kernel) on TPU.
+    """
+    import os
+
+    import jax
+
+    from swtpu.core.io import load_fasta_batch
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.kernels.xla.colscan import sw_batch_colscan
+    from swtpu.oracle import sw_score_batch
+    from swtpu.oracle.affine import sw_affine_score_batch
+    from swtpu.utils import time_kernel
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "swissprot_like_256.fasta"
+    )
+    names, db, lens = load_fasta_batch(path, alphabet="protein", pad_to=16,
+                                       pad_code=25)
+    rng = np.random.default_rng(10000)
+    nq = 16 if quick else 64
+    Lq = 120
+    qs = np.empty((nq, Lq), np.uint8)
+    for i in range(nq):
+        src = int(rng.integers(0, len(db)))
+        start = int(rng.integers(0, max(1, lens[src] - Lq)))
+        frag = db[src, start : start + Lq].copy()
+        sub = rng.random(Lq) < 0.1
+        frag[sub] = rng.integers(0, 20, int(sub.sum()))
+        qs[i] = np.where(frag >= 24, rng.integers(0, 20, Lq), frag)
+    nt = 64 if quick else len(db)
+    Nq, Nt = nq, nt
+    qq = np.broadcast_to(qs[:, None, :], (Nq, Nt, Lq)).reshape(-1, Lq)
+    tt = np.broadcast_to(db[None, :nt], (Nq, Nt, db.shape[1])).reshape(
+        -1, db.shape[1]
+    )
+    real_cells = int(Nq * lens[:nt].sum() * Lq)
+    results = []
+    engines = [("colscan", sw_batch_colscan)]
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.kernels.pallas.sw_profile import sw_batch_profile_pallas
+
+        engines.append(("rowscan_prof", sw_batch_profile_pallas))
+    for gaps, gname in (
+        (dict(gap_open=11, gap_extend=11), "linear11"),
+        (dict(gap_open=11, gap_extend=1), "gotoh11_1"),
+    ):
+        params = ScoringParams(BLOSUM62, **gaps)
+        oracle = (
+            sw_score_batch if params.is_linear else sw_affine_score_batch
+        )
+        # oracle indexes the 24x24 matrix directly: trim pad codes per pair
+        want = np.array(
+            [
+                int(oracle(qq[p : p + 1],
+                           tt[p : p + 1, : lens[p % Nt]], params)[0])
+                for p in range(32)
+            ],
+            np.int32,
+        )
+        for ename, fn in engines:
+            dq, dt_ = jax.device_put(qq), jax.device_put(tt)
+            got = np.asarray(fn(dq, dt_, params))
+            parity = bool(np.array_equal(got[:32], want))
+            per_call = time_kernel(
+                lambda a, b: fn(a, b, params), (dq, dt_), k=4
+            )
+            rec = dict(
+                kernel=f"protein_swissprot_{ename}_{gname}",
+                queries=Nq, targets=Nt,
+                pairs=Nq * Nt,
+                wall_ms=round(per_call * 1e3, 1),
+                gcups=round(real_cells / per_call / 1e9, 2),
+                parity=parity,
+                device=str(jax.devices()[0].device_kind),
+            )
+            print(
+                f"protein_swissprot_{ename}_{gname}: "
+                f"{per_call*1e3:.1f} ms / {Nq * Nt}"
+            )
+            print("JSON:", json.dumps(rec))
+            results.append(rec)
+    return results
+
+
 def bench_dist(quick=False, subprocess_virtual=True):
     """BASELINE north-star scaling: alignments/s at 1..D mesh devices.
 
@@ -675,7 +803,7 @@ def main():
         default="all",
         choices=[
             "all", "sw", "semiglobal", "semiglobal_full", "affine",
-            "protein", "unpack", "varlen", "dist",
+            "protein", "swissprot", "unpack", "varlen", "dist",
         ],
     )
     ap.add_argument(
@@ -709,6 +837,8 @@ def main():
         results += bench_affine(args.quick)
     if args.suite in ("all", "protein"):
         results += bench_protein(args.quick)
+    if args.suite in ("all", "swissprot"):
+        results += bench_protein_swissprot(args.quick)
     if args.suite in ("all", "varlen"):
         results += bench_varlen(args.quick)
     if args.suite in ("all", "unpack"):

@@ -505,6 +505,20 @@ def cmd_selftest(args):
             )
         )
 
+    # reference-scale geometry: one 16384-mer mutation pair end to end
+    # (SemiGlobal_111's shape, source.cpp:1776-1834) — device banded
+    # forward + host walk, cross-checked against the scalar banded oracle
+    from swtpu.batch import banded_align_batch
+    from swtpu.oracle import banded_xdrop
+
+    q16 = random_dna(rng, (1, 16384))
+    t16 = np.stack([mutate(rng, q16[0], out_len=16384)])
+    out16 = banded_align_batch(q16, t16, [16384], [16384])
+    s16, p16 = banded_xdrop(q16[0], t16[0])
+    checks.append(
+        ("banded_16k_e2e_vs_scalar_oracle", out16[0] == (s16, p16))
+    )
+
     # short soak: one round of every fuzz family (the full harness is
     # `python -m swtpu fuzz`; reference-scale soaks are source.cpp:2943+)
     from swtpu.fuzz import run_fuzz
