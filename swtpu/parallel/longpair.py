@@ -73,8 +73,10 @@ def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
         [top_ext, jnp.full((R + 2,), NEGB, jnp.int32)]
     )
 
+    big = jnp.int32(1 << 30)
+
     def step(carry, d):
-        prev1, prev2, best = carry
+        prev1, prev2, best, bi, bj = carry
         # chars for slot i: t[(d - i) - 1] = t_rev[C - d + i]
         off = C - d + R + 1
         t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
@@ -108,26 +110,33 @@ def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
         cur = jnp.where(
             (iota > 0) & ((j_of < 1) | (j_of > C)), NEGB, cur
         )
-        best = jnp.maximum(
-            best, jnp.where(iota > 0, cur, NEGB).max()
-        )
+        masked = jnp.where(iota > 0, cur, NEGB)
+        vmax = masked.max()
+        # tile-local argmax, row-major-first (same rule as the batch
+        # ends engines: within a diag min slot; across diags strictly
+        # greater or equal-at-smaller-row)
+        i_at = jnp.where(masked == vmax, iota, big).min()
+        upd = (vmax > best) | ((vmax == best) & (i_at < bi))
+        best = jnp.where(upd, vmax, best)
+        bi = jnp.where(upd, i_at, bi)
+        bj = jnp.where(upd, d - i_at, bj)
         bottom = jax.lax.dynamic_index_in_dim(cur, R, keepdims=False)
         right = jax.lax.dynamic_index_in_dim(
             cur, jnp.clip(d - C, 0, R), keepdims=False
         )
-        return (cur, prev1, best), (bottom, right)
+        return (cur, prev1, best, bi, bj), (bottom, right)
 
     init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
-    (_, _, best), (bots, rights) = jax.lax.scan(
+    (_, _, best, bi, bj), (bots, rights) = jax.lax.scan(
         step,
-        (init_vec, init_vec, jnp.int32(0)),
+        (init_vec, init_vec, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
         jnp.arange(1, R + C + 1),
     )
     # bottom_row[j-1] = H[R, j] emitted at diagonal d = R + j
     bottom_row = jax.lax.dynamic_slice_in_dim(bots, R, C)
     # right_col[i-1] = H[i, C] emitted at diagonal d = C + i
     right_col = jax.lax.dynamic_slice_in_dim(rights, C, R)
-    return bottom_row, right_col, best
+    return bottom_row, right_col, best, bi, bj
 
 
 def _tile_scan_affine(
@@ -169,8 +178,10 @@ def _tile_scan_affine(
         [top_f_ext, jnp.full((R + 2,), NEGB, jnp.int32)]
     )
 
+    big = jnp.int32(1 << 30)
+
     def step(carry, d):
-        prev1, prev2, f_prev1, e_prev1, best = carry
+        prev1, prev2, f_prev1, e_prev1, best, bi, bj = carry
         off = C - d + R + 1
         t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
         s = jnp.take(flat_table, qi + t_diag, axis=0)
@@ -206,7 +217,13 @@ def _tile_scan_affine(
         cur = jnp.where(outside, NEGB, cur)
         f_cur = jnp.where(outside, NEGB, f_cur)
         e_cur = jnp.where(outside, NEGB, e_cur)
-        best = jnp.maximum(best, jnp.where(iota > 0, cur, NEGB).max())
+        masked = jnp.where(iota > 0, cur, NEGB)
+        vmax = masked.max()
+        i_at = jnp.where(masked == vmax, iota, big).min()
+        upd = (vmax > best) | ((vmax == best) & (i_at < bi))
+        best = jnp.where(upd, vmax, best)
+        bi = jnp.where(upd, i_at, bi)
+        bj = jnp.where(upd, d - i_at, bj)
         bottom = jax.lax.dynamic_index_in_dim(cur, R, keepdims=False)
         bottom_f = jax.lax.dynamic_index_in_dim(f_cur, R, keepdims=False)
         right = jax.lax.dynamic_index_in_dim(
@@ -215,21 +232,24 @@ def _tile_scan_affine(
         right_e = jax.lax.dynamic_index_in_dim(
             e_cur, jnp.clip(d - C, 0, R), keepdims=False
         )
-        return (cur, prev1, f_cur, e_cur, best), (
+        return (cur, prev1, f_cur, e_cur, best, bi, bj), (
             bottom, bottom_f, right, right_e,
         )
 
     init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
-    (_, _, _, _, best), (bots, bots_f, rights, rights_e) = jax.lax.scan(
-        step,
-        (init_vec, init_vec, init_vec, init_vec, jnp.int32(0)),
-        jnp.arange(1, R + C + 1),
+    (_, _, _, _, best, bi, bj), (bots, bots_f, rights, rights_e) = (
+        jax.lax.scan(
+            step,
+            (init_vec, init_vec, init_vec, init_vec,
+             jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            jnp.arange(1, R + C + 1),
+        )
     )
     bottom_row = jax.lax.dynamic_slice_in_dim(bots, R, C)
     bottom_row_f = jax.lax.dynamic_slice_in_dim(bots_f, R, C)
     right_col = jax.lax.dynamic_slice_in_dim(rights, C, R)
     right_col_e = jax.lax.dynamic_slice_in_dim(rights_e, C, R)
-    return bottom_row, bottom_row_f, right_col, right_col_e, best
+    return bottom_row, bottom_row_f, right_col, right_col_e, best, bi, bj
 
 
 def tile_sw_reference(q, t, top_row, left_col, corner, matrix, gap):
@@ -275,7 +295,7 @@ def _longpair_impl(q, t, table, gap, block, mesh, axis):
         zero_r = jnp.zeros((R,), jnp.int32)
 
         def step(carry, s):
-            top_in, prev_top_last, left_col, best = carry
+            top_in, prev_top_last, left_col, best, gbi, gbj = carry
             b = s - my
             active = (b >= 0) & (b < n_blocks)
             bsafe = jnp.clip(b, 0, n_blocks - 1)
@@ -285,23 +305,38 @@ def _longpair_impl(q, t, table, gap, block, mesh, axis):
             corner = jnp.where(
                 (my == 0) | (b == 0), jnp.int32(0), prev_top_last
             )
-            bot, right, tile_best = _tile_scan(
+            bot, right, tile_best, tbi, tbj = _tile_scan(
                 q_strip, t_block, top, left, corner,
                 flat_table, stride, jnp.int32(gap),
             )
-            best = jnp.where(active, jnp.maximum(best, tile_best), best)
+            # global endpoint, row-major-first across this device's tiles
+            gi = my * R + tbi
+            gj = bsafe * C + tbj
+            upd = active & (
+                (tile_best > best)
+                | (
+                    (tile_best == best)
+                    & ((gi < gbi) | ((gi == gbi) & (gj < gbj)))
+                )
+            )
+            best = jnp.where(upd, tile_best, best)
+            gbi = jnp.where(upd, gi, gbi)
+            gbj = jnp.where(upd, gj, gbj)
             left_new = jnp.where(active, right, left_col)
             ptl_new = jnp.where(active, top[C - 1], prev_top_last)
             send = jnp.where(active, bot, zero_c)
             top_next = jax.lax.ppermute(send, axis, perm)
-            return (top_next, ptl_new, left_new, best), None
+            return (top_next, ptl_new, left_new, best, gbi, gbj), None
 
-        (_, _, _, best), _ = jax.lax.scan(
+        big = jnp.int32(1 << 30)
+        (_, _, _, best, gbi, gbj), _ = jax.lax.scan(
             step,
-            (zero_c, jnp.int32(0), zero_r, jnp.int32(0)),
+            (zero_c, jnp.int32(0), zero_r, jnp.int32(0), big, big),
             jnp.arange(n_steps),
         )
-        return jax.lax.pmax(best, axis)[None]
+        gbi = jnp.where(best > 0, gbi, 0)
+        gbj = jnp.where(best > 0, gbj, 0)
+        return jnp.stack([best, gbi, gbj])[None]
 
     fn = shard_map(
         per_device,
@@ -340,7 +375,9 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
         negb_r = jnp.full((R,), NEGB, jnp.int32)
 
         def step(carry, s):
-            top_in, prev_top_last, left_col, left_col_e, best = carry
+            top_in, prev_top_last, left_col, left_col_e, best, gbi, gbj = (
+                carry
+            )
             b = s - my
             active = (b >= 0) & (b < n_blocks)
             bsafe = jnp.clip(b, 0, n_blocks - 1)
@@ -352,11 +389,24 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
             corner = jnp.where(
                 (my == 0) | (b == 0), jnp.int32(0), prev_top_last
             )
-            bot, bot_f, right, right_e, tile_best = _tile_scan_affine(
-                q_strip, t_block, top, top_f, left, left_e, corner,
-                flat_table, stride, jnp.int32(go), jnp.int32(ge),
+            bot, bot_f, right, right_e, tile_best, tbi, tbj = (
+                _tile_scan_affine(
+                    q_strip, t_block, top, top_f, left, left_e, corner,
+                    flat_table, stride, jnp.int32(go), jnp.int32(ge),
+                )
             )
-            best = jnp.where(active, jnp.maximum(best, tile_best), best)
+            gi = my * R + tbi
+            gj = bsafe * C + tbj
+            upd = active & (
+                (tile_best > best)
+                | (
+                    (tile_best == best)
+                    & ((gi < gbi) | ((gi == gbi) & (gj < gbj)))
+                )
+            )
+            best = jnp.where(upd, tile_best, best)
+            gbi = jnp.where(upd, gi, gbi)
+            gbj = jnp.where(upd, gj, gbj)
             left_new = jnp.where(active, right, left_col)
             left_e_new = jnp.where(active, right_e, left_col_e)
             ptl_new = jnp.where(active, top[C - 1], prev_top_last)
@@ -364,9 +414,12 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
                 active, jnp.stack([bot, bot_f]), jnp.stack([zero_c, negb_c])
             )
             top_next = jax.lax.ppermute(send, axis, perm)
-            return (top_next, ptl_new, left_new, left_e_new, best), None
+            return (
+                top_next, ptl_new, left_new, left_e_new, best, gbi, gbj,
+            ), None
 
-        (_, _, _, _, best), _ = jax.lax.scan(
+        big = jnp.int32(1 << 30)
+        (_, _, _, _, best, gbi, gbj), _ = jax.lax.scan(
             step,
             (
                 jnp.stack([zero_c, negb_c]),
@@ -374,10 +427,14 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
                 zero_r,
                 negb_r,
                 jnp.int32(0),
+                big,
+                big,
             ),
             jnp.arange(n_steps),
         )
-        return jax.lax.pmax(best, axis)[None]
+        gbi = jnp.where(best > 0, gbi, 0)
+        gbj = jnp.where(best > 0, gbj, 0)
+        return jnp.stack([best, gbi, gbj])[None]
 
     fn = shard_map(
         per_device,
@@ -387,6 +444,43 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
         check_vma=False,
     )
     return fn(q)
+
+
+def _run_longpair(q, t, params, mesh, axis, block):
+    """Sharded forward: [n_dev, 3] per-device (best, end_i, end_j)."""
+    from swtpu.kernels.xla.sw_scan import _extended_table
+
+    table = jnp.asarray(_extended_table(params))
+    if not params.is_linear:
+        return _longpair_affine_impl(
+            jnp.asarray(q, dtype=jnp.int32),
+            jnp.asarray(t, dtype=jnp.int32),
+            table,
+            int(params.gap_open),
+            int(params.gap_extend),
+            block,
+            mesh,
+            axis,
+        )
+    return _longpair_impl(
+        jnp.asarray(q, dtype=jnp.int32),
+        jnp.asarray(t, dtype=jnp.int32),
+        table,
+        int(params.gap),
+        block,
+        mesh,
+        axis,
+    )
+
+
+def _merge_device_ends(out) -> tuple:
+    """Merge per-device (best, bi, bj) rows with the row-major-first rule
+    (max value, then min row, then min column)."""
+    out = np.asarray(out)
+    best = int(out[:, 0].max())
+    cand = out[out[:, 0] == best]
+    k = np.lexsort((cand[:, 2], cand[:, 1]))[0]
+    return best, int(cand[k, 1]), int(cand[k, 2])
 
 
 def longpair_sw_score(
@@ -403,31 +497,26 @@ def longpair_sw_score(
     Returns the same score as the single-device engines / oracle.
     Scoring is fully general (any substitution matrix incl. BLOSUM62).
     """
-    from swtpu.kernels.xla.sw_scan import _extended_table
+    return _merge_device_ends(
+        _run_longpair(q, t, params, mesh, axis, block)
+    )[0]
 
-    table = jnp.asarray(_extended_table(params))
-    if not params.is_linear:
-        out = _longpair_affine_impl(
-            jnp.asarray(q, dtype=jnp.int32),
-            jnp.asarray(t, dtype=jnp.int32),
-            table,
-            int(params.gap_open),
-            int(params.gap_extend),
-            block,
-            mesh,
-            axis,
-        )
-        return int(np.asarray(out).max())
-    out = _longpair_impl(
-        jnp.asarray(q, dtype=jnp.int32),
-        jnp.asarray(t, dtype=jnp.int32),
-        table,
-        int(params.gap),
-        block,
-        mesh,
-        axis,
+
+def longpair_sw_ends(
+    q: np.ndarray,
+    t: np.ndarray,
+    params: ScoringParams,
+    mesh,
+    axis: str = "sp",
+    block: int = 256,
+) -> tuple:
+    """(score, end_i, end_j) of ONE long pair from the sharded forward:
+    each device tracks its tiles' argmax under the row-major-first rule
+    (the batch ends engines' tie-break); the per-device candidates merge
+    on host. Score 0 maps to (0, 0)."""
+    return _merge_device_ends(
+        _run_longpair(q, t, params, mesh, axis, block)
     )
-    return int(np.asarray(out).max())
 
 
 def longpair_sw_align(
@@ -437,40 +526,38 @@ def longpair_sw_align(
     mesh,
     axis: str = "sp",
     block: int = 256,
+    row_block: int = 512,
 ):
     """Local alignment of ONE long pair with traceback: sharded device
-    forward (longpair_sw_score) + host walk.
+    forward (score + argmax endpoint) + low-memory host walk.
 
-    The repo's standard forward/traceback split (batch/traceback.py): the
-    mesh computes the score; the host (C++ walker when available)
-    recomputes the DP once to extract the path, then the two scores are
-    asserted equal — the multi-device forward double-checks the
-    single-host walk and vice versa. Host cost is O(n*m) time and memory
-    ((n+1)*(m+1) int32 cells, ~1 GB at 16K x 16K): fine for the handful
-    of giant pairs this engine targets; use sw_align_batch for batches.
+    The reference's forward/traceback split (source.cpp:2130-2162) at
+    longpair scale: the mesh computes (score, end_i, end_j); the host
+    walks only the [0..end_i, 0..end_j] prefix with the checkpointed
+    walker (batch/lowmem.py) in O(m * (end_i/row_block + row_block))
+    memory — < 40 MB at 16K x 16K vs ~1 GB for the full matrix. The
+    device score double-checks the walk and vice versa. Affine with
+    gap_open < gap_extend falls back to the full-matrix walker (the
+    lowmem E-chain decoupling needs gap_open >= gap_extend).
     Returns (score, path) identical to swtpu.oracle sw_traceback /
     sw_affine_traceback.
     """
-    from swtpu import native
+    from swtpu.batch.lowmem import sw_traceback_lowmem
 
-    score = longpair_sw_score(q, t, params, mesh, axis=axis, block=block)
-    use_native = native.available()
-    if params.is_linear:
-        if use_native:
-            sc, path = native.sw_traceback(q, t, params.matrix, params.gap)
-        else:
-            from swtpu.oracle.sw import sw_traceback
-
-            sc, path = sw_traceback(q, t, params)
-    elif use_native:
-        sc, path = native.sw_affine_traceback(
-            q, t, params.matrix, params.gap_open, params.gap_extend
+    score, ei, ej = longpair_sw_ends(
+        q, t, params, mesh, axis=axis, block=block
+    )
+    if score == 0:
+        return 0, [(0, 0)]
+    try:
+        sc, path = sw_traceback_lowmem(
+            q, t, params, row_block=row_block, ends=(ei, ej)
         )
-    else:
+    except NotImplementedError:  # affine go < ge
         from swtpu.oracle.affine import sw_affine_traceback
 
         sc, path = sw_affine_traceback(q, t, params)
-    assert sc == score, (
-        f"sharded/host score mismatch: {score} vs {sc}"
+    assert sc == score and path[-1] == (ei, ej), (
+        f"sharded/host mismatch: {score}@({ei},{ej}) vs {sc}@{path[-1]}"
     )
     return sc, path

@@ -23,7 +23,7 @@ def test_tile_scan_matches_reference(rng):
         bref, rref, bestref = tile_sw_reference(
             q, t, top, left, corner, DNA_10_30_15.matrix, 15
         )
-        b, r, best = _tile_scan(
+        b, r, best, _, _ = _tile_scan(
             jnp.asarray(q, jnp.int32),
             jnp.asarray(t, jnp.int32),
             jnp.asarray(top, jnp.int32),

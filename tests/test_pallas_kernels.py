@@ -494,3 +494,52 @@ def test_banded_pallas_general_matrix(rng):
                 ref.band_history[:nr, b], dev.history_for(b)[:nr]
             )
             assert np.array_equal(ref.pos_y[:nr, b], dev.pos_y[:nr, b])
+
+
+def test_banded_packed_general_matrix_subprocess():
+    """The lane-packed banded kernel's general-matrix (BLOSUM62) tier in
+    interpret mode, isolated in a FRESH subprocess: its giant interpret
+    program segfaults the CPU XLA compiler when compiled mid-suite (see
+    test_banded_pallas_general_matrix's docstring) but passes alone.
+    This gives the protein packed path a CI-side gate in addition to the
+    hardware selftest."""
+    import subprocess
+    import sys
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+from swtpu.core.protein import BLOSUM62
+from swtpu.kernels.pallas.banded_packed import banded_xdrop_batch_packed
+from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+
+rng = np.random.default_rng(10000)
+B, L = 4, 150
+qs = rng.integers(0, 24, (B, L)).astype(np.uint8)
+ts = qs.copy()
+for b in range(B):
+    idx = rng.integers(0, L, 25)
+    ts[b, idx] = rng.integers(0, 24, 25)
+ref = banded_xdrop_batch(
+    qs, ts, matrix=BLOSUM62, gap_open=11, gap_extend=1, x_threshold=120,
+    with_history=False,
+)
+with pltpu.force_tpu_interpret_mode():
+    dev = banded_xdrop_batch_packed(
+        qs, ts, matrix=BLOSUM62, gap_open=11, gap_extend=1,
+        x_threshold=120, with_history=False,
+    )
+assert np.array_equal(ref.score, dev.score), (ref.score, dev.score)
+assert np.array_equal(ref.n_rounds, dev.n_rounds)
+print("packed-general-matrix-ok")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "packed-general-matrix-ok" in proc.stdout
