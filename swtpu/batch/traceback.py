@@ -93,6 +93,8 @@ def semiglobal_align_batch(
     gap_open: Optional[int] = None,
     gap_extend: Optional[int] = None,
     params: Optional[ScoringParams] = None,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """Batched semi-global alignment with traceback (full matrix),
     linear or affine (gap_open != gap_extend) gaps.
@@ -100,6 +102,9 @@ def semiglobal_align_batch(
     Device computes scores + endpoints; host walks each path. Passing
     ``params`` selects the general-substitution-matrix mode (DNA 4x4 or
     protein/BLOSUM62; match/mismatch/gap args are then ignored).
+    ``lens_q`` / ``lens_t`` give per-pair real lengths (varlen batches:
+    the XLA engine masks each pair's argmax to its real region; the
+    fixed-shape Pallas fast path applies only to uniform-length batches).
     """
     import jax
 
@@ -108,12 +113,17 @@ def semiglobal_align_batch(
     from swtpu.oracle.semiglobal import semiglobal_affine_full, semiglobal_full
 
     if params is not None:
-        return _semiglobal_align_batch_general(qs, ts, params)
+        return _semiglobal_align_batch_general(
+            qs, ts, params, lens_q=lens_q, lens_t=lens_t
+        )
     if gap_open is not None and gap_open == gap_extend:
         gap, gap_open, gap_extend = gap_open, None, None
     affine = gap_open is not None
     B, n = qs.shape
     m = ts.shape[1]
+    varlen = lens_q is not None or lens_t is not None
+    lq = np.full(B, n) if lens_q is None else np.asarray(lens_q)
+    lt = np.full(B, m) if lens_t is None else np.asarray(lens_t)
     from swtpu.kernels.pallas.semiglobal_batch import (
         CHUNK as SG_CHUNK,
         ROWS as SG_ROWS,
@@ -122,7 +132,8 @@ def semiglobal_align_batch(
     )
 
     use_pallas = (
-        jax.devices()[0].platform == "tpu"
+        not varlen
+        and jax.devices()[0].platform == "tpu"
         and B % SG_TILE == 0
         and n % SG_ROWS == 0
         and m % SG_CHUNK == 0
@@ -134,10 +145,13 @@ def semiglobal_align_batch(
         )
     elif affine:
         fwd = semiglobal_batch_diag(
-            qs, ts, match, mismatch, gap_open=gap_open, gap_extend=gap_extend
+            qs, ts, match, mismatch, gap_open=gap_open,
+            gap_extend=gap_extend, lens_q=lq, lens_t=lt,
         )
     else:
-        fwd = semiglobal_batch_diag(qs, ts, match, mismatch, gap)
+        fwd = semiglobal_batch_diag(
+            qs, ts, match, mismatch, gap, lens_q=lq, lens_t=lt
+        )
     score, ei, ej = (np.asarray(x) for x in fwd)
     if affine:
         walker = lambda q, t: semiglobal_affine_full(
@@ -151,14 +165,18 @@ def semiglobal_align_batch(
         walker = lambda q, t: semiglobal_full(q, t, match, mismatch, gap)
     out = []
     for b in range(qs.shape[0]):
-        sc, path = walker(qs[b], ts[b])
+        sc, path = walker(qs[b, : lq[b]], ts[b, : lt[b]])
         assert sc == score[b] and path[-1] == (ei[b], ej[b])
         out.append((sc, path))
     return out
 
 
 def _semiglobal_align_batch_general(
-    qs: np.ndarray, ts: np.ndarray, params: ScoringParams
+    qs: np.ndarray,
+    ts: np.ndarray,
+    params: ScoringParams,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """General-matrix semi-global with traceback: device forward (Pallas
     packed-profile kernel on TPU when the tile shape allows, else the XLA
@@ -171,9 +189,13 @@ def _semiglobal_align_batch_general(
 
     B, n = qs.shape
     m = ts.shape[1]
+    varlen = lens_q is not None or lens_t is not None
+    lq = np.full(B, n) if lens_q is None else np.asarray(lens_q)
+    lt = np.full(B, m) if lens_t is None else np.asarray(lens_t)
     planes = -(-(params.alphabet_size + 2) // 4)
     if (
-        jax.devices()[0].platform == "tpu"
+        not varlen
+        and jax.devices()[0].platform == "tpu"
         and n % 8 == 0 and m % 16 == 0
         # the Pallas kernel keeps the whole packed profile + two m-sized
         # boundary buffers VMEM-resident and packs scores into int8 —
@@ -189,7 +211,9 @@ def _semiglobal_align_batch_general(
 
         fwd = semiglobal_batch_profile_pallas(qs, ts, params)
     else:
-        fwd = semiglobal_batch_general(qs, ts, params)
+        fwd = semiglobal_batch_general(
+            qs, ts, params, lens_q=lq, lens_t=lt
+        )
     score, ei, ej = (np.asarray(x) for x in fwd)
     use_native = native.available()
     if params.is_linear:
@@ -215,7 +239,7 @@ def _semiglobal_align_batch_general(
         )
     out = []
     for b in range(qs.shape[0]):
-        sc, path = walker(qs[b], ts[b])
+        sc, path = walker(qs[b, : lq[b]], ts[b, : lt[b]])
         assert sc == score[b] and path[-1] == (ei[b], ej[b]), (
             f"device/host semiglobal mismatch at pair {b}: "
             f"{score[b]}@({ei[b]},{ej[b]}) vs {sc}@{path[-1]}"

@@ -31,7 +31,7 @@ MINUS_INF = -(2**30)
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
-def _semiglobal_impl(qs, ts, match, mismatch, gap):
+def _semiglobal_impl(qs, ts, lq, lt, match, mismatch, gap):
     B, n = qs.shape
     m = ts.shape[1]
     qs = qs.astype(jnp.int32)
@@ -69,7 +69,10 @@ def _semiglobal_impl(qs, ts, match, mismatch, gap):
         # clamp phantoms (j < 0 or j > m) hard to -inf
         j_of = d - iota
         cur = jnp.where((j_of < 0) | (j_of > m), minus_inf, cur)
-        upd = cur > best_v
+        # restrict the argmax to each pair's real [0..lq] x [0..lt]
+        # region (varlen: real cells never read padded cells, so the
+        # padded DP is exact and only the tracking needs masking)
+        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
         best_v = jnp.where(upd, cur, best_v)
         best_j = jnp.where(upd, j_of, best_j)
         return (cur, prev1, best_v, best_j), None
@@ -98,7 +101,7 @@ def _semiglobal_impl(qs, ts, match, mismatch, gap):
 @functools.partial(
     jax.jit, static_argnames=("match", "mismatch", "go", "ge")
 )
-def _semiglobal_affine_impl(qs, ts, match, mismatch, go, ge):
+def _semiglobal_affine_impl(qs, ts, lq, lt, match, mismatch, go, ge):
     B, n = qs.shape
     m = ts.shape[1]
     qs = qs.astype(jnp.int32)
@@ -138,7 +141,10 @@ def _semiglobal_affine_impl(qs, ts, match, mismatch, go, ge):
         cur = jnp.where(phantom, minus_inf, cur)
         e_cur = jnp.where(phantom, minus_inf, e_cur)
         f_cur = jnp.where(phantom, minus_inf, f_cur)
-        upd = cur > best_v
+        # restrict the argmax to each pair's real [0..lq] x [0..lt]
+        # region (varlen: real cells never read padded cells, so the
+        # padded DP is exact and only the tracking needs masking)
+        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
         best_v = jnp.where(upd, cur, best_v)
         best_j = jnp.where(upd, j_of, best_j)
         return (cur, h1, e_cur, f_cur, best_v, best_j), None
@@ -163,7 +169,7 @@ def _semiglobal_affine_impl(qs, ts, match, mismatch, go, ge):
 
 
 @functools.partial(jax.jit, static_argnames=("gap",))
-def _semiglobal_table_impl(qs, ts, table, gap):
+def _semiglobal_table_impl(qs, ts, lq, lt, table, gap):
     """Linear-gap semi-global with a general substitution table (the
     general-matrix / protein mode; scoring via flat-table gather like
     sw_scan/colscan instead of the uniform match/mismatch compare)."""
@@ -202,7 +208,10 @@ def _semiglobal_table_impl(qs, ts, table, gap):
         cur = jnp.where(iota == d, jnp.where(d <= n, -d * gap, cur), cur)
         j_of = d - iota
         cur = jnp.where((j_of < 0) | (j_of > m), minus_inf, cur)
-        upd = cur > best_v
+        # restrict the argmax to each pair's real [0..lq] x [0..lt]
+        # region (varlen: real cells never read padded cells, so the
+        # padded DP is exact and only the tracking needs masking)
+        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
         best_v = jnp.where(upd, cur, best_v)
         best_j = jnp.where(upd, j_of, best_j)
         return (cur, prev1, best_v, best_j), None
@@ -227,7 +236,7 @@ def _semiglobal_table_impl(qs, ts, table, gap):
 
 
 @functools.partial(jax.jit, static_argnames=("go", "ge"))
-def _semiglobal_affine_table_impl(qs, ts, table, go, ge):
+def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge):
     """Gotoh semi-global with a general substitution table."""
     B, n = qs.shape
     m = ts.shape[1]
@@ -266,7 +275,10 @@ def _semiglobal_affine_table_impl(qs, ts, table, go, ge):
         cur = jnp.where(phantom, minus_inf, cur)
         e_cur = jnp.where(phantom, minus_inf, e_cur)
         f_cur = jnp.where(phantom, minus_inf, f_cur)
-        upd = cur > best_v
+        # restrict the argmax to each pair's real [0..lq] x [0..lt]
+        # region (varlen: real cells never read padded cells, so the
+        # padded DP is exact and only the tracking needs masking)
+        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
         best_v = jnp.where(upd, cur, best_v)
         best_j = jnp.where(upd, j_of, best_j)
         return (cur, h1, e_cur, f_cur, best_v, best_j), None
@@ -290,7 +302,19 @@ def _semiglobal_affine_table_impl(qs, ts, table, go, ge):
     return score, end_i, end_j
 
 
-def semiglobal_batch_general(qs, ts, params):
+def _lens_cols(qs, ts, lens_q, lens_t):
+    """[B, 1] int32 per-pair real lengths (defaults: full widths)."""
+    B, n = qs.shape
+    m = ts.shape[1]
+    lq = np.full(B, n) if lens_q is None else np.asarray(lens_q)
+    lt = np.full(B, m) if lens_t is None else np.asarray(lens_t)
+    return (
+        jnp.asarray(lq, jnp.int32)[:, None],
+        jnp.asarray(lt, jnp.int32)[:, None],
+    )
+
+
+def semiglobal_batch_general(qs, ts, params, lens_q=None, lens_t=None):
     """Batched semi-global scores + endpoints for a general substitution
     matrix (DNA 4x4 or protein/BLOSUM62), linear or affine gaps.
 
@@ -301,13 +325,17 @@ def semiglobal_batch_general(qs, ts, params):
     from swtpu.kernels.xla.sw_scan import _extended_table
 
     table = jnp.asarray(_extended_table(params))
+    lq, lt = _lens_cols(qs, ts, lens_q, lens_t)
     if params.is_linear:
         return _semiglobal_table_impl(
-            jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap)
+            jnp.asarray(qs), jnp.asarray(ts), lq, lt, table,
+            int(params.gap),
         )
     return _semiglobal_affine_table_impl(
         jnp.asarray(qs),
         jnp.asarray(ts),
+        lq,
+        lt,
         table,
         int(params.gap_open),
         int(params.gap_extend),
@@ -315,23 +343,29 @@ def semiglobal_batch_general(qs, ts, params):
 
 
 def semiglobal_batch_diag(
-    qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None
+    qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None,
+    lens_q=None, lens_t=None,
 ):
     """Batched semi-global scores + argmax endpoints.
 
-    qs: [B, n] uint8, ts: [B, m] uint8 (no padding support yet — semi-global
-    boundary conditions are length-dependent). Returns (score, end_i, end_j)
-    int32 arrays, matching swtpu.oracle.semiglobal_full's (linear) /
-    semiglobal_affine_full's (gap_open != gap_extend) score and argmax cell
-    (1-based DP coords).
+    qs: [B, n] uint8, ts: [B, m] uint8; per-pair real lengths via
+    ``lens_q`` / ``lens_t`` (semi-global boundaries are length-dependent,
+    so varlen rides a masked argmax over each pair's real region — the
+    padded DP itself is exact because real cells never read padded
+    cells). Returns (score, end_i, end_j) int32 arrays, matching
+    swtpu.oracle.semiglobal_full's (linear) / semiglobal_affine_full's
+    (gap_open != gap_extend) score and argmax cell (1-based DP coords)
+    on each pair's unpadded lengths.
     """
+    lq, lt = _lens_cols(np.asarray(qs), np.asarray(ts), lens_q, lens_t)
     if gap_open is not None and gap_open != gap_extend:
         return _semiglobal_affine_impl(
-            jnp.asarray(qs), jnp.asarray(ts), int(match), int(mismatch),
-            int(gap_open), int(gap_extend),
+            jnp.asarray(qs), jnp.asarray(ts), lq, lt, int(match),
+            int(mismatch), int(gap_open), int(gap_extend),
         )
     if gap_open is not None:
         gap = gap_open
     return _semiglobal_impl(
-        jnp.asarray(qs), jnp.asarray(ts), int(match), int(mismatch), int(gap)
+        jnp.asarray(qs), jnp.asarray(ts), lq, lt, int(match),
+        int(mismatch), int(gap),
     )

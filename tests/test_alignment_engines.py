@@ -230,3 +230,72 @@ def test_semiglobal_pallas_endpoint_tie_break(rng):
     )
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
+
+
+def test_semiglobal_varlen_masked(rng):
+    """Per-pair lengths (lens_q/lens_t): masked argmax == the unpadded
+    oracle on every pair, linear + affine + protein, tie-rich scoring."""
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.core.protein import BLOSUM62
+    from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_general
+    from swtpu.oracle.semiglobal import semiglobal_affine_full
+
+    B, n, m = 12, 40, 56
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, m))
+    lq = rng.integers(8, n + 1, B)
+    lt = rng.integers(8, m + 1, B)
+    for b in range(B):
+        qs[b, lq[b]:] = 4
+        ts[b, lt[b]:] = 5
+    fwd = [
+        np.asarray(x)
+        for x in semiglobal_batch_diag(qs, ts, 2, 1, 1, lens_q=lq, lens_t=lt)
+    ]
+    for b in range(B):
+        s0, path = semiglobal_full(qs[b, : lq[b]], ts[b, : lt[b]], 2, 1, 1)
+        assert (s0, path[-1]) == (fwd[0][b], (fwd[1][b], fwd[2][b]))
+    fwd = [
+        np.asarray(x)
+        for x in semiglobal_batch_diag(
+            qs, ts, 2, 1, gap_open=3, gap_extend=1, lens_q=lq, lens_t=lt
+        )
+    ]
+    for b in range(B):
+        s0, path = semiglobal_affine_full(
+            qs[b, : lq[b]], ts[b, : lt[b]], 2, 1, 3, 1
+        )
+        assert (s0, path[-1]) == (fwd[0][b], (fwd[1][b], fwd[2][b]))
+    p = ScoringParams(BLOSUM62, gap_open=11, gap_extend=1)
+    pq = rng.integers(0, 24, (B, n)).astype(np.uint8)
+    pt = rng.integers(0, 24, (B, m)).astype(np.uint8)
+    for b in range(B):
+        pq[b, lq[b]:] = 24
+        pt[b, lt[b]:] = 25
+    fwd = [
+        np.asarray(x)
+        for x in semiglobal_batch_general(pq, pt, p, lens_q=lq, lens_t=lt)
+    ]
+    for b in range(B):
+        s0, path = semiglobal_affine_full(
+            pq[b, : lq[b]], pt[b, : lt[b]], gap_open=11, gap_extend=1,
+            matrix=BLOSUM62,
+        )
+        assert (s0, path[-1]) == (fwd[0][b], (fwd[1][b], fwd[2][b]))
+
+
+def test_semiglobal_align_batch_varlen(rng):
+    """semiglobal_align_batch with per-pair lengths: paths equal the
+    unpadded oracle walk."""
+    from swtpu.batch import semiglobal_align_batch
+
+    B, n, m = 6, 36, 44
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, m))
+    lq = rng.integers(10, n + 1, B)
+    lt = rng.integers(10, m + 1, B)
+    got = semiglobal_align_batch(qs, ts, 2, 1, 1, lens_q=lq, lens_t=lt)
+    for b in range(B):
+        assert got[b] == semiglobal_full(
+            qs[b, : lq[b]], ts[b, : lt[b]], 2, 1, 1
+        )
