@@ -1,30 +1,42 @@
 """Pallas wavefront kernel: intra-pair anti-diagonal Smith-Waterman.
 
 TPU-native re-design of the reference's parallelogram family
-(``SmithWaterman_simd`` … ``simd9``, source.cpp:62-1071): one alignment's DP
-matrix is swept along anti-diagonals, with the wavefront state carried in
-vector registers. On TPU the lane axis holds the 128 query positions (the
-reference's 16×16-bit lanes → our 128×32-bit lanes) and the *sublane* axis
-holds a small batch of 8 independent pairs — so a [8, 128] VPU tile advances
-8 pairs × 128 diagonal cells per step.
+(``SmithWaterman_simd`` … ``simd9``, source.cpp:62-1071): one alignment's
+DP matrix is swept along anti-diagonals with the wavefront state carried
+in vector registers; the lane axis holds the 128 query positions (the
+reference's 16×16-bit lanes → 128×32-bit lanes) and the *sublane* axis a
+batch of independent pairs.
 
-Per step d the recurrence is the reference's (source.cpp:1041-1048 in math):
-  H_d[j] = max(0, H_{d-2}[j-1] + S[q[j], t[d-j-1]],
+Measured schedule ladder (v5e, 2048×(128×128), scoring (10,−30,15)):
+
+1. 8 pairs/tile, in-kernel char window + LUT (the reference's sliding
+   window, :98-113): 2 rolls + ~10 ALU per step → 2.8 GCUPS.
+2. Precomputed per-diagonal score stream (this file's _prepare): the
+   window roll AND the 3-select LUT hoisted to the XLA side, leaving
+   1 roll + 5 ALU in the serial loop → 3.6 GCUPS.
+3. **128 pairs/tile (current)**: `pltpu.roll` is fixed-LATENCY, not
+   per-byte (README "Hardware notes": ~109 ns on a [128,128] tile — the
+   same price the old [8,128] roll paid), so widening the sublane axis
+   16× amortizes the roll across 16× the cells: one (128,128) roll +
+   5 (128,128) ALU ops ≈ 162 ns for 16384 lane-cells per step.
+   The score stream no longer fits VMEM whole, so a second grid axis
+   streams it in step-blocks with the wavefront state carried in VMEM
+   scratch across grid steps (TPU grids are sequential, minor axis
+   fastest).
+
+Per step d the recurrence is the reference's (source.cpp:1041-1048 in
+math): lane j computes cell (j+1, d-j+1) as
+  H_d[j] = max(0, H_{d-2}[j-1] + S[q[j], t[d-j]],
                   H_{d-1}[j] - gap, H_{d-1}[j-1] - gap)
-with the lane-shifted values produced by `pltpu.roll` + boundary mask — the
-TPU equivalent of the reference's permute2x128/alignr lane shift
-(source.cpp:156-157). The sliding target window t[d-j-1] is maintained by
-the same roll, with the next char inserted at lane 0 from a precomputed
-per-diagonal insert stream (replacing the reference's unaligned reloads,
-source.cpp:277-280).
+with lane-shifted values from `pltpu.roll` + lane-0 mask — the TPU
+equivalent of the reference's permute2x128/alignr shift (:156-157).
 
-Out-of-matrix cells need no masking: the window is padded with T_PAD which
-scores NEG, so phantom cells decay and can never beat a real cell (same
-zero-floor argument as the batch kernel). Utilization is ~50% (the rhombus
-overhang the reference measures as ~20% at 16 lanes, source.cpp:1232-1236,
-grows with vector width) — which is exactly why the *batch* kernel is the
-flagship; this schedule exists for single/few long pairs and as the ladder
-parity member.
+Out-of-matrix cells need no masking: their stream scores are NEG so
+phantom cells decay to/below the column-0 boundary value 0 and can never
+beat a real cell. Utilization is ~50% (the rhombus overhang the
+reference measures as ~20% at 16 lanes, :1232-1236, grows with vector
+width) — the batch row-scan remains the flagship; this schedule is for
+small/medium batches of ≤128-mer queries and as the ladder parity member.
 """
 
 from __future__ import annotations
@@ -43,32 +55,29 @@ Q_PAD = 4
 T_PAD = 5
 NEG = -(2**20)
 
-SUB = 8  # pairs per tile (int32 sublanes)
+SUB = 128  # pairs per tile (16 int32 sublane groups — roll amortization)
 LANE = 128  # query positions per strip
+STEPS_PB = 32  # diagonals per grid step (stream block = 2 MB VMEM)
 
 
-def _kernel(prof_ref, tins_ref, out_ref, *, n_steps, gap):
+def _kernel(sins_ref, out_ref, h1_s, hr_s, h2_s, best_s, *, gap):
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
     zero = jnp.zeros((SUB, LANE), jnp.int32)
     gap32 = jnp.int32(gap)
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
     lane0 = lane_ids == 0
 
-    p0 = prof_ref[0]
-    p1 = prof_ref[1]
-    p2 = prof_ref[2]
-    p3 = prof_ref[3]
+    @pl.when(b == 0)
+    def _():
+        h1_s[:] = zero
+        hr_s[:] = zero
+        h2_s[:] = zero
+        best_s[:] = zero
 
     def step(d, carry):
-        win, h1, h1r, h2r, best = carry
-        # slide the target window: lane j holds t[d - j - 1]
-        ins = tins_ref[d]
-        win = jnp.where(lane0, ins, pltpu.roll(win, 1, 1))
-
-        b0 = (win & 1) > 0
-        b1 = (win & 2) > 0
-        s = jnp.where(b1, jnp.where(b0, p3, p2), jnp.where(b0, p1, p0))
-        s = jnp.where(win >= 4, jnp.int32(NEG), s)
-
+        h1, h1r, h2r, best = carry
+        s = sins_ref[d]
         h = jnp.maximum(
             jnp.maximum(h2r + s, h1 - gap32),
             jnp.maximum(h1r - gap32, zero),
@@ -76,81 +85,90 @@ def _kernel(prof_ref, tins_ref, out_ref, *, n_steps, gap):
         best = jnp.maximum(best, h)
         hr = jnp.where(lane0, zero, pltpu.roll(h, 1, 1))
         # rotate wavefront: d-1 becomes d-2 (rolled form already computed)
-        return (win, h, hr, h1r, best)
+        return (h, hr, h1r, best)
 
-    # Peel step 0 out of the loop: a loop carry whose init is a splat
-    # constant gets a "replicated" vector layout from Mosaic, and the
-    # back-edge (normal -> replicated) is an invalid relayout on v5e.
-    # Running the first step inline makes every carry a computed value.
-    init0 = (
-        jnp.full((SUB, LANE), T_PAD, jnp.int32),
-        zero,
-        zero,
-        zero,
-        zero,
-    )
-    init = step(0, init0)
-    _, _, _, _, best = jax.lax.fori_loop(1, n_steps, step, init)
-    # per-pair lane reduction happens outside the kernel (a lane-reduce +
-    # broadcast inside trips a Mosaic relayout bug on v5e)
-    out_ref[0] = best
+    init = (h1_s[:], hr_s[:], h2_s[:], best_s[:])
+    h1, h1r, h2r, best = jax.lax.fori_loop(0, STEPS_PB, step, init)
+    h1_s[:] = h1
+    hr_s[:] = h1r
+    h2_s[:] = h2r
+    best_s[:] = best
+
+    @pl.when(b == nb - 1)
+    def _():
+        # per-pair lane reduction happens outside the kernel (a
+        # lane-reduce + broadcast inside trips a Mosaic relayout on v5e)
+        out_ref[0] = best
+
+    del h1, h1r, h2r
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "gap"))
-def _sw_wavefront_impl(prof, tins, n, m, gap):
-    n_steps = n + m - 1
-    G = prof.shape[0]  # number of SUB-sized groups
+@functools.partial(jax.jit, static_argnames=("n_steps", "gap"))
+def _sw_wavefront_impl(sins, n_steps, gap):
+    G = sins.shape[0] // n_steps  # number of SUB-sized groups
+    nb = n_steps // STEPS_PB
     return pl.pallas_call(
-        functools.partial(_kernel, n_steps=n_steps, gap=gap),
+        functools.partial(_kernel, gap=gap),
         out_shape=jax.ShapeDtypeStruct((G, SUB, LANE), jnp.int32),
-        grid=(G,),
+        grid=(G, nb),
         in_specs=[
             pl.BlockSpec(
-                (4, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (n_steps, SUB, LANE),
-                lambda i: (i, 0, 0),
+                (STEPS_PB, SUB, LANE),
+                lambda i, b: (i * pl.num_programs(1) + b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, SUB, LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, SUB, LANE), lambda i, b: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-    )(
-        prof.reshape(G * 4, SUB, LANE),
-        tins.reshape(G * n_steps, SUB, LANE),
-    )
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32) for _ in range(4)
+        ],
+    )(sins)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m"))
-def _prepare(qs, ts, table, gap, n, m):
+@functools.partial(jax.jit, static_argnames=("n", "m", "n_steps"))
+def _prepare(qs, ts, table, n, m, n_steps):
+    """Per-diagonal score stream sins[g*S+d, p, j] = S[q_p[j], t_p[d-j]]
+    (pads/out-of-range score NEG), built throughput-bound on the XLA side
+    so the Pallas serial loop does no lookups at all. Steps beyond
+    n+m-1 (block padding) score NEG everywhere and only decay."""
     B = qs.shape[0]
     G = B // SUB
-    # query profile rows prof[c][p, j] = S[q_p[j], c], plus a gap row
-    prof = table[qs.astype(jnp.int32)]  # [B, n, 4]
-    prof = prof.reshape(G, SUB, n, 4).transpose(0, 3, 1, 2)  # [G, 4, SUB, n]
+    # prof[b, j, c] = S[q_b[j], c] over the 5-char alphabet (4 = pad)
+    prof = table[jnp.minimum(qs.astype(jnp.int32), 4)]  # [B, n, 5]
     if n < LANE:
         prof = jnp.pad(
-            prof, ((0, 0), (0, 0), (0, 0), (0, LANE - n)), constant_values=NEG
+            prof, ((0, 0), (0, LANE - n), (0, 0)), constant_values=NEG
         )
-    prof = prof.astype(jnp.int32)
-    # per-diagonal insert stream: at step d, lane 0 receives t_p[d]
-    # (chars past m are pads)
-    n_steps = n + m - 1
-    tin = jnp.full((B, n_steps), T_PAD, jnp.uint8)
+    tin = jnp.full((B, n_steps + 1), T_PAD, jnp.uint8)
     tin = tin.at[:, :m].set(ts)
-    tins = (
-        tin.reshape(G, SUB, n_steps)
-        .transpose(0, 2, 1)[:, :, :, None]
+    d_idx = jnp.arange(n_steps)[:, None]  # [n_steps, 1]
+    j_idx = jnp.arange(LANE)[None, :]  # [1, LANE]
+    # lane j at step d scores cell (j+1, d-j+1): target char t[d - j]
+    raw = d_idx - j_idx
+    # out-of-range (incl. negative: lanes above the diagonal are phantom
+    # cells) must hit the pad slot, not clamp to t[0]
+    t_at = jnp.where((raw < 0) | (raw > n_steps), n_steps, raw)
+    tchar = jnp.minimum(tin[:, t_at], 4).astype(jnp.int32)  # [B, S, LANE]
+    # select per (b, d, j) the profile column tchar[b, d, j] from
+    # prof[b, j, :] — a 4-compare select tree (NOT take_along_axis over a
+    # broadcast: XLA materializes the [B, S, LANE, 5] operand, 34 GB at
+    # the bench shape; selects fuse)
+    sins = jnp.full(tchar.shape, NEG, jnp.int32)
+    for c in range(4):
+        sins = jnp.where(tchar == c, prof[:, None, :, c], sins)
+    sins = (
+        sins.reshape(G, SUB, n_steps, LANE)
+        .transpose(0, 2, 1, 3)
+        .reshape(G * n_steps, SUB, LANE)
         .astype(jnp.int32)
-    )  # [G, n_steps, SUB, 1]
-    tins = jnp.broadcast_to(tins, (G, n_steps, SUB, LANE))
-    return prof, tins
+    )
+    return sins
 
 
 def _profile_table(params: ScoringParams) -> np.ndarray:
-    tab = np.full((5, 4), NEG, dtype=np.int32)
+    tab = np.full((5, 5), NEG, dtype=np.int32)
     tab[:4, :4] = params.matrix.astype(np.int32)
     return tab
 
@@ -172,7 +190,8 @@ def sw_wavefront_pallas(qs, ts, params: ScoringParams):
     if Bp != B:
         qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
         ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
+    n_steps = -(-(n + m - 1) // STEPS_PB) * STEPS_PB
     table = jnp.asarray(_profile_table(params))
-    prof, tins = _prepare(qs, ts, table, int(params.gap), n, m)
-    out = _sw_wavefront_impl(prof, tins, n, m, int(params.gap))
+    sins = _prepare(qs, ts, table, n, m, n_steps)
+    out = _sw_wavefront_impl(sins, n_steps, int(params.gap))
     return out.max(axis=2).reshape(Bp)[:B]
