@@ -36,6 +36,9 @@ def shard_batch(arr, mesh: Mesh, axis: str = "pairs"):
     return jax.device_put(arr, NamedSharding(mesh, P(axis)))
 
 
+_DP_CACHE: dict = {}
+
+
 def data_parallel_scores(
     qs, ts, params: ScoringParams, mesh: Mesh, axis: str = "pairs",
     engine=None,
@@ -56,11 +59,24 @@ def data_parallel_scores(
         from swtpu.ops.variants import best_engine
 
         engine = best_engine(params)
-    fn = shard_map(
-        engine,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-        check_vma=False,
-    )
+        key = (
+            params.matrix.tobytes(), params.gap_open, params.gap_extend,
+        )
+    else:
+        key = id(engine)
+    # cache the jitted shard_map per (engine, mesh): rebuilding it every
+    # call would re-trace + recompile every call
+    cache_key = (key, mesh, axis)
+    fn = _DP_CACHE.get(cache_key)
+    if fn is None:
+        fn = jax.jit(
+            shard_map(
+                engine,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+        _DP_CACHE[cache_key] = fn
     return fn(jnp.asarray(qs), jnp.asarray(ts))
