@@ -655,7 +655,7 @@ def build_parser():
                    help="pairs per round")
     p.add_argument("--families", default=None,
                    help="comma list: uniform,tie_rich,general4,affine,"
-                   "protein,semiglobal,banded")
+                   "protein,semiglobal,banded,fixed_band")
     p.add_argument("--save-dir", default="fuzz_failures",
                    help="where to write .npz repros on mismatch")
     p.add_argument("--interpret", action="store_true",

@@ -238,21 +238,62 @@ def _round_banded(rng, stats, rnd, B, save_dir):
     from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
     from swtpu.oracle.semiglobal import banded_xdrop
 
+    from swtpu.oracle.banded_affine import banded_affine_xdrop
+
     L = 192
     qs = random_dna(rng, (B, L))
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
-    res = banded_xdrop_batch(qs, ts, with_history=False)
+    # alternate linear / Gotoh rounds (the affine extension rides the
+    # same H-only band history)
+    affine = rnd % 2 == 0
+    kw = dict(gap_open=3, gap_extend=1) if affine else {}
+    res = banded_xdrop_batch(qs, ts, with_history=False, **kw)
     for b in range(min(B, 8)):
-        score0, _ = banded_xdrop(qs[b], ts[b])
+        if affine:
+            score0, _ = banded_affine_xdrop(qs[b], ts[b], **kw)
+        else:
+            score0, _ = banded_xdrop(qs[b], ts[b])
         if int(res.score[b]) != score0:
             _record_failure(
                 stats, "banded", rnd,
-                f"score mismatch at pair {b}: "
+                f"score mismatch at pair {b} ({kw or 'linear'}): "
                 f"{int(res.score[b])} != {score0}",
                 dict(qs=qs[:8], ts=ts[:8]), save_dir,
             )
     stats.pairs += B
     stats.cells += B * 32 * 2 * L  # band cells upper bound
+
+
+def _round_fixed_band(rng, stats, rnd, B, use_pallas, save_dir):
+    """Static-corridor (|i-j| <= W) Pallas tier vs its scalar oracle
+    (device tier exists on TPU only; the round is skipped elsewhere)."""
+    if not use_pallas:
+        return
+    from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
+    from swtpu.oracle.banded_static import sw_banded_static_score_batch
+
+    L, W = 128, 16
+    p = (
+        ScoringParams.linear(dna_matrix(2, -1), 1)
+        if rnd % 2
+        else ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
+    )
+    qs = random_dna(rng, (B, L))
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    got = np.asarray(sw_banded_static_pallas(qs, ts, p, bandwidth=W))
+    want = sw_banded_static_score_batch(
+        qs[:16], ts[:16], p, W
+    ).astype(np.int64)
+    if not np.array_equal(got[:16].astype(np.int64), want):
+        bad = int(np.flatnonzero(got[:16] != want)[0])
+        _record_failure(
+            stats, "fixed_band", rnd,
+            f"score mismatch at pair {bad}: {got[bad]} != {want[bad]}",
+            dict(qs=qs[:16], ts=ts[:16], matrix=p.matrix,
+                 go=p.gap_open, ge=p.gap_extend), save_dir,
+        )
+    stats.pairs += B
+    stats.cells += B * (2 * W + 1) * L
 
 
 def run_fuzz(
@@ -273,7 +314,7 @@ def run_fuzz(
         use_pallas = jax.devices()[0].platform == "tpu"
     all_families = [
         "uniform", "tie_rich", "general4", "affine",
-        "protein", "semiglobal", "banded",
+        "protein", "semiglobal", "banded", "fixed_band",
     ]
     families = families or all_families
     for f in families:
@@ -323,6 +364,10 @@ def run_fuzz(
             _round_semiglobal(rng, stats, rnd, B, use_pallas, save_dir)
         elif fam == "banded":
             _round_banded(rng, stats, rnd, max(B // 8, 16), save_dir)
+        elif fam == "fixed_band":
+            _round_fixed_band(
+                rng, stats, rnd, max(B // 8, 16), use_pallas, save_dir
+            )
         stats.rounds = rnd = rnd + 1
         if log and rnd % 20 == 0:
             log(

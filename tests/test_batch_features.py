@@ -104,3 +104,15 @@ def test_banded_static_align_batch(rng):
                 else -1
             )
         assert s == sc
+
+
+def test_fuzz_short_all_families():
+    """One fuzz round per family on CPU (the soak harness's machinery;
+    scale runs live in `python -m swtpu fuzz` / selftest)."""
+    from swtpu.fuzz import run_fuzz
+
+    stats = run_fuzz(
+        minutes=30, max_rounds=8, pairs_per_round=96, save_dir=None,
+        log=None,
+    )
+    assert stats.rounds == 8 and stats.mismatches == 0
