@@ -114,6 +114,7 @@ def sw_traceback_lowmem(
     params: ScoringParams,
     row_block: int = 512,
     ends: Optional[Tuple[int, int]] = None,
+    use_native: bool = True,
 ) -> Tuple[int, List[Tuple[int, int]]]:
     """(score, path) identical to oracle.sw.sw_traceback /
     oracle.affine.sw_affine_traceback, in O(m * (n/row_block + row_block))
@@ -121,9 +122,25 @@ def sw_traceback_lowmem(
     pass to the [0..end_i, 0..end_j] prefix (the device-forward/host-walk
     split of batch/traceback.py, at longpair scale).
 
-    Affine needs gap_open >= gap_extend (the E-chain decoupling); callers
-    with gap_open < gap_extend should use the full-matrix walker.
+    The numpy path's affine mode needs gap_open >= gap_extend (the
+    E-chain decoupling); the C++ twin (preferred when the toolchain is
+    available) is exact for any gap model.
     """
+    from swtpu import native
+
+    if use_native and native.available():
+        # C++ twin (swnative.cpp): same checkpointing scheme, exact for
+        # any gap model (serial recurrences need no E-chain decoupling),
+        # ~10x the numpy forward at 16K x 16K
+        return native.sw_traceback_lowmem(
+            np.asarray(q, np.uint8),
+            np.asarray(t, np.uint8),
+            params.matrix,
+            int(params.gap_open),
+            int(params.gap_extend),
+            ends=ends,
+            row_block=row_block,
+        )
     affine = not params.is_linear
     if affine and params.gap_open < params.gap_extend:
         raise NotImplementedError(

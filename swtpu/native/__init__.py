@@ -93,6 +93,11 @@ def _get_lib():
             i8p, i64, i8p, i64, i32p, i32p, i64, i64, i32, i32p, i32,
             i32, i32, i32, i32p,
         ]
+        lib.sw_traceback_lowmem.restype = i64
+        lib.sw_traceback_lowmem.argtypes = [
+            i8p, i64, i8p, i64, i32p, i32, i32, i32, i64, i64, i32,
+            i32p, i32p,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc.
         _load_error = str(e)
@@ -220,6 +225,38 @@ def sw_affine_traceback(
     )
     if ln < 0:
         raise AssertionError("inconsistent native affine traceback")
+    pairs = path[: 2 * ln].reshape(-1, 2)
+    return int(score.value), [tuple(map(int, p)) for p in pairs]
+
+
+def sw_traceback_lowmem(
+    q: np.ndarray,
+    t: np.ndarray,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    ends: Optional[Tuple[int, int]] = None,
+    row_block: int = 512,
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """Checkpointed low-memory local-alignment walk (twin of
+    swtpu.batch.lowmem.sw_traceback_lowmem; exact for any gap model —
+    the C++ serial recurrences need no E-chain decoupling)."""
+    lib = _get_lib()
+    q, qp = _u8(q)
+    t, tp = _u8(t)
+    matrix = np.ascontiguousarray(matrix, dtype=np.int32)
+    A = matrix.shape[0]
+    mat, mp = _i32(matrix.reshape(-1))
+    ei, ej = (-1, -1) if ends is None else (int(ends[0]), int(ends[1]))
+    path = np.empty(2 * (len(q) + len(t) + 2), np.int32)
+    pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    score = ctypes.c_int32(0)
+    ln = lib.sw_traceback_lowmem(
+        qp, len(q), tp, len(t), mp, int(A), int(gap_open),
+        int(gap_extend), ei, ej, int(row_block), pp, ctypes.byref(score),
+    )
+    if ln < 0:
+        raise AssertionError("inconsistent native lowmem traceback")
     pairs = path[: 2 * ln].reshape(-1, 2)
     return int(score.value), [tuple(map(int, p)) for p in pairs]
 

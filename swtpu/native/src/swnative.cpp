@@ -734,4 +734,223 @@ int64_t banded_affine_traceback(const uint8_t* q, int64_t n,
   return len;
 }
 
+
+// ------------------------------------------- checkpointed lowmem walker --
+// C++ twin of swtpu/batch/lowmem.py: streaming forward pass with row
+// checkpoints every row_block rows, backward walk re-filling one block at
+// a time. O(m * (n/row_block + row_block)) ints of memory instead of the
+// full (n+1)*(m+1) matrix. The serial recurrences run directly (no
+// decoupling needed), so the affine mode is exact for ANY gap_open/
+// gap_extend. Tie-breaks match the oracles: argmax = first maximum in
+// row-major scan order; linear moves diag -> up -> left; affine state
+// preference diag -> F -> E.
+//
+// end_i < 0 requests the argmax search; otherwise the pass is bounded to
+// the [0..end_i, 0..end_j] prefix (device-computed endpoints).
+// Returns the path length in pairs (path written start -> end), or -1 on
+// an inconsistent walk.
+
+static const int32_t LOWMEM_NEG = -(1 << 29);
+
+int64_t sw_traceback_lowmem(const uint8_t* q, int64_t n, const uint8_t* t,
+                            int64_t m, const int32_t* mat, int32_t A,
+                            int32_t gap_open, int32_t gap_extend,
+                            int64_t end_i, int64_t end_j,
+                            int32_t row_block, int32_t* path_out,
+                            int32_t* score_out) {
+  const bool affine = gap_open != gap_extend;
+  const int32_t gap = gap_extend;  // linear-gap value when !affine
+  const bool have_ends = end_i >= 0;
+  if (have_ends) {
+    if (end_i == 0 || end_j == 0) {
+      *score_out = 0;
+      path_out[0] = 0;
+      path_out[1] = 0;
+      return 1;
+    }
+    n = end_i;
+    m = end_j;
+  }
+  const int64_t rb = row_block > 0 ? row_block : 512;
+  const int64_t w = m + 1;
+  const int64_t n_ck = n / rb + 1;
+
+  // one linear-gap row: cur from prev (row index i, 1-based)
+  auto lin_row = [&](int64_t i, const int32_t* prev, int32_t* cur) {
+    const int32_t* row = mat + (int64_t)q[i - 1] * A;
+    cur[0] = 0;
+    int32_t left = 0;
+    for (int64_t j = 1; j <= m; ++j) {
+      int32_t v = prev[j - 1] + row[t[j - 1]];
+      v = std::max(v, prev[j] - gap);
+      v = std::max(v, left - gap);
+      v = std::max(v, 0);
+      cur[j] = v;
+      left = v;
+    }
+  };
+  // one Gotoh row: (cur, e_row, f_cur) from (prev, f_prev)
+  auto aff_row = [&](int64_t i, const int32_t* prev, const int32_t* f_prev,
+                     int32_t* cur, int32_t* e_row, int32_t* f_cur) {
+    const int32_t* row = mat + (int64_t)q[i - 1] * A;
+    cur[0] = 0;
+    e_row[0] = LOWMEM_NEG;
+    f_cur[0] = LOWMEM_NEG;
+    for (int64_t j = 1; j <= m; ++j) {
+      int32_t e = std::max(e_row[j - 1] - gap_extend,
+                           cur[j - 1] - gap_open);
+      int32_t f = std::max(f_prev[j] - gap_extend, prev[j] - gap_open);
+      int32_t v = prev[j - 1] + row[t[j - 1]];
+      v = std::max(v, e);
+      v = std::max(v, f);
+      v = std::max(v, 0);
+      e_row[j] = e;
+      f_cur[j] = f;
+      cur[j] = v;
+    }
+  };
+
+  // --- streaming forward: checkpoints + (optionally) argmax ---
+  std::vector<int32_t> ck((size_t)(n_ck * w), 0);
+  std::vector<int32_t> ck_f;
+  if (affine) ck_f.assign((size_t)(n_ck * w), LOWMEM_NEG);
+  std::vector<int32_t> hp(w, 0), hc(w), fp(w, LOWMEM_NEG), fc(w), er(w);
+  int32_t best = 0;
+  int64_t ei = 0, ej = 0;
+  for (int64_t i = 1; i <= n; ++i) {
+    if (affine)
+      aff_row(i, hp.data(), fp.data(), hc.data(), er.data(), fc.data());
+    else
+      lin_row(i, hp.data(), hc.data());
+    if (!have_ends) {
+      for (int64_t j = 1; j <= m; ++j)
+        if (hc[j] > best) { best = hc[j]; ei = i; ej = j; }
+    }
+    std::swap(hp, hc);
+    if (affine) std::swap(fp, fc);
+    if (i % rb == 0 && i < n) {
+      std::memcpy(&ck[(size_t)((i / rb) * w)], hp.data(),
+                  (size_t)w * sizeof(int32_t));
+      if (affine)
+        std::memcpy(&ck_f[(size_t)((i / rb) * w)], fp.data(),
+                    (size_t)w * sizeof(int32_t));
+    }
+  }
+  if (have_ends) {
+    ei = n;
+    ej = m;
+    best = hp[m];
+  }
+  *score_out = best;
+  if (best == 0 && !have_ends) {
+    path_out[0] = 0;
+    path_out[1] = 0;
+    return 1;
+  }
+
+  // --- backward walk, one re-filled block at a time ---
+  std::vector<int32_t> Hb((size_t)((rb + 1) * w));
+  std::vector<int32_t> Eb, Fb;
+  if (affine) {
+    Eb.assign((size_t)((rb + 1) * w), LOWMEM_NEG);
+    Fb.assign((size_t)((rb + 1) * w), LOWMEM_NEG);
+  }
+  int64_t i = ei, j = ej, len = 0;
+  int st = 0;  // 0 = H, 1 = E, 2 = F
+  path_out[0] = (int32_t)i;
+  path_out[1] = (int32_t)j;
+  len = 1;
+  bool done = (i == 0 && j == 0);
+  while (!done) {
+    const int64_t b0 = (i - 1) / rb * rb;
+    const int64_t rows = std::min(rb, n - b0);
+    std::memcpy(Hb.data(), &ck[(size_t)((b0 / rb) * w)],
+                (size_t)w * sizeof(int32_t));
+    if (affine)
+      std::memcpy(Fb.data(), &ck_f[(size_t)((b0 / rb) * w)],
+                  (size_t)w * sizeof(int32_t));
+    for (int64_t r = 1; r <= rows; ++r) {
+      if (affine)
+        aff_row(b0 + r, &Hb[(size_t)((r - 1) * w)],
+                &Fb[(size_t)((r - 1) * w)], &Hb[(size_t)(r * w)],
+                &Eb[(size_t)(r * w)], &Fb[(size_t)(r * w)]);
+      else
+        lin_row(b0 + r, &Hb[(size_t)((r - 1) * w)], &Hb[(size_t)(r * w)]);
+    }
+    auto H = [&](int64_t y, int64_t x) { return Hb[(size_t)((y - b0) * w + x)]; };
+    auto E = [&](int64_t y, int64_t x) { return Eb[(size_t)((y - b0) * w + x)]; };
+    auto F = [&](int64_t y, int64_t x) { return Fb[(size_t)((y - b0) * w + x)]; };
+    auto S = [&](int64_t y, int64_t x) {
+      return mat[(int64_t)q[y - 1] * A + t[x - 1]];
+    };
+    while (i > b0 || (b0 == 0 && (i || j))) {
+      if (i == 0) { done = true; break; }  // top row: local walk has ended
+      if (!affine) {
+        int32_t v = H(i, j);
+        if (v == 0) { done = true; break; }
+        if (i && j && v == H(i - 1, j - 1) + S(i, j)) {
+          --i; --j;
+        } else if (i && v == H(i - 1, j) - gap) {
+          --i;
+        } else if (j && v == H(i, j - 1) - gap) {
+          --j;
+        } else {
+          return -1;
+        }
+        path_out[2 * len] = (int32_t)i;
+        path_out[2 * len + 1] = (int32_t)j;
+        ++len;
+      } else {
+        if (st == 0) {
+          int32_t v = H(i, j);
+          if (v == 0) { done = true; break; }
+          if (i && j && v == H(i - 1, j - 1) + S(i, j)) {
+            --i; --j;
+            path_out[2 * len] = (int32_t)i;
+            path_out[2 * len + 1] = (int32_t)j;
+            ++len;
+          } else if (v == F(i, j)) {
+            st = 2;
+          } else if (v == E(i, j)) {
+            st = 1;
+          } else {
+            return -1;
+          }
+        } else if (st == 1) {  // E: gap moves left
+          int32_t v = E(i, j);
+          if (j && v == H(i, j - 1) - gap_open) {
+            --j; st = 0;
+          } else if (j && v == E(i, j - 1) - gap_extend) {
+            --j;
+          } else {
+            return -1;
+          }
+          path_out[2 * len] = (int32_t)i;
+          path_out[2 * len + 1] = (int32_t)j;
+          ++len;
+        } else {  // F: gap moves up
+          int32_t v = F(i, j);
+          if (i && v == H(i - 1, j) - gap_open) {
+            --i; st = 0;
+          } else if (i && v == F(i - 1, j) - gap_extend) {
+            --i;
+          } else {
+            return -1;
+          }
+          path_out[2 * len] = (int32_t)i;
+          path_out[2 * len + 1] = (int32_t)j;
+          ++len;
+        }
+      }
+      if (i == 0 && j == 0) { done = true; break; }
+    }
+  }
+  // emitted end -> start; flip to start -> end like the other walkers
+  for (int64_t a = 0, b = len - 1; a < b; ++a, --b) {
+    std::swap(path_out[2 * a], path_out[2 * b]);
+    std::swap(path_out[2 * a + 1], path_out[2 * b + 1]);
+  }
+  return len;
+}
+
 }  // extern "C"

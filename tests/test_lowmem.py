@@ -19,7 +19,12 @@ def test_lowmem_linear_matches_oracle(rng):
         q, t = random_dna(rng, (n,)), random_dna(rng, (m,))
         p = [TIE_RICH, DNA_10_30_15][trial % 2]
         want = sw_traceback(q, t, p)
+        # both the C++ twin (default when built) and the numpy path
         assert sw_traceback_lowmem(q, t, p, row_block=8) == want
+        assert (
+            sw_traceback_lowmem(q, t, p, row_block=8, use_native=False)
+            == want
+        )
         assert (
             sw_traceback_lowmem(q, t, p, row_block=8, ends=want[1][-1])
             == want
@@ -39,9 +44,30 @@ def test_lowmem_affine_matches_oracle(rng):
         want = sw_affine_traceback(q, t, p)
         assert sw_traceback_lowmem(q, t, p, row_block=8) == want
         assert (
+            sw_traceback_lowmem(q, t, p, row_block=8, use_native=False)
+            == want
+        )
+        assert (
             sw_traceback_lowmem(q, t, p, row_block=8, ends=want[1][-1])
             == want
         )
+
+
+def test_lowmem_native_handles_go_lt_ge(rng):
+    """gap_open < gap_extend: the numpy decoupling doesn't apply, but the
+    C++ twin's serial recurrences are exact for any gap model."""
+    from swtpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    p = ScoringParams(dna_matrix(3, -2), gap_open=1, gap_extend=2)
+    for _ in range(6):
+        q = random_dna(rng, (40,))
+        t = random_dna(rng, (50,))
+        want = sw_affine_traceback(q, t, p)
+        assert sw_traceback_lowmem(q, t, p, row_block=8) == want
 
 
 def test_lowmem_zero_score():
