@@ -127,21 +127,23 @@ def _sw_wavefront_impl(sins, n_steps, gap):
     )(sins)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m", "n_steps"))
-def _prepare(qs, ts, table, n, m, n_steps):
+@functools.partial(jax.jit, static_argnames=("n", "m", "n_steps", "A"))
+def _prepare(qs, ts, table, n, m, n_steps, A):
     """Per-diagonal score stream sins[g*S+d, p, j] = S[q_p[j], t_p[d-j]]
     (pads/out-of-range score NEG), built throughput-bound on the XLA side
     so the Pallas serial loop does no lookups at all. Steps beyond
-    n+m-1 (block padding) score NEG everywhere and only decay."""
+    n+m-1 (block padding) score NEG everywhere and only decay. A = real
+    alphabet size (4 DNA, 24 protein); table is [A+1, A+1] with the pad
+    row/col scoring NEG."""
     B = qs.shape[0]
     G = B // SUB
-    # prof[b, j, c] = S[q_b[j], c] over the 5-char alphabet (4 = pad)
-    prof = table[jnp.minimum(qs.astype(jnp.int32), 4)]  # [B, n, 5]
+    # prof[b, j, c] = S[q_b[j], c] over the A+1-char alphabet (A = pad)
+    prof = table[jnp.minimum(qs.astype(jnp.int32), A)]  # [B, n, A+1]
     if n < LANE:
         prof = jnp.pad(
             prof, ((0, 0), (0, LANE - n), (0, 0)), constant_values=NEG
         )
-    tin = jnp.full((B, n_steps + 1), T_PAD, jnp.uint8)
+    tin = jnp.full((B, n_steps + 1), A + 1, jnp.uint8)
     tin = tin.at[:, :m].set(ts)
     d_idx = jnp.arange(n_steps)[:, None]  # [n_steps, 1]
     j_idx = jnp.arange(LANE)[None, :]  # [1, LANE]
@@ -150,13 +152,13 @@ def _prepare(qs, ts, table, n, m, n_steps):
     # out-of-range (incl. negative: lanes above the diagonal are phantom
     # cells) must hit the pad slot, not clamp to t[0]
     t_at = jnp.where((raw < 0) | (raw > n_steps), n_steps, raw)
-    tchar = jnp.minimum(tin[:, t_at], 4).astype(jnp.int32)  # [B, S, LANE]
+    tchar = jnp.minimum(tin[:, t_at], A).astype(jnp.int32)  # [B, S, LANE]
     # select per (b, d, j) the profile column tchar[b, d, j] from
-    # prof[b, j, :] — a 4-compare select tree (NOT take_along_axis over a
-    # broadcast: XLA materializes the [B, S, LANE, 5] operand, 34 GB at
-    # the bench shape; selects fuse)
+    # prof[b, j, :] — an A-compare select tree (NOT take_along_axis over
+    # a broadcast: XLA materializes the [B, S, LANE, A+1] operand, 34 GB
+    # at the bench shape; selects fuse)
     sins = jnp.full(tchar.shape, NEG, jnp.int32)
-    for c in range(4):
+    for c in range(A):
         sins = jnp.where(tchar == c, prof[:, None, :, c], sins)
     sins = (
         sins.reshape(G, SUB, n_steps, LANE)
@@ -168,30 +170,36 @@ def _prepare(qs, ts, table, n, m, n_steps):
 
 
 def _profile_table(params: ScoringParams) -> np.ndarray:
-    tab = np.full((5, 5), NEG, dtype=np.int32)
-    tab[:4, :4] = params.matrix.astype(np.int32)
+    A = params.alphabet_size
+    tab = np.full((A + 1, A + 1), NEG, dtype=np.int32)
+    tab[:A, :A] = params.matrix.astype(np.int32)
     return tab
 
 
 def sw_wavefront_pallas(qs, ts, params: ScoringParams):
     """Anti-diagonal schedule scores; qs: [B, n] (n ≤ 128), ts: [B, m].
+    Any substitution matrix (DNA or protein/BLOSUM62), linear gap.
 
     Returns [B] int32 scores identical to the batch kernel / oracle.
     """
     if not params.is_linear:
-        raise NotImplementedError("affine tier not yet wired into wavefront")
+        raise NotImplementedError(
+            "affine wavefront would need two more serial-loop rolls "
+            "(E/F lane shifts); use xla_diag / rowscan tiers for Gotoh"
+        )
     B, n = qs.shape
     m = ts.shape[1]
     if n > LANE:
         raise NotImplementedError("strip decomposition for n > 128 pending")
+    A = params.alphabet_size
     qs = jnp.asarray(qs)
     ts = jnp.asarray(ts)
     Bp = -(-B // SUB) * SUB
     if Bp != B:
-        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
-        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
+        qs = jnp.concatenate([qs, jnp.full((Bp - B, n), A, qs.dtype)])
+        ts = jnp.concatenate([ts, jnp.full((Bp - B, m), A + 1, ts.dtype)])
     n_steps = -(-(n + m - 1) // STEPS_PB) * STEPS_PB
     table = jnp.asarray(_profile_table(params))
-    sins = _prepare(qs, ts, table, n, m, n_steps)
+    sins = _prepare(qs, ts, table, n, m, n_steps, A)
     out = _sw_wavefront_impl(sins, n_steps, int(params.gap))
     return out.max(axis=2).reshape(Bp)[:B]

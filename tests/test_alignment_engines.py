@@ -299,3 +299,18 @@ def test_semiglobal_align_batch_varlen(rng):
         assert got[b] == semiglobal_full(
             qs[b, : lq[b]], ts[b, : lt[b]], 2, 1, 1
         )
+
+
+def test_wavefront_protein_blosum62(rng):
+    """The score-stream wavefront scores any matrix: BLOSUM62 linear."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.protein import BLOSUM62, random_protein
+    from swtpu.core.scoring import ScoringParams
+
+    p = ScoringParams.linear(BLOSUM62, 11)
+    pq = random_protein(rng, (8, 96))
+    pt = random_protein(rng, (8, 120))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sw_wavefront_pallas(pq, pt, p))
+    assert np.array_equal(got, sw_score_batch(pq, pt, p).astype(np.int32))
