@@ -233,6 +233,8 @@ def sw_affine_pallas_ends(qs, ts, params: ScoringParams):
             "packed (value,row) tracking would overflow int32; route to "
             "the XLA ends engine"
         )
+    if n + 4 * m > 4096:  # VMEM budget (q + t/yh/yf/bc tiles)
+        raise NotImplementedError("shape exceeds the ends kernel's VMEM")
     Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
     if Bp != B:
         qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])

@@ -292,6 +292,11 @@ def sw_batch_pallas_ends(qs, ts, params: ScoringParams):
             "packed (value,row) tracking would overflow int32 at this "
             "score range; route to the XLA ends engine"
         )
+    if n + 3 * m > 4096:
+        # VMEM budget: q + (t, yoko, bc) tiles at 4 KB per unit length;
+        # no transpose swap here (it would change the tie-break scan
+        # order), so big shapes route to the XLA ends engine
+        raise NotImplementedError("shape exceeds the ends kernel's VMEM")
     Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
     if Bp != B:
         qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])

@@ -406,6 +406,11 @@ def sw_batch_profile_pallas_ends(qs, ts, params: ScoringParams):
             "packed (value,row) tracking would overflow int32; route to "
             "the XLA ends engine"
         )
+    # VMEM budget: resident profile rows (planes per row) + t/yoko/bc
+    # (+ yf when affine) m-sized tiles at 4 KB per unit length
+    resident = min(n, ROW_GROUP) * planes
+    if resident + (4 if affine else 3) * m > 4096:
+        raise NotImplementedError("shape exceeds the ends kernel's VMEM")
     Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
     if Bp != B:
         qs = jnp.concatenate([qs, jnp.full((Bp - B, n), q_pad, qs.dtype)])
