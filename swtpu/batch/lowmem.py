@@ -3,7 +3,7 @@
 The naive walker materializes the full (n+1)x(m+1) DP matrix (~1 GB at
 16K x 16K) — fine for 128-mers, not for the longpair engine's targets.
 This module walks the same path in O(m * n/row_block + row_block * m)
-memory (< 40 MB at 16K x 16K with the default block):
+memory (72 MB measured at 16K x 16K with the default block):
 
 1. a streaming forward pass keeps one row live and stores every
    row_block-th row as a checkpoint (device endpoints, when provided,
@@ -11,6 +11,9 @@ memory (< 40 MB at 16K x 16K with the default block):
 2. the backward walk re-fills one row block at a time from its
    checkpoint and walks inside it, dropping the block when the path
    crosses its top.
+
+Measured peak (tracemalloc, 16384 x 16384, row_block 512): 72 MB with
+device endpoints, 108 MB without (the argmax scan holds one full block).
 
 The within-row serial chain H[j] = max(cand[j], H[j-1] - g) is computed
 in closed form per row (max-plus prefix scan as a running max of

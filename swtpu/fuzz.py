@@ -46,6 +46,9 @@ GENERAL4 = np.array(
 @dataclasses.dataclass
 class FuzzStats:
     rounds: int = 0
+    #: engine-evaluations: each engine's differential run over a batch
+    #: counts that batch once (a round testing 3 engines on B pairs adds
+    #: 3B), mirroring the reference's per-kernel iteration counts
     pairs: int = 0
     cells: int = 0
     mismatches: int = 0

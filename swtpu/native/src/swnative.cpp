@@ -842,7 +842,9 @@ int64_t sw_traceback_lowmem(const uint8_t* q, int64_t n, const uint8_t* t,
     best = hp[m];
   }
   *score_out = best;
-  if (best == 0 && !have_ends) {
+  if (best == 0) {
+    // normalize like the numpy twin: zero score walks to [(0, 0)]
+    // whether or not device endpoints were supplied
     path_out[0] = 0;
     path_out[1] = 0;
     return 1;

@@ -535,7 +535,7 @@ def longpair_sw_align(
     longpair scale: the mesh computes (score, end_i, end_j); the host
     walks only the [0..end_i, 0..end_j] prefix with the checkpointed
     walker (batch/lowmem.py) in O(m * (end_i/row_block + row_block))
-    memory — < 40 MB at 16K x 16K vs ~1 GB for the full matrix. The
+    memory — 72 MB measured at 16K x 16K vs ~1 GB for the full matrix. The
     device score double-checks the walk and vice versa. Affine with
     gap_open < gap_extend falls back to the full-matrix walker (the
     lowmem E-chain decoupling needs gap_open >= gap_extend).
