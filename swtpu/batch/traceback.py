@@ -563,6 +563,12 @@ def banded_align_batch(
         gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
     affine = gap_open is not None
     on_tpu = jax.devices()[0].platform == "tpu"
+    # the Pallas banded kernels keep the whole band history VMEM-resident
+    # (~2.3 KB/round/grid-step measured): ~4K rounds (2048-mers) fits,
+    # 16K-mers (32769 rounds, 74 MB) does not — reference-scale geometry
+    # rides the XLA forward, whose history streams to HBM
+    if qs.shape[1] + ts.shape[1] + 1 > 6000:
+        on_tpu = False
     kw = {}
     if matrix is not None:
         # general matrices: same Pallas tiering as uniform scoring (the
