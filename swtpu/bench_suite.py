@@ -481,9 +481,10 @@ def bench_varlen(quick=False):
             device=str(jax.devices()[0].device_kind),
         )
     )
-    # traceback coordinates for a sample of pairs (device forward + host
-    # walker; the reference's own forward/traceback split)
+    # traceback coordinates for a sample of pairs (device endpoints +
+    # endpoint-bounded host walk; the reference's forward/traceback split)
     nb = 64
+    sw_align_batch(qs[:nb], ts[:nb], DNA_111)  # compile the ends engine
     t0 = time.perf_counter()
     paths = sw_align_batch(qs[:nb], ts[:nb], DNA_111)
     wall = time.perf_counter() - t0

@@ -596,7 +596,9 @@ def build_parser():
     p.add_argument(
         "--engine",
         default="xla_diag",
-        help="kernel variant (oracle|xla_diag|wavefront|rowscan)",
+        help="kernel variant (oracle|xla_diag|wavefront|colscan|rowscan|"
+        "rowscan_prof|rowscan_bf16); unsupported params fall back to the "
+        "XLA engine",
     )
     p.set_defaults(fn=cmd_align)
 
