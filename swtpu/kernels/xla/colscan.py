@@ -8,12 +8,21 @@ a closed form: within a target column,
     H[p] = max(pre[p], H[p-1] - gap)
          = max_{q <= p} ( pre[q] - (p - q) * gap )
 
-is a max-plus prefix scan with linear decay — an *associative* operation
-((v1,l1) ⊕ (v2,l2) = (max(v2, v1 - l2*gap), l1+l2)) — so
-jax.lax.associative_scan computes the exact column in log2(n) vector steps,
-no lazy loop, no data-dependent control flow (cf. "De(con)struction of the
-lazy-F loop", arXiv:1909.00899, referenced in PAPERS.md). The outer scan
-walks target positions; the whole query column is live in vector registers.
+is a max-plus prefix scan with linear decay — an *associative* operation —
+so log2(n) doubling steps compute the exact column, no lazy loop, no
+data-dependent control flow (cf. "De(con)struction of the lazy-F loop",
+arXiv:1909.00899, referenced in PAPERS.md). The outer scan walks target
+positions; the whole query column is live in vector registers.
+
+TPU implementation notes (measured on v5e):
+- the prefix scan is hand-rolled log-doubling over STATIC pad/slice
+  shifts (`x[k] = max(x[k], x[k - 2^s] - 2^s * gap)`) instead of
+  jax.lax.associative_scan, whose odd/even split lowering spends ~100x
+  the time in relayout slices at these shapes;
+- per-column substitution scores come from a per-pair query profile +
+  an alphabet select tree instead of a flat-table gather (gathers of
+  ~1e5 indices from a tiny table are pathologically slow on TPU — the
+  same finding as sw_profile.py's packed-profile design).
 
 This is ladder member #5 (ops/variants "colscan"): same scores as every
 other schedule, different parallelization axis — the one to use when the
@@ -30,33 +39,55 @@ import jax.numpy as jnp
 from swtpu.core.scoring import ScoringParams
 from swtpu.kernels.xla.sw_scan import _extended_table
 
+NEG = -(2**29)
 
-@functools.partial(jax.jit, static_argnames=("gap",))
-def _colscan_impl(qs, ts, table, gap):
+
+def _profile(qs, table, stride):
+    """prof[b, i, c] = S[q_b[i], c] (c over the extended alphabet)."""
+    q_pad = stride - 2
+    return table[jnp.minimum(qs.astype(jnp.int32), q_pad)]  # [B, n, stride]
+
+
+def _col_scores(prof, t_col, A):
+    """s[b, i] = prof[b, i, t_col[b]] via an A+2-way select tree (pads
+    included; fused by XLA, no gather)."""
+    s = jnp.full(prof.shape[:2], NEG, jnp.int32)
+    for c in range(A + 2):  # real alphabet + both pad codes
+        s = jnp.where(t_col == c, prof[:, :, c], s)
+    return s
+
+
+def _maxplus_prefix(pre, gap, n):
+    """H[p] = max_{q <= p}(pre[q] - (p - q) * gap) by log-doubling over
+    static shifts."""
+    x = pre
+    shift = 1
+    while shift < n:
+        shifted = jnp.pad(
+            x, ((0, 0), (shift, 0)), constant_values=NEG
+        )[:, :-shift]
+        x = jnp.maximum(x, shifted - shift * gap)
+        shift *= 2
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "A"))
+def _colscan_impl(qs, ts, table, gap, A):
     B, n = qs.shape
     m = ts.shape[1]
     stride = table.shape[0]
-    q_pad, t_pad = stride - 2, stride - 1
-    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    t_pad = stride - 1
     ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
-    flat = table.reshape(-1)
-    qi = qs * stride  # row offsets into the flat table, fixed per pair
-
-    def combine(a, b):
-        (v1, l1), (v2, l2) = a, b
-        return (jnp.maximum(v2, v1 - l2 * gap), l1 + l2)
-
-    ones = jnp.ones((B, n), jnp.int32)
+    prof = _profile(qs, table, stride)
 
     def step(carry, j):
         h_prev, best = carry  # previous column H[:, j-1] over query axis
         t_col = jax.lax.dynamic_slice_in_dim(ts, j, 1, axis=1)  # [B, 1]
-        s = jnp.take(flat, qi + t_col, axis=0)  # [B, n]
+        s = _col_scores(prof, t_col, A)  # [B, n]
         diag = jnp.pad(h_prev, ((0, 0), (1, 0)))[:, :-1]
         pre = jnp.maximum(jnp.maximum(diag + s, h_prev - gap), 0)
         # exact vertical-gap propagation: max-plus prefix scan down the query
-        h, _ = jax.lax.associative_scan(combine, (pre, ones), axis=1)
-        h = jnp.maximum(h, 0)
+        h = jnp.maximum(_maxplus_prefix(pre, gap, n), 0)
         best = jnp.maximum(best, h.max(axis=1))
         return (h, best), None
 
@@ -67,11 +98,8 @@ def _colscan_impl(qs, ts, table, gap):
     return best
 
 
-NEG = -(2**29)
-
-
-@functools.partial(jax.jit, static_argnames=("go", "ge"))
-def _colscan_affine_impl(qs, ts, table, go, ge):
+@functools.partial(jax.jit, static_argnames=("go", "ge", "A"))
+def _colscan_affine_impl(qs, ts, table, go, ge, A):
     """Gotoh column scan. With go >= ge the vertical F chain decouples:
 
         F[p] = max(F[p-1] - ge, H[p-1] - go)
@@ -85,28 +113,18 @@ def _colscan_affine_impl(qs, ts, table, go, ge):
     B, n = qs.shape
     m = ts.shape[1]
     stride = table.shape[0]
-    q_pad, t_pad = stride - 2, stride - 1
-    qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
+    t_pad = stride - 1
     ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
-    flat = table.reshape(-1)
-    qi = qs * stride
-
-    def combine(a, b):
-        (v1, l1), (v2, l2) = a, b
-        return (jnp.maximum(v2, v1 - l2 * ge), l1 + l2)
-
-    ones = jnp.ones((B, n), jnp.int32)
+    prof = _profile(qs, table, stride)
 
     def step(carry, j):
         h_prev, e_prev, best = carry
         t_col = jax.lax.dynamic_slice_in_dim(ts, j, 1, axis=1)
-        s = jnp.take(flat, qi + t_col, axis=0)
+        s = _col_scores(prof, t_col, A)
         e = jnp.maximum(e_prev - ge, h_prev - go)
         diag = jnp.pad(h_prev, ((0, 0), (1, 0)))[:, :-1]
         pre = jnp.maximum(jnp.maximum(diag + s, e), 0)
-        fscan, _ = jax.lax.associative_scan(
-            combine, (pre - go, ones), axis=1
-        )
+        fscan = _maxplus_prefix(pre - go, ge, n)
         f = jnp.pad(fscan, ((0, 0), (1, 0)), constant_values=NEG)[:, :-1]
         h = jnp.maximum(pre, f)
         best = jnp.maximum(best, h.max(axis=1))
@@ -127,6 +145,7 @@ def sw_batch_colscan(qs, ts, params: ScoringParams):
     free). Affine needs gap_open >= gap_extend (the F-chain decoupling).
     """
     table = jnp.asarray(_extended_table(params))
+    A = params.alphabet_size
     if not params.is_linear:
         if params.gap_open < params.gap_extend:
             raise NotImplementedError(
@@ -138,7 +157,8 @@ def sw_batch_colscan(qs, ts, params: ScoringParams):
             table,
             int(params.gap_open),
             int(params.gap_extend),
+            A,
         )
     return _colscan_impl(
-        jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap)
+        jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap), A
     )
