@@ -14,13 +14,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from swtpu.core.scoring import ScoringParams
-from swtpu.kernels.xla.sw_scan import Q_PAD, T_PAD, _extended_table
+from swtpu.kernels.xla.sw_scan import Q_PAD, T_PAD, _extended_table, _prof_scores
 
 NEG_EF = -(2**29)
 
 
-@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
-def _sw_affine_impl(qs, ts, table, gap_open, gap_extend):
+@functools.partial(
+    jax.jit, static_argnames=("gap_open", "gap_extend", "n_codes")
+)
+def _sw_affine_impl(qs, ts, table, gap_open, gap_extend, n_codes=8):
     B, n = qs.shape
     m = ts.shape[1]
     stride = table.shape[0]
@@ -31,14 +33,14 @@ def _sw_affine_impl(qs, ts, table, gap_open, gap_extend):
     ts_rev_pad = jnp.pad(
         ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )
-    flat_table = table.reshape(-1)
+    prof = table[q_slot]
     neg = jnp.int32(NEG_EF)
 
     def step(carry, d):
         h1, h2, e1, f1, best = carry
         off = m - d + n + 1
         t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
-        s = jnp.take(flat_table, q_slot * stride + t_diag, axis=0)
+        s = _prof_scores(prof, t_diag, n_codes)
         shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)), constant_values=NEG_EF)[
             :, :-1
         ]
@@ -59,8 +61,10 @@ def _sw_affine_impl(qs, ts, table, gap_open, gap_extend):
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("gap_open", "gap_extend"))
-def _sw_affine_ends_impl(qs, ts, table, gap_open, gap_extend):
+@functools.partial(
+    jax.jit, static_argnames=("gap_open", "gap_extend", "n_codes")
+)
+def _sw_affine_ends_impl(qs, ts, table, gap_open, gap_extend, n_codes=8):
     B, n = qs.shape
     m = ts.shape[1]
     stride = table.shape[0]
@@ -71,7 +75,7 @@ def _sw_affine_ends_impl(qs, ts, table, gap_open, gap_extend):
     ts_rev_pad = jnp.pad(
         ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )
-    flat_table = table.reshape(-1)
+    prof = table[q_slot]
     rows = jnp.arange(n + 1, dtype=jnp.int32)[None, :]
     big = jnp.int32(1 << 30)
 
@@ -79,7 +83,7 @@ def _sw_affine_ends_impl(qs, ts, table, gap_open, gap_extend):
         h1, h2, e1, f1, best, bi, bj = carry
         off = m - d + n + 1
         t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
-        s = jnp.take(flat_table, q_slot * stride + t_diag, axis=0)
+        s = _prof_scores(prof, t_diag, n_codes)
         shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)), constant_values=NEG_EF)[
             :, :-1
         ]
@@ -120,6 +124,7 @@ def sw_affine_batch_diag_ends(qs, ts, params: ScoringParams):
         table,
         int(params.gap_open),
         int(params.gap_extend),
+        n_codes=params.alphabet_size + 2,
     )
 
 
@@ -137,4 +142,5 @@ def sw_affine_batch_diag(qs, ts, params: ScoringParams):
         table,
         int(params.gap_open),
         int(params.gap_extend),
+        n_codes=params.alphabet_size + 2,
     )

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from swtpu.kernels.xla.sw_scan import _prof_scores
+
 Q_PAD = 4
 T_PAD = 5
 _NEG = -(2**20)
@@ -168,8 +170,8 @@ def _semiglobal_affine_impl(qs, ts, lq, lt, match, mismatch, go, ge):
     return score, end_i, end_j
 
 
-@functools.partial(jax.jit, static_argnames=("gap",))
-def _semiglobal_table_impl(qs, ts, lq, lt, table, gap):
+@functools.partial(jax.jit, static_argnames=("gap", "n_codes"))
+def _semiglobal_table_impl(qs, ts, lq, lt, table, gap, n_codes=8):
     """Linear-gap semi-global with a general substitution table (the
     general-matrix / protein mode; scoring via flat-table gather like
     sw_scan/colscan instead of the uniform match/mismatch compare)."""
@@ -179,10 +181,8 @@ def _semiglobal_table_impl(qs, ts, lq, lt, table, gap):
     q_pad, t_pad = stride - 2, stride - 1
     qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
     ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
-    flat = table.reshape(-1)
-
     q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=q_pad)
-    qi = q_slot * stride  # fixed per-pair row offsets into flat
+    prof = table[q_slot]  # [B, n+1, stride] per-slot profile
     ts_rev_pad = jnp.pad(
         ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )
@@ -196,7 +196,7 @@ def _semiglobal_table_impl(qs, ts, lq, lt, table, gap):
         # pad chars hit the table's _NEG rows/cols; those cells are always
         # boundary-overwritten or phantom-clamped below, and
         # MINUS_INF + _NEG stays well inside int32
-        s = jnp.take(flat, qi + t_diag, axis=0)
+        s = _prof_scores(prof, t_diag, n_codes)
         shift1 = lambda x: jnp.pad(
             x, ((0, 0), (1, 0)), constant_values=MINUS_INF
         )[:, :-1]
@@ -235,8 +235,8 @@ def _semiglobal_table_impl(qs, ts, lq, lt, table, gap):
     return score, end_i, end_j
 
 
-@functools.partial(jax.jit, static_argnames=("go", "ge"))
-def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge):
+@functools.partial(jax.jit, static_argnames=("go", "ge", "n_codes"))
+def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge, n_codes=8):
     """Gotoh semi-global with a general substitution table."""
     B, n = qs.shape
     m = ts.shape[1]
@@ -244,10 +244,8 @@ def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge):
     q_pad, t_pad = stride - 2, stride - 1
     qs = jnp.minimum(qs.astype(jnp.int32), q_pad)
     ts = jnp.minimum(ts.astype(jnp.int32), t_pad)
-    flat = table.reshape(-1)
-
     q_slot = jnp.pad(qs, ((0, 0), (1, 0)), constant_values=q_pad)
-    qi = q_slot * stride
+    prof = table[q_slot]
     ts_rev_pad = jnp.pad(
         ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )
@@ -258,7 +256,7 @@ def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge):
         h1, h2, e1, f1, best_v, best_j = carry
         off = m - d + n + 1
         t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
-        s = jnp.take(flat, qi + t_diag, axis=0)
+        s = _prof_scores(prof, t_diag, n_codes)
         shift1 = lambda x: jnp.pad(
             x, ((0, 0), (1, 0)), constant_values=MINUS_INF
         )[:, :-1]
@@ -326,10 +324,11 @@ def semiglobal_batch_general(qs, ts, params, lens_q=None, lens_t=None):
 
     table = jnp.asarray(_extended_table(params))
     lq, lt = _lens_cols(qs, ts, lens_q, lens_t)
+    n_codes = params.alphabet_size + 2
     if params.is_linear:
         return _semiglobal_table_impl(
             jnp.asarray(qs), jnp.asarray(ts), lq, lt, table,
-            int(params.gap),
+            int(params.gap), n_codes=n_codes,
         )
     return _semiglobal_affine_table_impl(
         jnp.asarray(qs),
@@ -339,6 +338,7 @@ def semiglobal_batch_general(qs, ts, params, lens_q=None, lens_t=None):
         table,
         int(params.gap_open),
         int(params.gap_extend),
+        n_codes=n_codes,
     )
 
 

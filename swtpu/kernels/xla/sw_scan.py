@@ -57,8 +57,20 @@ def _extended_table(params: ScoringParams) -> np.ndarray:
     return ext
 
 
-@functools.partial(jax.jit, static_argnames=("gap",))
-def _sw_batch_diag_impl(qs, ts, table, gap):
+def _prof_scores(prof, t_diag, n_codes):
+    """s[b, i] = prof[b, i, t_diag[b, i]] via an n_codes-way select tree.
+    Gathers of ~1e5 indices from a tiny table are pathologically slow on
+    TPU (the sw_profile.py finding; measured 2x whole-engine speedup over
+    the flat-table gather here); selects fuse. Codes >= n_codes (clamped
+    pads) fall through to the NEG init."""
+    s = jnp.full(t_diag.shape, jnp.int32(_NEG))
+    for c in range(n_codes):
+        s = jnp.where(t_diag == c, prof[:, :, c], s)
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("gap", "n_codes"))
+def _sw_batch_diag_impl(qs, ts, table, gap, n_codes=8):
     B, n = qs.shape
     m = ts.shape[1]
     stride = table.shape[0]
@@ -77,14 +89,14 @@ def _sw_batch_diag_impl(qs, ts, table, gap):
         ts_rev, ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )  # [B, m + 2n + 2]
 
-    flat_table = table.reshape(-1)
+    prof = table[q_slot]  # [B, n+1, stride] per-slot profile
 
     def step(carry, d):
         prev1, prev2, best = carry
         # chars of t on diagonal d, aligned with slot i: t[d - i - 1]
         off = m - d + n + 1
         t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
-        s = jnp.take(flat_table, q_slot * stride + t_diag, axis=0)
+        s = _prof_scores(prof, t_diag, n_codes)
         shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
         cur = jnp.maximum(
             jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),
@@ -108,11 +120,13 @@ def sw_batch_diag(qs, ts, params: ScoringParams):
     each (unpadded) pair.
     """
     table = jnp.asarray(_extended_table(params))
-    return _sw_batch_diag_impl(qs, ts, table, int(params.gap))
+    return _sw_batch_diag_impl(
+        qs, ts, table, int(params.gap), n_codes=params.alphabet_size + 2
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("gap",))
-def _sw_batch_diag_ends_impl(qs, ts, table, gap):
+@functools.partial(jax.jit, static_argnames=("gap", "n_codes"))
+def _sw_batch_diag_ends_impl(qs, ts, table, gap, n_codes=8):
     B, n = qs.shape
     m = ts.shape[1]
     stride = table.shape[0]
@@ -123,7 +137,7 @@ def _sw_batch_diag_ends_impl(qs, ts, table, gap):
     ts_rev_pad = jnp.pad(
         ts[:, ::-1], ((0, 0), (n + 1, n + 1)), constant_values=t_pad
     )
-    flat_table = table.reshape(-1)
+    prof = table[q_slot]
     rows = jnp.arange(n + 1, dtype=jnp.int32)[None, :]  # slot i == row i
     big = jnp.int32(1 << 30)
 
@@ -131,7 +145,7 @@ def _sw_batch_diag_ends_impl(qs, ts, table, gap):
         prev1, prev2, best, bi, bj = carry
         off = m - d + n + 1
         t_diag = jax.lax.dynamic_slice_in_dim(ts_rev_pad, off, n + 1, axis=1)
-        s = jnp.take(flat_table, q_slot * stride + t_diag, axis=0)
+        s = _prof_scores(prof, t_diag, n_codes)
         shift1 = lambda x: jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
         cur = jnp.maximum(
             jnp.maximum(shift1(prev2) + s, shift1(prev1) - gap),
@@ -172,5 +186,6 @@ def sw_batch_diag_ends(qs, ts, params: ScoringParams):
     """
     table = jnp.asarray(_extended_table(params))
     return _sw_batch_diag_ends_impl(
-        jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap)
+        jnp.asarray(qs), jnp.asarray(ts), table, int(params.gap),
+        n_codes=params.alphabet_size + 2,
     )
