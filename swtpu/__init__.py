@@ -27,23 +27,6 @@ against scalar oracles, mirroring the reference's harness strategy
 
 __version__ = "0.1.0"
 
-import os as _os
-
-# Persistent XLA compilation cache: compiles through the tunnel's remote
-# helper take 10-60 s each and dominate selftest/fuzz/bench startup
-# (measured: a cold 63 s first-call drops to 20 s in a fresh process with
-# the cache). Harmless on CPU. Opt out with SWTPU_JAX_CACHE=0.
-if _os.environ.get("SWTPU_JAX_CACHE", "1") != "0":
-    import jax as _jax
-
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get(
-            "SWTPU_JAX_CACHE_DIR",
-            _os.path.expanduser("~/.cache/swtpu_jax"),
-        ),
-    )
-
 from swtpu.core.scoring import ScoringParams, DNA_111, dna_matrix  # noqa: F401
 from swtpu.core.encode import (  # noqa: F401
     pack_2bit,

@@ -127,14 +127,13 @@ def semiglobal_align_batch(
     from swtpu.kernels.pallas.semiglobal_batch import (
         CHUNK as SG_CHUNK,
         ROWS as SG_ROWS,
-        TILE_PAIRS as SG_TILE,
         semiglobal_batch_pallas,
     )
 
+    # (no batch-size gate: the Pallas wrapper self-pads B to its tile)
     use_pallas = (
         not varlen
         and jax.devices()[0].platform == "tpu"
-        and B % SG_TILE == 0
         and n % SG_ROWS == 0
         and m % SG_CHUNK == 0
     )

@@ -524,7 +524,7 @@ def cmd_selftest(args):
     from swtpu.fuzz import run_fuzz
 
     try:
-        run_fuzz(minutes=30, max_rounds=7, log=None, save_dir=None,
+        run_fuzz(minutes=30, max_rounds=8, log=None, save_dir=None,
                  pairs_per_round=256)
         checks.append(("fuzz_soak_short", True))
     except AssertionError:

@@ -127,9 +127,11 @@ def _round_local(rng, stats, family, rnd, params, B, n, m, use_pallas,
     qs = random_dna(rng, (B, n))
     ts = random_dna(rng, (B, m))
     want = _oracle_local(qs, ts, params)
-    # engines see a pad-extended batch on a subset of rounds: the pad
-    # contract (q:4/t:5 never raise the max) is part of the spec
-    if pad_tail and rnd % 3 == 0:
+    # engines see a pad-extended batch on ~1/3 of rounds: the pad
+    # contract (q:4/t:5 never raise the max) is part of the spec.
+    # (rng-drawn, NOT rnd % 3: with the family list rotating by rnd %
+    # n_families, rnd-residue gates pin each family to one arm forever)
+    if pad_tail and rng.integers(3) == 0:
         qe = np.concatenate([qs, np.full((B, 8), 4, np.uint8)], axis=1)
         te = np.concatenate([ts, np.full((B, 8), 5, np.uint8)], axis=1)
     else:
@@ -201,11 +203,12 @@ def _round_semiglobal(rng, stats, rnd, B, use_pallas, save_dir):
     n, m = 48, 64
     qs = random_dna(rng, (B, n))
     ts = random_dna(rng, (B, m))
-    # tie-rich (2,-1,1) on odd rounds: endpoint tie-breaks are spec
-    ma, mi, g = (2, 1, 1) if rnd % 2 else (1, 1, 1)
+    # tie-rich (2,-1,1) on ~half the rounds: endpoint tie-breaks are spec
+    ma, mi, g = (2, 1, 1) if rng.integers(2) else (1, 1, 1)
     fwd = [np.asarray(x) for x in
            semiglobal_batch_diag(qs, ts, ma, mi, g)]
-    if use_pallas and B % 1024 == 0 and n % 8 == 0 and m % 16 == 0:
+    # Pallas twin: self-pads the batch axis to its 1024-pair tile
+    if use_pallas and n % 8 == 0 and m % 16 == 0:
         from swtpu.kernels.pallas.semiglobal_batch import (
             semiglobal_batch_pallas,
         )
@@ -247,8 +250,9 @@ def _round_banded(rng, stats, rnd, B, save_dir):
     qs = random_dna(rng, (B, L))
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
     # alternate linear / Gotoh rounds (the affine extension rides the
-    # same H-only band history)
-    affine = rnd % 2 == 0
+    # same H-only band history); rng-drawn so both arms run whatever the
+    # family rotation period is
+    affine = bool(rng.integers(2))
     kw = dict(gap_open=3, gap_extend=1) if affine else {}
     res = banded_xdrop_batch(qs, ts, with_history=False, **kw)
     for b in range(min(B, 8)):
@@ -278,7 +282,7 @@ def _round_fixed_band(rng, stats, rnd, B, use_pallas, save_dir):
     L, W = 128, 16
     p = (
         ScoringParams.linear(dna_matrix(2, -1), 1)
-        if rnd % 2
+        if rng.integers(2)
         else ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
     )
     qs = random_dna(rng, (B, L))
@@ -331,13 +335,19 @@ def run_fuzz(
         if max_rounds is not None and rnd >= max_rounds:
             break
         fam = families[rnd % len(families)]
-        # per-round RNG: failing rounds re-run standalone
+        # per-round RNG: failing rounds re-run standalone. All intra-
+        # family config choices (geometry, scoring arm, pad gate) are
+        # drawn from THIS rng, never from rnd residues: the family
+        # itself is rnd % len(families), so an `rnd % k` gate with
+        # k | len(families) would pin a family to one arm forever.
         rng = np.random.default_rng(seed + rnd)
         # geometry from a fixed palette (incl. non-tile-aligned lengths):
-        # varied coverage without per-round recompilation
-        n, m = [(64, 96), (128, 128), (100, 137), (48, 64)][rnd % 4]
+        # varied coverage without unbounded recompilation
+        n, m = [(64, 96), (128, 128), (100, 137), (48, 64)][
+            int(rng.integers(4))
+        ]
         if fam == "uniform":
-            sc = [(1, -1, 1), (10, -30, 15)][rnd % 2]
+            sc = [(1, -1, 1), (10, -30, 15)][int(rng.integers(2))]
             _round_local(
                 rng, stats, fam, rnd,
                 ScoringParams.linear(dna_matrix(sc[0], sc[1]), sc[2]),

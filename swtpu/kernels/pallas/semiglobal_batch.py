@@ -237,8 +237,9 @@ def semiglobal_batch_pallas(
     """Batched semi-global scores + endpoints (Pallas fast path),
     linear or affine (gap_open != gap_extend) gaps.
 
-    qs: [B, n], ts: [B, m] uint8, fixed lengths (n % 8 == 0, m % 16 == 0,
-    B % 1024 == 0 — use the XLA engine or bucketing otherwise).
+    qs: [B, n], ts: [B, m] uint8, fixed lengths (n % 8 == 0, m % 16 == 0
+    — use the XLA engine or bucketing otherwise; the batch axis self-pads
+    to the 1024-pair tile, padded pairs are computed and discarded).
     Returns (score, end_i, end_j) int32 [B], identical to
     swtpu.kernels.xla.semiglobal_scan.semiglobal_batch_diag. `mismatch`
     is a positive penalty (scored as -mismatch).
@@ -248,12 +249,21 @@ def semiglobal_batch_pallas(
     affine = gap_open is not None
     B, n = qs.shape
     m = ts.shape[1]
-    if B % TILE_PAIRS or n % ROWS or m % CHUNK:
+    if n % ROWS or m % CHUNK:
         raise ValueError(
-            f"need B%{TILE_PAIRS}==0, n%{ROWS}==0, m%{CHUNK}==0; "
-            f"got B={B}, n={n}, m={m} (route to the XLA engine)"
+            f"need n%{ROWS}==0, m%{CHUNK}==0; "
+            f"got n={n}, m={m} (route to the XLA engine)"
         )
-    qsT, tsT = _prepare(jnp.asarray(qs), jnp.asarray(ts), n, m)
+    qs, ts = jnp.asarray(qs), jnp.asarray(ts)
+    Bp = -(-B // TILE_PAIRS) * TILE_PAIRS
+    if Bp != B:
+        qs = jnp.concatenate(
+            [qs, jnp.zeros((Bp - B, n), qs.dtype)], axis=0
+        )
+        ts = jnp.concatenate(
+            [ts, jnp.zeros((Bp - B, m), ts.dtype)], axis=0
+        )
+    qsT, tsT = _prepare(qs, ts, n, m)
     bv, bi = _semiglobal_pallas_impl(
         qsT, tsT, n, m, int(match), -int(mismatch), int(gap),
         go=int(gap_open) if affine else None,

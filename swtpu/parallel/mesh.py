@@ -21,7 +21,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from swtpu.core.scoring import ScoringParams
-from swtpu.kernels.xla.sw_scan import _extended_table, _sw_batch_diag_impl
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "pairs") -> Mesh:
@@ -63,7 +62,11 @@ def data_parallel_scores(
             params.matrix.tobytes(), params.gap_open, params.gap_extend,
         )
     else:
-        key = id(engine)
+        # caller-owned engine: key on the object itself (NOT id() — ids
+        # are recycled after gc, which could serve a stale compiled
+        # shard_map for a different engine). The cache entry keeps the
+        # engine alive, which is what makes the key stable.
+        key = engine
     # cache the jitted shard_map per (engine, mesh): rebuilding it every
     # call would re-trace + recompile every call
     cache_key = (key, mesh, axis)

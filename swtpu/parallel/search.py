@@ -226,7 +226,10 @@ def sharded_all_vs_all_topk(
             params.gap_extend,
         )
     else:
-        engine_key = id(engine)  # caller-owned engine: cache per object
+        # caller-owned engine: key on the object itself (NOT id() — ids
+        # are recycled after gc and could alias a different engine); the
+        # cache entry keeps the engine alive, making the key stable
+        engine_key = engine
 
     n_dev = mesh.devices.size
     Nq = queries.shape[0]

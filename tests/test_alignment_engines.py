@@ -120,8 +120,9 @@ def test_semiglobal_pallas_matches_xla(rng):
     from swtpu.kernels.pallas.semiglobal_batch import semiglobal_batch_pallas
     from swtpu.kernels.xla.semiglobal_scan import semiglobal_batch_diag
 
-    qs = random_dna(rng, (1024, 64))
-    ts = random_dna(rng, (1024, 64))
+    # 1000 (not 1024): the batch axis must self-pad to the 1024-pair tile
+    qs = random_dna(rng, (1000, 64))
+    ts = random_dna(rng, (1000, 64))
     ts[:4] = np.stack([mutate(rng, qs[b], out_len=64) for b in range(4)])
     with pltpu.force_tpu_interpret_mode():
         s1, i1, j1 = (
