@@ -48,6 +48,7 @@ from swtpu.kernels.pallas.semiglobal_batch import (
     _reduce_endpoints,
 )
 from swtpu.kernels.pallas.sw_profile import (
+    VMEM_LIMIT,
     _packed_table,
     _prepare_profile,
     plane_lookup,
@@ -215,6 +216,11 @@ def _semiglobal_profile_impl(profT, tsT, n, m, planes, gap, go=None,
         ],
         out_specs=(spec, spec),
         scratch_shapes=scratch,
+        # scratch + double-buffered m-scaled blocks pass 16 MB on long
+        # targets; raise the scoped-VMEM limit (see sw_profile.VMEM_LIMIT)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT
+        ),
     )(profT, tsT)
 
 

@@ -265,6 +265,14 @@ def _kernel(
 #: the row-group grid axis
 ROW_GROUP = 64
 
+#: raised scoped-VMEM limit (bytes). The row-boundary scratch and the
+#: double-buffered ts/profile blocks all scale with m, so long targets
+#: (e.g. the SwissProt workload's 800-residue proteins) brush past the
+#: 16 MB default — observed as a compile-time "scoped vmem" OOM 8 KB
+#: over the limit. v5e has 128 MB of physical VMEM; raising the limit
+#: is free for shapes that fit the default (allocation is by need).
+VMEM_LIMIT = 96 * 1024 * 1024
+
 
 @functools.partial(
     jax.jit, static_argnames=("n", "m", "planes", "gap", "go", "ge")
@@ -298,6 +306,7 @@ def _sw_profile_impl(profT, tsT, n, m, planes, gap, go=None, ge=None):
             (1, SUB, LANE), lambda i, g: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(profT, tsT)
 
 
@@ -366,6 +375,7 @@ def _sw_profile_ends_impl(profT, tsT, n, m, planes, gap, rowbits,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
     )(profT, tsT)
 
 
