@@ -61,15 +61,29 @@ def main():
     from swtpu.utils import time_kernel
 
     fn, label = get_engine(args.engine)
-    qs, ts = _make_inputs(args.batch, args.n, args.m)
-    qs = jax.device_put(qs)
-    ts = jax.device_put(ts)
+    qs_h, ts_h = _make_inputs(args.batch, args.n, args.m)
+    qs = jax.device_put(qs_h)
+    ts = jax.device_put(ts_h)
 
     # time_kernel runs the kernel as a salted serial chain inside one jit:
     # immune to async-dispatch lies, relay result caching, and slow
     # host<->device tunnel transfers (see swtpu/utils/timing.py).
-    # best of 3 independent measurements (tunnel noise is additive)
-    times = [time_kernel(fn, (qs, ts), k=args.iters) for _ in range(3)]
+    # best of 3 independent measurements (tunnel noise is additive).
+    # The axon tunnel occasionally drops a call with a transient
+    # FAILED_PRECONDITION; retry the whole measurement rather than lose
+    # the recorded headline on a one-off hiccup.
+    times = None
+    for attempt in range(3):
+        try:
+            times = [time_kernel(fn, (qs, ts), k=args.iters) for _ in range(3)]
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError and kin
+            if attempt == 2:
+                raise
+            print(f"# transient device error (attempt {attempt + 1}): {e!r}")
+            time.sleep(10.0)
+            qs = jax.device_put(qs_h)
+            ts = jax.device_put(ts_h)
     best = min(times)
 
     cells = args.batch * args.n * args.m
