@@ -73,13 +73,22 @@ def _scoring(args):
 def cmd_align(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     params = _scoring(args)
-    if args.traceback:
+    if args.traceback or args.cigar:
         from swtpu.batch import sw_align_batch
 
-        for name, (score, path) in zip(
-            names, sw_align_batch(qs, ts, params)
+        for k, (name, (score, path)) in enumerate(
+            zip(names, sw_align_batch(qs, ts, params))
         ):
-            print(json.dumps(dict(pair=name, score=score, path=path)))
+            rec = dict(pair=name, score=score)
+            if args.traceback:
+                rec["path"] = path
+            if args.cigar:
+                from swtpu.core.cigar import path_to_cigar
+
+                rec["cigar"] = path_to_cigar(
+                    path, qs[k], ts[k], query_len=int(ql[k])
+                )
+            print(json.dumps(rec))
         return
     if params.is_linear and args.engine != "xla":
         try:
@@ -116,10 +125,16 @@ def cmd_semiglobal(args):
             gap_open=args.gap_open,
             gap_extend=args.gap_extend if args.gap_open is not None else None,
         )
-    for name, (score, path) in zip(names, out):
+    for k, (name, (score, path)) in enumerate(zip(names, out)):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:
             rec["path"] = path
+        if args.cigar:
+            from swtpu.core.cigar import path_to_cigar
+
+            # semi-global: the alignment window is the path itself, no
+            # soft clips (it starts at the top-left by definition)
+            rec["cigar"] = path_to_cigar(path, qs[k], ts[k])
         print(json.dumps(rec))
 
 
@@ -132,16 +147,23 @@ def cmd_banded(args):
         import jax
 
         params = _scoring(args)
-        if args.traceback:
+        if args.traceback or args.cigar:
             from swtpu.batch.traceback import banded_static_align_batch
 
             out = banded_static_align_batch(
                 qs, ts, params, bandwidth=args.bandwidth
             )
-            for name, (score, path) in zip(names, out):
-                print(
-                    json.dumps(dict(pair=name, score=score, path=path))
-                )
+            for k, (name, (score, path)) in enumerate(zip(names, out)):
+                rec = dict(pair=name, score=score)
+                if args.traceback:
+                    rec["path"] = path
+                if args.cigar:
+                    from swtpu.core.cigar import path_to_cigar
+
+                    rec["cigar"] = path_to_cigar(
+                        path, qs[k], ts[k], query_len=int(ql[k])
+                    )
+                print(json.dumps(rec))
             return
         if jax.devices()[0].platform == "tpu":
             from swtpu.kernels.pallas.sw_batch import (
@@ -190,10 +212,15 @@ def cmd_banded(args):
         gap_extend=args.gap_extend if args.gap_open is not None else None,
         matrix=_scoring(args).matrix if args.alphabet == "protein" else None,
     )
-    for name, (score, path) in zip(names, out):
+    for k, (name, (score, path)) in enumerate(zip(names, out)):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:
             rec["path"] = path
+        if args.cigar:
+            from swtpu.core.cigar import path_to_cigar
+
+            # banded semi-global: path starts at the top-left, no clips
+            rec["cigar"] = path_to_cigar(path, qs[k], ts[k])
         print(json.dumps(rec))
 
 
@@ -235,11 +262,18 @@ def cmd_longpair(args):
                 file=sys.stderr,
             )
             t = t[:new_lt]
-        if args.traceback:
+        if args.traceback or args.cigar:
             score, path = longpair_sw_align(
                 q, t, params, mesh, block=args.block
             )
-            print(json.dumps(dict(pair=name, score=score, path=path)))
+            rec = dict(pair=name, score=score)
+            if args.traceback:
+                rec["path"] = path
+            if args.cigar:
+                from swtpu.core.cigar import path_to_cigar
+
+                rec["cigar"] = path_to_cigar(path, q, t, query_len=len(q))
+            print(json.dumps(rec))
         else:
             score = longpair_sw_score(q, t, params, mesh, block=args.block)
             print(json.dumps(dict(pair=name, score=score)))
@@ -590,6 +624,12 @@ def build_parser():
         p.add_argument("--gap-open", type=int, default=None)
         p.add_argument("--gap-extend", type=int, default=1)
         p.add_argument("--traceback", action="store_true")
+        p.add_argument(
+            "--cigar",
+            action="store_true",
+            help="emit a SAM-style extended CIGAR (=/X/I/D, soft clips "
+            "for local alignments) derived from the traceback path",
+        )
 
     p = sub.add_parser("align", help="local (Smith-Waterman) alignment")
     common(p)
