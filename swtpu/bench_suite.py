@@ -774,6 +774,77 @@ def _bench_dist_curve(quick, sizes, virtual):
     return results
 
 
+def bench_search(quick=False):
+    """BASELINE config 5's single-chip anchor: the streaming all-vs-all
+    search step (engine + device top-k + deterministic merge fused into
+    one executable, swtpu.parallel.search._search_step), honest-timed via
+    the salted serial chain, plus a brute-force parity spot-check of the
+    full streaming loop. The pod-scale sharded variant of the same merge
+    is measured by `--suite dist` (dist_search_weak)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swtpu.core.scoring import DNA_111
+    from swtpu.oracle import sw_score_batch
+    from swtpu.ops.variants import best_engine
+    from swtpu.parallel.search import _search_step, all_vs_all_topk
+    from swtpu.utils import time_kernel
+
+    Nq, L, k = 16, 128, 10
+    C = 512 if quick else 2048
+    rng = np.random.default_rng(10000)
+    Q = rng.integers(0, 4, size=(Nq, L)).astype(np.uint8)
+    T = rng.integers(0, 4, size=(C, L)).astype(np.uint8)
+    engine = best_engine(DNA_111)
+    step = _search_step(engine, "bench", Nq, L, C, L, k, k, Nt=C)
+    state_s = jnp.full((Nq, k), -1, jnp.int32)
+    state_i = jnp.full((Nq, k), np.iinfo(np.int32).max, jnp.int32)
+    per = time_kernel(
+        lambda q, t, ss, si, c0: step(q, t, ss, si, c0)[0],
+        (jnp.asarray(Q), jnp.asarray(T), state_s, state_i, jnp.int32(0)),
+    )
+    pairs = Nq * C
+    gcups = pairs * L * L / per / 1e9
+
+    # parity: streaming loop (tail chunk + resume state) vs brute force
+    sp, ip = all_vs_all_topk(
+        Q, T[: C - C // 4 + 3], DNA_111, k=k, chunk_size=C // 4,
+        engine=engine,
+    )
+    Tsub = T[: C - C // 4 + 3]
+    ref = np.stack(
+        [
+            sw_score_batch(
+                np.repeat(Q[i : i + 1], len(Tsub), 0), Tsub, DNA_111
+            )
+            for i in range(Nq)
+        ]
+    )
+    rids = np.arange(len(Tsub))[None, :].repeat(Nq, 0)
+    order = np.lexsort((rids, -ref), axis=1)[:, :k]
+    parity = bool(
+        np.array_equal(ip, order)
+        and np.array_equal(
+            sp, np.take_along_axis(ref, order, axis=1).astype(np.int32)
+        )
+    )
+
+    rec = dict(
+        kernel="search_step_fused", queries=Nq, chunk=C, topk=k,
+        wall_ms=round(per * 1e3, 3),
+        aln_per_s=round(pairs / per),
+        gcups=round(gcups, 1), parity=parity,
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"search_step_fused: {per*1e3:.3f} ms / {pairs} pairs "
+        f"= {pairs/per/1e6:.2f} M aln/s ({gcups:.1f} GCUPS), "
+        f"parity={parity}"
+    )
+    print("JSON:", json.dumps(rec))
+    return [rec]
+
+
 def forever(variant_name: str):
     """Infinite loop of one kernel for external profilers (≙ InfinitySW,
     source.cpp:3149-3170). Ctrl-C to stop."""
@@ -804,7 +875,7 @@ def main():
         default="all",
         choices=[
             "all", "sw", "semiglobal", "semiglobal_full", "affine",
-            "protein", "swissprot", "unpack", "varlen", "dist",
+            "protein", "swissprot", "unpack", "varlen", "dist", "search",
         ],
     )
     ap.add_argument(
@@ -842,6 +913,8 @@ def main():
         results += bench_protein_swissprot(args.quick)
     if args.suite in ("all", "varlen"):
         results += bench_varlen(args.quick)
+    if args.suite in ("all", "search"):
+        results += bench_search(args.quick)
     if args.suite in ("all", "unpack"):
         results += bench_unpack(args.quick)
     json.dump(results, sys.stdout, indent=1)

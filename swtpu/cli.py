@@ -304,7 +304,11 @@ def cmd_search(args):
         k=args.topk,
         chunk_size=args.chunk,
         checkpoint=ckpt,
-        log=log.emit if args.verbose else None,
+        # the search loop emits pre-serialized JSON lines; re-structure
+        # them into RunLog records (adds the ts field)
+        log=(lambda line: log.emit(**json.loads(line)))
+        if args.verbose
+        else None,
     )
     for i, name in enumerate(qn):
         hits = [

@@ -87,15 +87,71 @@ def _merge_topk(
     )
 
 
-def _score_chunk(queries_dev, chunk_dev, params, engine):
-    """Scores [Nq, C] of every query against every chunk target."""
-    Nq = queries_dev.shape[0]
-    C = chunk_dev.shape[0]
-    n = queries_dev.shape[1]
-    m = chunk_dev.shape[1]
-    qs = jnp.broadcast_to(queries_dev[:, None, :], (Nq, C, n)).reshape(-1, n)
-    ts = jnp.broadcast_to(chunk_dev[None, :, :], (Nq, C, m)).reshape(-1, m)
-    return engine(qs, ts).reshape(Nq, C)
+_SEARCH_STEP_CACHE: dict = {}
+_ID_SENTINEL = np.iinfo(np.int32).max
+
+
+def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt):
+    """Jitted per-chunk search step: score the chunk, reduce it to its
+    top-kk on device, and merge into the running [Nq, k] state — all in
+    one executable, so the host loop moves only the chunk itself (and,
+    when checkpointing, the tiny state) across the device link. The merge
+    reproduces :func:`_merge_topk`'s deterministic order (score desc, id
+    asc) with two stable sorts; chunk-internal ties are safe because
+    lax.top_k prefers the lower index, which here is the lower target id.
+    Pad targets past the database end are masked by id (score -1 /
+    id INT32_MAX, the state sentinels)."""
+    cache_key = (engine_key, Nq, n, C, m, k, kk, Nt)
+    fn = _SEARCH_STEP_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+
+    @jax.jit
+    def step(qs_dev, chunk_dev, state_s, state_i, c0):
+        qq = jnp.broadcast_to(qs_dev[:, None, :], (Nq, C, n)).reshape(-1, n)
+        tt = jnp.broadcast_to(chunk_dev[None, :, :], (Nq, C, m)).reshape(-1, m)
+        scores = engine(qq, tt).reshape(Nq, C).astype(jnp.int32)
+        ids = c0 + jnp.arange(C, dtype=jnp.int32)
+        valid = ids < Nt
+        s = jnp.where(valid[None, :], scores, jnp.int32(-1))
+        ids_m = jnp.where(valid, ids, jnp.int32(_ID_SENTINEL))
+        cs, cidx = jax.lax.top_k(s, kk)
+        cid = jnp.take_along_axis(
+            jnp.broadcast_to(ids_m[None, :], (Nq, C)), cidx, axis=1
+        )
+        ms = jnp.concatenate([state_s, cs], axis=1)
+        mi = jnp.concatenate([state_i, cid], axis=1)
+        o1 = jnp.argsort(mi, axis=1, stable=True)
+        s1 = jnp.take_along_axis(ms, o1, axis=1)
+        i1 = jnp.take_along_axis(mi, o1, axis=1)
+        o2 = jnp.argsort(-s1, axis=1, stable=True)[:, :k]
+        return (
+            jnp.take_along_axis(s1, o2, axis=1),
+            jnp.take_along_axis(i1, o2, axis=1),
+        )
+
+    # the cache entry keeps the engine alive, which keeps the key stable
+    _SEARCH_STEP_CACHE[cache_key] = step
+    return step
+
+
+def _retry_or_raise(e, attempt, max_retries, cursor, log):
+    """Log a chunk failure; re-raise once retries are exhausted, otherwise
+    sleep with exponential backoff and return (caller loops)."""
+    if log is not None:
+        log(
+            json.dumps(
+                dict(
+                    event="search_chunk_retry",
+                    cursor=cursor,
+                    attempt=attempt,
+                    error=f"{type(e).__name__}: {e}"[:500],
+                )
+            )
+        )
+    if attempt == max_retries:
+        raise
+    time.sleep(0.5 * (2**attempt))  # simple backoff
 
 
 def all_vs_all_topk(
@@ -115,15 +171,29 @@ def all_vs_all_topk(
     the database (each host passes its own shard plus an id offset via
     `SearchCheckpoint`/caller bookkeeping; single-host: the whole DB).
     Returns (scores [Nq, k], target_ids [Nq, k]) int32/int64, deterministic.
+
+    The running top-k state lives ON DEVICE (per-chunk device top-k +
+    deterministic merge fused into one jitted step): the host loop only
+    streams the next chunk in, so throughput tracks the engine, not the
+    host<->device link. The state is functional, so a failed chunk retries
+    against the pre-chunk state. With ``max_retries=0`` and no checkpoint,
+    the loop never syncs per chunk and the device pipelines chunk uploads
+    behind compute (max-throughput mode: errors surface at the final
+    fetch); otherwise each chunk is synced so retry/checkpoint stay exact.
     """
     if engine is None:
         from swtpu.ops.variants import best_engine
 
         engine = best_engine(params)
+        engine_key = (
+            params.matrix.tobytes(), params.gap_open, params.gap_extend,
+        )
+    else:
+        engine_key = engine
 
     Nq, Nt = queries.shape[0], targets.shape[0]
     best_s = np.full((Nq, k), -1, np.int32)
-    best_i = np.full((Nq, k), np.iinfo(np.int32).max, np.int32)
+    best_i = np.full((Nq, k), _ID_SENTINEL, np.int32)
     start = 0
     if checkpoint is not None:
         state = checkpoint.load()
@@ -131,49 +201,56 @@ def all_vs_all_topk(
             start = state["cursor"]
             best_s, best_i = state["scores"], state["ids"]
 
+    kk = min(k, chunk_size)
+    t_pad = params.alphabet_size + 1
+    step = _search_step(
+        engine, engine_key, Nq, queries.shape[1], chunk_size,
+        targets.shape[1], k, kk, Nt,
+    )
+    sync = checkpoint is not None or max_retries > 0
+
     queries_dev = jax.device_put(queries)
+    state_s = jnp.asarray(best_s)
+    state_i = jnp.asarray(best_i)
+    step_succeeded = False  # becomes True after the first clean execution
     for c0 in range(start, Nt, chunk_size):
         chunk = targets[c0 : c0 + chunk_size]
-        # pad the tail chunk so compiled shapes stay constant
+        # pad the tail chunk so compiled shapes stay constant; pad rows
+        # are masked out by id (>= Nt) inside the step
         C = chunk.shape[0]
         if C < chunk_size:
             pad = np.full(
-                (chunk_size - C, chunk.shape[1]), 5, dtype=chunk.dtype
+                (chunk_size - C, chunk.shape[1]), t_pad, dtype=chunk.dtype
             )
             chunk = np.concatenate([chunk, pad])
         t0 = time.perf_counter()
         for attempt in range(max_retries + 1):
             try:
-                scores = np.asarray(
-                    _score_chunk(
-                        queries_dev, jax.device_put(chunk), params, engine
-                    )
+                new_s, new_i = step(
+                    queries_dev, jax.device_put(chunk), state_s, state_i,
+                    jnp.int32(c0),
                 )
+                if sync:
+                    new_s.block_until_ready()
+                state_s, state_i = new_s, new_i
+                step_succeeded = True
                 break
-            except (TypeError, ValueError, NotImplementedError):
-                # deterministic (trace/shape/config) errors: retrying the
-                # same executable cannot help
-                raise
-            except Exception as e:  # runtime/device/transport failures
-                if log is not None:
-                    log(
-                        json.dumps(
-                            dict(
-                                event="search_chunk_retry",
-                                cursor=c0,
-                                attempt=attempt,
-                                error=f"{type(e).__name__}: {e}"[:500],
-                            )
-                        )
-                    )
-                if attempt == max_retries:
+            except (TypeError, ValueError, NotImplementedError) as e:
+                # Before the step has ever executed cleanly these are
+                # deterministic trace/shape/config errors — retrying the
+                # same executable cannot help. AFTER a clean execution the
+                # same Python types can also carry genuine runtime faults
+                # (XLA maps some device/callback failures onto ValueError),
+                # so they fall through to the retry path below.
+                if not step_succeeded:
                     raise
-                time.sleep(0.5 * (2**attempt))  # simple backoff
-        scores = scores[:, :C]
-        ids = np.arange(c0, c0 + C, dtype=np.int32)[None, :].repeat(Nq, 0)
-        best_s, best_i = _merge_topk(best_s, best_i, scores, ids, k)
+                _retry_or_raise(e, attempt, max_retries, c0, log)
+            except Exception as e:  # runtime/device/transport failures
+                _retry_or_raise(e, attempt, max_retries, c0, log)
         if checkpoint is not None:
-            checkpoint.save(c0 + chunk_size, best_s, best_i)
+            checkpoint.save(
+                c0 + chunk_size, np.asarray(state_s), np.asarray(state_i)
+            )
         if log is not None:
             log(
                 json.dumps(
@@ -186,7 +263,7 @@ def all_vs_all_topk(
                     )
                 )
             )
-    return best_s, best_i
+    return np.asarray(state_s), np.asarray(state_i)
 
 
 _SHARDED_TOPK_CACHE: dict = {}

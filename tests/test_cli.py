@@ -95,6 +95,12 @@ def test_cli_search(fastas):
     for r in recs:
         ss = [h["score"] for h in r["hits"]]
         assert ss == sorted(ss, reverse=True)
+    # --verbose routes the search loop's JSON lines through RunLog
+    recs_v = _run(
+        ["search", "--queries", q, "--targets", t, "--topk", "2",
+         "--chunk", "2", "--verbose"]
+    )
+    assert recs_v == recs
 
 
 def test_cli_selftest():

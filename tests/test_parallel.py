@@ -84,21 +84,46 @@ def test_search_checkpoint_resume(rng):
 
 
 def test_chunk_retry_on_transient_failure(rng):
-    """A flaky engine succeeds on retry and the result is unaffected."""
+    """A fault at *runtime* (not trace time — the engine is traced once
+    into the fused search step) is retried and the result is unaffected.
+    The fault is injected through a pure_callback so it fires inside the
+    compiled executable on the second chunk's execution."""
+    import jax
+    import jax.numpy as jnp
+
     Q = random_dna(rng, (2, 48))
     T = random_dna(rng, (16, 48))
     calls = {"n": 0}
 
-    def flaky(q, t):
+    def fault_once(x):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected fault")
-        return sw_batch_diag(q, t, DNA_111)
+        return x
+
+    def flaky(q, t):
+        s = sw_batch_diag(q, t, DNA_111)
+        return jax.pure_callback(
+            fault_once, jax.ShapeDtypeStruct(s.shape, s.dtype), s
+        )
 
     s, i = all_vs_all_topk(Q, T, DNA_111, k=3, chunk_size=8, engine=flaky)
+    assert calls["n"] >= 3  # chunk 1 ok, chunk 2 faulted then retried
     good = lambda q, t: sw_batch_diag(q, t, DNA_111)
     s2, i2 = all_vs_all_topk(Q, T, DNA_111, k=3, chunk_size=8, engine=good)
     assert np.array_equal(s, s2) and np.array_equal(i, i2)
+
+
+def test_search_tail_chunk_padding(rng):
+    """Nt not divisible by chunk_size: the tail chunk is padded on device
+    and the pad targets' hits are masked out of the merge."""
+    Q = random_dna(rng, (3, 56))
+    T = random_dna(rng, (21, 56))  # 8 + 8 + tail of 5
+    engine = lambda q, t: sw_batch_diag(q, t, DNA_111)
+    s, i = all_vs_all_topk(Q, T, DNA_111, k=6, chunk_size=8, engine=engine)
+    rs, ri = _brute_topk(Q, T, DNA_111, 6)
+    assert np.array_equal(s, rs) and np.array_equal(i, ri)
+    assert (i < len(T)).all()
 
 
 def test_sharded_topk_uneven_db_and_affine(rng):
