@@ -70,9 +70,36 @@ def _scoring(args):
     return ScoringParams.linear(mat, args.gap)
 
 
+def _emit_sam(names, qs, ts, ql, tl, alphabet, results):
+    """Print SAM 1.6 (header + one record per pair) for an iterable of
+    (score, path) results; pair names 'q|t' split into QNAME/RNAME."""
+    from swtpu.core.sam import sam_header, sam_record
+
+    qn = [n.split("|", 1)[0] for n in names]
+    tn = [
+        n.split("|", 1)[1] if "|" in n else f"{n}:target" for n in names
+    ]
+    print(sam_header(list(zip(tn, [int(x) for x in tl]))))
+    for k, (score, path) in enumerate(results):
+        print(
+            sam_record(
+                qn[k], tn[k], qs[k], ts[k], score, path, alphabet,
+                query_len=int(ql[k]),
+            )
+        )
+
+
 def cmd_align(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     params = _scoring(args)
+    if args.sam:
+        from swtpu.batch import sw_align_batch
+
+        _emit_sam(
+            names, qs, ts, ql, tl, args.alphabet,
+            sw_align_batch(qs, ts, params),
+        )
+        return
     if args.traceback or args.cigar:
         from swtpu.batch import sw_align_batch
 
@@ -125,6 +152,9 @@ def cmd_semiglobal(args):
             gap_open=args.gap_open,
             gap_extend=args.gap_extend if args.gap_open is not None else None,
         )
+    if args.sam:
+        _emit_sam(names, qs, ts, ql, tl, args.alphabet, out)
+        return
     for k, (name, (score, path)) in enumerate(zip(names, out)):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:
@@ -147,12 +177,15 @@ def cmd_banded(args):
         import jax
 
         params = _scoring(args)
-        if args.traceback or args.cigar:
+        if args.traceback or args.cigar or args.sam:
             from swtpu.batch.traceback import banded_static_align_batch
 
             out = banded_static_align_batch(
                 qs, ts, params, bandwidth=args.bandwidth
             )
+            if args.sam:
+                _emit_sam(names, qs, ts, ql, tl, args.alphabet, out)
+                return
             for k, (name, (score, path)) in enumerate(zip(names, out)):
                 rec = dict(pair=name, score=score)
                 if args.traceback:
@@ -212,6 +245,9 @@ def cmd_banded(args):
         gap_extend=args.gap_extend if args.gap_open is not None else None,
         matrix=_scoring(args).matrix if args.alphabet == "protein" else None,
     )
+    if args.sam:
+        _emit_sam(names, qs, ts, ql, tl, args.alphabet, out)
+        return
     for k, (name, (score, path)) in enumerate(zip(names, out)):
         rec = dict(pair=name, score=score, start=path[0], end=path[-1])
         if args.traceback:
@@ -235,6 +271,7 @@ def cmd_longpair(args):
     params = _scoring(args)
     n_dev = args.devices or len(jax.devices())
     mesh = make_mesh(n_dev, axis="sp")
+    sam_rows = []  # (name, trimmed q, trimmed t, score, path)
     for name, q, t, lq, lt in zip(names, qs, ts, ql, tl):
         q, t = q[:lq], t[:lt]
         # strip/block divisibility: trim to the mesh/block grid
@@ -262,10 +299,13 @@ def cmd_longpair(args):
                 file=sys.stderr,
             )
             t = t[:new_lt]
-        if args.traceback or args.cigar:
+        if args.traceback or args.cigar or args.sam:
             score, path = longpair_sw_align(
                 q, t, params, mesh, block=args.block
             )
+            if args.sam:
+                sam_rows.append((name, q, t, score, path))
+                continue
             rec = dict(pair=name, score=score)
             if args.traceback:
                 rec["path"] = path
@@ -277,6 +317,16 @@ def cmd_longpair(args):
         else:
             score = longpair_sw_score(q, t, params, mesh, block=args.block)
             print(json.dumps(dict(pair=name, score=score)))
+    if sam_rows:
+        _emit_sam(
+            [r[0] for r in sam_rows],
+            [r[1] for r in sam_rows],
+            [r[2] for r in sam_rows],
+            [len(r[1]) for r in sam_rows],
+            [len(r[2]) for r in sam_rows],
+            args.alphabet,
+            [(r[3], r[4]) for r in sam_rows],
+        )
 
 
 def cmd_search(args):
@@ -562,7 +612,7 @@ def cmd_selftest(args):
     from swtpu.fuzz import run_fuzz
 
     try:
-        run_fuzz(minutes=30, max_rounds=8, log=None, save_dir=None,
+        run_fuzz(minutes=30, max_rounds=10, log=None, save_dir=None,
                  pairs_per_round=256)
         checks.append(("fuzz_soak_short", True))
     except AssertionError:
@@ -634,6 +684,12 @@ def build_parser():
             help="emit a SAM-style extended CIGAR (=/X/I/D, soft clips "
             "for local alignments) derived from the traceback path",
         )
+        p.add_argument(
+            "--sam",
+            action="store_true",
+            help="emit full SAM 1.6 records (header + one line per pair, "
+            "AS/NM tags) instead of JSON; implies traceback",
+        )
 
     p = sub.add_parser("align", help="local (Smith-Waterman) alignment")
     common(p)
@@ -701,7 +757,7 @@ def build_parser():
                    help="pairs per round")
     p.add_argument("--families", default=None,
                    help="comma list: uniform,tie_rich,general4,affine,"
-                   "protein,semiglobal,banded,fixed_band")
+                   "protein,semiglobal,banded,fixed_band,search,cigar")
     p.add_argument("--save-dir", default="fuzz_failures",
                    help="where to write .npz repros on mismatch")
     p.add_argument("--interpret", action="store_true",

@@ -10,7 +10,8 @@ through every engine tier and counts mismatches against the tier's oracle.
 Design:
 - Each round draws a config from a rotating family list (uniform DNA,
   tie-rich scoring, general 4x4 matrix, affine, protein/BLOSUM62,
-  semi-global, banded mutation-model), generates a fresh batch from
+  semi-global, banded mutation-model, fixed-band, streaming-search
+  top-k merge, CIGAR/score re-derivation), generates a fresh batch from
   ``seed + round`` (reproducible: any failing round can be re-run alone),
   and differential-tests all applicable engines.
 - Local families use the *vectorized* numpy oracle full-batch (the
@@ -303,6 +304,109 @@ def _round_fixed_band(rng, stats, rnd, B, use_pallas, save_dir):
     stats.cells += B * (2 * W + 1) * L
 
 
+def _round_search(rng, stats, rnd, use_pallas, save_dir):
+    """Streaming all-vs-all top-k (device-resident merge state) vs a
+    brute-force numpy rescore, incl. the deterministic tie order
+    (score desc, id asc) and the padded tail chunk. Geometry comes from
+    a fixed 2-entry palette so compiled step shapes amortize across the
+    soak."""
+    from swtpu.parallel.search import all_vs_all_topk
+
+    Nq, L, Nt, chunk, k = [(4, 64, 37, 16, 5), (3, 48, 24, 8, 8)][
+        int(rng.integers(2))
+    ]
+    # tie-rich (2,-1,1) on half the rounds: merge tie order is spec
+    ma, mi, g = (2, -1, 1) if rng.integers(2) else (1, -1, 1)
+    params = ScoringParams.linear(dna_matrix(ma, mi), g)
+    Q = random_dna(rng, (Nq, L))
+    T = random_dna(rng, (Nt, L))
+    got_s, got_i = all_vs_all_topk(Q, T, params, k=k, chunk_size=chunk)
+    ref = np.stack(
+        [
+            _oracle_local(np.repeat(Q[b : b + 1], Nt, 0), T, params)
+            for b in range(Nq)
+        ]
+    )
+    ids = np.arange(Nt)[None, :].repeat(Nq, 0)
+    order = np.lexsort((ids, -ref), axis=1)[:, :k]
+    want_s = np.take_along_axis(ref, order, axis=1).astype(np.int64)
+    if not (
+        np.array_equal(got_i.astype(np.int64), order)
+        and np.array_equal(got_s.astype(np.int64), want_s)
+    ):
+        _record_failure(
+            stats, "search", rnd,
+            f"top-{k} mismatch (Nq={Nq} Nt={Nt} chunk={chunk} "
+            f"scoring=({ma},{mi},{g}))",
+            dict(Q=Q, T=T, matrix=params.matrix, gap=np.array([g]),
+                 k=np.array([k]), chunk=np.array([chunk])), save_dir,
+        )
+    stats.pairs += Nq * Nt
+    stats.cells += Nq * Nt * L * L
+
+
+def _round_cigar(rng, stats, rnd, use_pallas, save_dir):
+    """Traceback path -> CIGAR -> independent score re-derivation.
+    sw_align_batch paths are re-walked column by column (matrix score per
+    =/X/M, linear or Gotoh gap-run costs for I/D runs) and the re-derived
+    score must equal the engine score; CIGAR op counts must consume
+    exactly the query (soft clips included) and the path's target span."""
+    from swtpu.batch.traceback import sw_align_batch
+    from swtpu.core.cigar import cigar_stats, path_to_cigar
+
+    B, n, m = 8, 64, 80
+    affine = bool(rng.integers(2))
+    params = (
+        ScoringParams(dna_matrix(2, -1), gap_open=3, gap_extend=1)
+        if affine
+        else ScoringParams.linear(dna_matrix(2, -1), 1)
+    )
+    qs = random_dna(rng, (B, n))
+    # mutation-model on half the rounds: long homologous paths with runs
+    if rng.integers(2):
+        ts = np.stack([mutate(rng, qs[b], out_len=m) for b in range(B)])
+    else:
+        ts = random_dna(rng, (B, m))
+    for b, (score, path) in enumerate(
+        sw_align_batch(qs, ts, params)
+    ):
+        cg = path_to_cigar(path, qs[b], ts[b], query_len=n)
+        st = cigar_stats(cg)
+        # consumption invariants
+        ok = st["query_consumed"] == n
+        if len(path) >= 2:
+            ok = ok and st["target_consumed"] == path[-1][1] - path[0][1]
+        # independent score re-derivation from the path
+        rescore = 0
+        run = None  # current gap-run op or None
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            if i1 > i0 and j1 > j0:
+                rescore += int(
+                    params.matrix[qs[b][i1 - 1], ts[b][j1 - 1]]
+                )
+                run = None
+            else:
+                op = "I" if i1 > i0 else "D"
+                rescore -= int(
+                    params.gap_extend
+                    + (0 if run == op else params.gap_open - params.gap_extend)
+                    if not params.is_linear
+                    else params.gap
+                )
+                run = op
+        ok = ok and rescore == int(score)
+        if not ok:
+            _record_failure(
+                stats, "cigar", rnd,
+                f"pair {b}: cigar={cg} stats={st} rescore={rescore} "
+                f"score={int(score)} ({'affine' if affine else 'linear'})",
+                dict(qs=qs, ts=ts, matrix=params.matrix,
+                     go=params.gap_open, ge=params.gap_extend), save_dir,
+            )
+    stats.pairs += B
+    stats.cells += B * n * m
+
+
 def run_fuzz(
     minutes: float = 1.0,
     seed: int = 10000,
@@ -322,6 +426,7 @@ def run_fuzz(
     all_families = [
         "uniform", "tie_rich", "general4", "affine",
         "protein", "semiglobal", "banded", "fixed_band",
+        "search", "cigar",
     ]
     families = families or all_families
     for f in families:
@@ -381,6 +486,10 @@ def run_fuzz(
             _round_fixed_band(
                 rng, stats, rnd, max(B // 8, 16), use_pallas, save_dir
             )
+        elif fam == "search":
+            _round_search(rng, stats, rnd, use_pallas, save_dir)
+        elif fam == "cigar":
+            _round_cigar(rng, stats, rnd, use_pallas, save_dir)
         stats.rounds = rnd = rnd + 1
         if log and rnd % 20 == 0:
             log(

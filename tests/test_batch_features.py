@@ -112,7 +112,7 @@ def test_fuzz_short_all_families():
     from swtpu.fuzz import run_fuzz
 
     stats = run_fuzz(
-        minutes=30, max_rounds=8, pairs_per_round=96, save_dir=None,
+        minutes=30, max_rounds=10, pairs_per_round=96, save_dir=None,
         log=None,
     )
-    assert stats.rounds == 8 and stats.mismatches == 0
+    assert stats.rounds == 10 and stats.mismatches == 0

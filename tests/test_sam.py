@@ -1,0 +1,109 @@
+"""SAM emission: header/record fields, soft clips, AS/NM tags, unmapped
+records, and the CLI --sam surface (align / semiglobal / banded)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from swtpu.core import random_dna
+from swtpu.core.cigar import cigar_stats
+from swtpu.core.sam import sam_header, sam_record
+
+
+def test_sam_header_dedup():
+    h = sam_header([("t0", 64), ("t1", 48), ("t0", 64)])
+    lines = h.split("\n")
+    assert lines[0] == "@HD\tVN:1.6\tSO:unknown"
+    assert lines[1] == "@SQ\tSN:t0\tLN:64"
+    assert lines[2] == "@SQ\tSN:t1\tLN:48"
+    assert lines[3].startswith("@PG\t")
+    assert len(lines) == 4
+
+
+def test_sam_record_fields():
+    # q = ACGT aligned to t = AGGT at target offset 2: path anchored at
+    # (0, 2), 4 diagonal steps, one mismatch (C vs G)
+    q = np.array([0, 1, 2, 3], np.uint8)
+    t = np.array([3, 3, 0, 2, 2, 3], np.uint8)
+    path = [(0, 2), (1, 3), (2, 4), (3, 5), (4, 6)]
+    rec = sam_record("q0", "t0", q, t, score=5, path=path).split("\t")
+    assert rec[0] == "q0" and rec[1] == "0" and rec[2] == "t0"
+    assert rec[3] == "3"  # 1-based POS
+    assert rec[5] == "1=1X2="
+    assert rec[9] == "ACGT"
+    assert rec[11] == "AS:i:5" and rec[12] == "NM:i:1"
+
+
+def test_sam_record_soft_clips_and_nm():
+    rng = np.random.default_rng(10000)
+    q = random_dna(rng, (32,))
+    t = random_dna(rng, (40,))
+    # aligned window rows 4..10 (6 columns), with one insertion
+    path = [(4, 7), (5, 8), (6, 9), (7, 9), (8, 10), (9, 11), (10, 12)]
+    rec = sam_record("q", "t", q, t, score=9, path=path).split("\t")
+    st = cigar_stats(rec[5])
+    assert st["query_consumed"] == 32
+    assert st["clipped"] == 4 + 22
+    assert st["insertions"] == 1
+    assert rec[3] == "8"
+    assert rec[12] == f"NM:i:{st['mismatches'] + 1}"
+
+
+def test_sam_record_unmapped():
+    q = np.array([0, 1, 2], np.uint8)
+    rec = sam_record("q0", "t0", q, q, score=0, path=[]).split("\t")
+    assert rec[1] == "4" and rec[2] == "*" and rec[3] == "0"
+    assert rec[5] == "*" and rec[9] == "ACG"
+
+
+def _run_sam(cli_args):
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            f"import sys; sys.argv=['swtpu']+{cli_args!r};"
+            "from swtpu.cli import main; main()",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout.strip().split("\n")
+
+
+@pytest.mark.parametrize(
+    "cmd",
+    [
+        ["align", "--random", "3x48x64", "--sam"],
+        ["semiglobal", "--random", "2x48x64", "--sam"],
+        ["banded", "--random", "2x100x100", "--sam"],
+    ],
+)
+def test_cli_sam(cmd):
+    lines = _run_sam(cmd)
+    n_pairs = int(cmd[2].split("x")[0])
+    hdr = [l for l in lines if l.startswith("@")]
+    body = [l for l in lines if not l.startswith("@")]
+    assert hdr[0].startswith("@HD") and len(body) == n_pairs
+    assert sum(1 for l in hdr if l.startswith("@SQ")) == n_pairs
+    # cross-check each record against the JSON traceback output
+    json_lines = _run_sam(cmd[:-1] + ["--traceback", "--cigar"])
+    recs = [json.loads(l) for l in json_lines]
+    for sam_line, rec in zip(body, recs):
+        f = sam_line.split("\t")
+        assert f"AS:i:{rec['score']}" in f
+        path = rec["path"]
+        if len(path) >= 2:
+            assert int(f[3]) == path[0][1] + 1
+            # align emits soft-clipped local cigars; semiglobal/banded
+            # JSON cigars omit clips — compare the clip-stripped core
+            st_sam = cigar_stats(f[5])
+            st_json = cigar_stats(rec["cigar"])
+            for key in ("aligned_columns", "insertions", "deletions",
+                        "matches", "mismatches"):
+                assert st_sam[key] == st_json[key]
