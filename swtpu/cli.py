@@ -342,9 +342,11 @@ def cmd_search(args):
         T = rng.integers(0, 4, size=(nt, L)).astype(np.uint8)
         qn = [f"q{i}" for i in range(nq)]
         tn = [f"t{i}" for i in range(nt)]
+        ql = np.full(nq, L)
+        tl = np.full(nt, L)
     else:
-        qn, Q, _ = load_fasta_batch(args.queries, args.alphabet, pad_code=4)
-        tn, T, _ = load_fasta_batch(args.targets, args.alphabet, pad_code=5)
+        qn, Q, ql = load_fasta_batch(args.queries, args.alphabet, pad_code=4)
+        tn, T, tl = load_fasta_batch(args.targets, args.alphabet, pad_code=5)
     log = RunLog()
     ckpt = SearchCheckpoint(args.checkpoint) if args.checkpoint else None
     scores, ids = all_vs_all_topk(
@@ -360,6 +362,51 @@ def cmd_search(args):
         if args.verbose
         else None,
     )
+    if args.sam or args.cigar or args.traceback:
+        # BLAST-like end-to-end: traceback every surviving (query, hit)
+        # pair in one batched device pass and emit alignments
+        from swtpu.batch import sw_align_batch
+
+        pi = [
+            i
+            for i in range(len(qn))
+            for s in scores[i]
+            if s >= 0
+        ]
+        pj = [int(j) for i in range(len(qn))
+              for s, j in zip(scores[i], ids[i]) if s >= 0]
+        aligned = (
+            sw_align_batch(Q[pi], T[pj], params) if pi else []
+        )
+        if args.sam:
+            from swtpu.core.sam import sam_header, sam_record
+
+            print(
+                sam_header([(tn[j], int(tl[j])) for j in sorted(set(pj))])
+            )
+            for (i, j), (score, path) in zip(zip(pi, pj), aligned):
+                print(
+                    sam_record(
+                        qn[i], tn[j], Q[i], T[j], score, path,
+                        args.alphabet, query_len=int(ql[i]),
+                    )
+                )
+            return
+        out = {i: [] for i in range(len(qn))}
+        for (i, j), (score, path) in zip(zip(pi, pj), aligned):
+            hit = dict(target=tn[j], score=int(score))
+            if args.traceback:
+                hit["path"] = path
+            if args.cigar:
+                from swtpu.core.cigar import path_to_cigar
+
+                hit["cigar"] = path_to_cigar(
+                    path, Q[i], T[j], query_len=int(ql[i])
+                )
+            out[i].append(hit)
+        for i, name in enumerate(qn):
+            print(json.dumps(dict(query=name, hits=out[i])))
+        return
     for i, name in enumerate(qn):
         hits = [
             dict(target=tn[j] if j < len(tn) else int(j), score=int(s))

@@ -76,6 +76,38 @@ def _run_sam(cli_args):
     return r.stdout.strip().split("\n")
 
 
+def test_cli_search_sam_and_cigar():
+    """search --sam: one record per surviving hit, ranked per query;
+    search --cigar: hits gain rescored alignments."""
+    lines = _run_sam(
+        ["search", "--random", "3x12x48", "--topk", "2", "--sam"]
+    )
+    body = [l for l in lines if not l.startswith("@")]
+    assert len(body) == 6  # 3 queries x 2 hits
+    for l in body:
+        f = l.split("\t")
+        assert f[2].startswith("t") and f[5] != "*"
+        assert any(x.startswith("AS:i:") for x in f[11:])
+    json_lines = _run_sam(
+        ["search", "--random", "3x12x48", "--topk", "2", "--cigar"]
+    )
+    recs = [json.loads(l) for l in json_lines]
+    assert len(recs) == 3
+    # rescored traceback scores match the device top-k scores
+    plain = [
+        json.loads(l)
+        for l in _run_sam(["search", "--random", "3x12x48", "--topk", "2"])
+    ]
+    for r, p in zip(recs, plain):
+        assert [h["score"] for h in r["hits"]] == [
+            h["score"] for h in p["hits"]
+        ]
+        assert [h["target"] for h in r["hits"]] == [
+            h["target"] for h in p["hits"]
+        ]
+        assert all("cigar" in h for h in r["hits"])
+
+
 @pytest.mark.parametrize(
     "cmd",
     [
