@@ -275,7 +275,7 @@ def cmd_longpair(args):
     for name, q, t, lq, lt in zip(names, qs, ts, ql, tl):
         q, t = q[:lq], t[:lt]
         # strip/block divisibility: trim to the mesh/block grid
-        if len(q) < n_dev or len(t) < args.block:
+        if len(q) < n_dev or len(t) < (args.block or 1):
             raise SystemExit(
                 f"longpair needs len(q) >= devices ({n_dev}) and len(t) >="
                 f" --block ({args.block}); got {len(q)}x{len(t)} for"
@@ -290,18 +290,25 @@ def cmd_longpair(args):
                 file=sys.stderr,
             )
             q = q[:new_lq]
-        if len(t) % args.block:
-            new_lt = len(t) - len(t) % args.block
+        block = args.block
+        if block is None:
+            # auto: the step-count-optimal divisor of len(t) — always
+            # divides, so the target is never trimmed
+            from swtpu.parallel.longpair import _auto_block
+
+            block = _auto_block(len(q), len(t), n_dev)
+        elif len(t) % block:
+            new_lt = len(t) - len(t) % block
             print(
                 f"warning: {name}: target trimmed {len(t)} -> {new_lt} to a"
-                f" multiple of --block ({args.block}); reported score is for"
+                f" multiple of --block ({block}); reported score is for"
                 " the TRIMMED pair",
                 file=sys.stderr,
             )
             t = t[:new_lt]
         if args.traceback or args.cigar or args.sam:
             score, path = longpair_sw_align(
-                q, t, params, mesh, block=args.block
+                q, t, params, mesh, block=block
             )
             if args.sam:
                 sam_rows.append((name, q, t, score, path))
@@ -315,7 +322,7 @@ def cmd_longpair(args):
                 rec["cigar"] = path_to_cigar(path, q, t, query_len=len(q))
             print(json.dumps(rec))
         else:
-            score = longpair_sw_score(q, t, params, mesh, block=args.block)
+            score = longpair_sw_score(q, t, params, mesh, block=block)
             print(json.dumps(dict(pair=name, score=score)))
     if sam_rows:
         _emit_sam(
@@ -769,7 +776,11 @@ def build_parser():
         "longpair", help="one long pair, sequence-parallel over the mesh"
     )
     common(p)
-    p.add_argument("--block", type=int, default=256)
+    p.add_argument(
+        "--block", type=int, default=None,
+        help="column-block width (default: auto — the step-count-optimal "
+        "divisor of the trimmed target length)",
+    )
     p.add_argument(
         "--devices", type=int, default=None,
         help="mesh size (default: all local devices)",

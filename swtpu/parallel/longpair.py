@@ -35,19 +35,39 @@ from swtpu.core.scoring import ScoringParams
 NEGB = -(2**20)  # "outside the tile" marker
 
 
-def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
+def _tile_profile(q_slot, table):
+    """[R+1, stride] per-slot substitution profile: one gather per TILE
+    instead of one per diagonal step (per-step gathers from a tiny table
+    were the measured pathology behind the colscan rewrite — selects
+    fuse, gathers don't)."""
+    return table[q_slot]
+
+
+def _prof_select(prof, t_diag, n_codes):
+    """s[i] = prof[i, t_diag[i]] via a select tree over the n_codes real
+    alphabet codes (≙ sw_scan._prof_scores for the unbatched tile shape).
+    Every extended-table column >= n_codes (pads / ghosts) is all-NEG, so
+    the fall-through prof[:, -1] is exact for codes the tree skips."""
+    s = prof[:, -1]
+    for c in range(n_codes):
+        s = jnp.where(t_diag == c, prof[:, c], s)
+    return s
+
+
+def _tile_scan(q, t, top_row, left_col, corner, table, n_codes, gap):
     """One R x C tile of linear-gap local SW with explicit boundaries.
 
     q: [R] strip chars; t: [C] block chars (int32, alphabet codes);
     top_row: [C] = H[i0-1, j0 .. j0+C-1] (row above the tile);
     left_col: [R] = H[i0 .. i0+R-1, j0-1] (column left of the tile);
-    corner: H[i0-1, j0-1]; flat_table: [stride*stride] extended
-    substitution scores (ghost/pad indices score _NEG, see
-    sw_scan._extended_table).
+    corner: H[i0-1, j0-1]; table: [stride, stride] extended substitution
+    scores (ghost/pad indices score _NEG, see sw_scan._extended_table);
+    n_codes: real alphabet size (select-tree bound).
     Returns (bottom_row [C], right_col [R], best) where bottom_row is the
     tile's last row and right_col its last column.
     """
     R, C = q.shape[0], t.shape[0]
+    stride = table.shape[0]
     iota = jnp.arange(R + 1)
 
     # Slot vector over i in [0, R]: slot 0 carries the top boundary row;
@@ -64,7 +84,7 @@ def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
             jnp.full((R + 1,), ghost_t, jnp.int32),
         ]
     )
-    qi = q_slot * stride  # fixed row offsets into flat_table
+    prof = _tile_profile(q_slot, table)  # [R+1, stride]
     # extended left boundary: index i gives H[i0-1+i, j0-1]
     left_ext = jnp.concatenate([corner[None], left_col])  # [R+1]
     # extended top boundary: index j gives H[i0-1, j0-1+j]
@@ -76,11 +96,18 @@ def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
     big = jnp.int32(1 << 30)
 
     def step(carry, d):
-        prev1, prev2, best, bi, bj = carry
+        # No per-step reductions or dynamic extracts: the tile argmax is
+        # deferred to a per-slot running max (strict '>' keeps the
+        # earliest = smallest-j hit per slot; the final min-slot pick
+        # reproduces the row-major-first rule), and the right column is
+        # captured by a masked select (slot i holds cell (i, C) exactly
+        # at diagonal d = C + i). Only the bottom row rides the scan
+        # output, via a static slot-R extract.
+        prev1, prev2, best_vec, bestj_vec, right_vec = carry
         # chars for slot i: t[(d - i) - 1] = t_rev[C - d + i]
         off = C - d + R + 1
         t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
-        s = jnp.take(flat_table, qi + t_diag, axis=0)
+        s = _prof_select(prof, t_diag, n_codes)
 
         shift1 = lambda x: jnp.concatenate(
             [jnp.array([NEGB], jnp.int32), x[:-1]]
@@ -111,37 +138,38 @@ def _tile_scan(q, t, top_row, left_col, corner, flat_table, stride, gap):
             (iota > 0) & ((j_of < 1) | (j_of > C)), NEGB, cur
         )
         masked = jnp.where(iota > 0, cur, NEGB)
-        vmax = masked.max()
-        # tile-local argmax, row-major-first (same rule as the batch
-        # ends engines: within a diag min slot; across diags strictly
-        # greater or equal-at-smaller-row)
-        i_at = jnp.where(masked == vmax, iota, big).min()
-        upd = (vmax > best) | ((vmax == best) & (i_at < bi))
-        best = jnp.where(upd, vmax, best)
-        bi = jnp.where(upd, i_at, bi)
-        bj = jnp.where(upd, d - i_at, bj)
+        upd = masked > best_vec
+        best_vec = jnp.where(upd, masked, best_vec)
+        bestj_vec = jnp.where(upd, j_of, bestj_vec)
+        right_vec = jnp.where(iota == d - C, cur, right_vec)
         bottom = jax.lax.dynamic_index_in_dim(cur, R, keepdims=False)
-        right = jax.lax.dynamic_index_in_dim(
-            cur, jnp.clip(d - C, 0, R), keepdims=False
-        )
-        return (cur, prev1, best, bi, bj), (bottom, right)
+        return (cur, prev1, best_vec, bestj_vec, right_vec), bottom
 
     init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
-    (_, _, best, bi, bj), (bots, rights) = jax.lax.scan(
+    zeros_vec = jnp.zeros((R + 1,), jnp.int32)
+    (_, _, best_vec, bestj_vec, right_vec), bots = jax.lax.scan(
         step,
-        (init_vec, init_vec, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        (init_vec, init_vec, init_vec, zeros_vec, init_vec),
         jnp.arange(1, R + C + 1),
     )
+    # tile argmax, row-major-first: max value, then smallest slot (= row),
+    # then the per-slot earliest (= smallest-j) hit recorded above
+    vmax = best_vec.max()
+    i_at = jnp.where(best_vec == vmax, iota, big).min()
+    bj = jax.lax.dynamic_index_in_dim(bestj_vec, i_at, keepdims=False)
+    zero = vmax <= 0  # all-zero tile: report (0, 0, 0) like before
+    best = jnp.maximum(vmax, 0)
+    bi = jnp.where(zero, 0, i_at)
+    bj = jnp.where(zero, 0, bj)
     # bottom_row[j-1] = H[R, j] emitted at diagonal d = R + j
     bottom_row = jax.lax.dynamic_slice_in_dim(bots, R, C)
-    # right_col[i-1] = H[i, C] emitted at diagonal d = C + i
-    right_col = jax.lax.dynamic_slice_in_dim(rights, C, R)
+    right_col = right_vec[1:]
     return bottom_row, right_col, best, bi, bj
 
 
 def _tile_scan_affine(
     q, t, top_row, top_row_f, left_col, left_col_e, corner,
-    flat_table, stride, go, ge,
+    table, n_codes, go, ge,
 ):
     """One R x C tile of AFFINE (Gotoh) local SW with explicit boundaries.
 
@@ -152,6 +180,7 @@ def _tile_scan_affine(
     (bottom_row, bottom_row_f, right_col, right_col_e, best).
     """
     R, C = q.shape[0], t.shape[0]
+    stride = table.shape[0]
     iota = jnp.arange(R + 1)
     ghost_q, ghost_t = stride - 2, stride - 1
     q_slot = jnp.concatenate(
@@ -164,7 +193,7 @@ def _tile_scan_affine(
             jnp.full((R + 1,), ghost_t, jnp.int32),
         ]
     )
-    qi = q_slot * stride
+    prof = _tile_profile(q_slot, table)
     left_ext = jnp.concatenate([corner[None], left_col])
     left_ext_e = jnp.concatenate(
         [jnp.array([NEGB], jnp.int32), left_col_e]
@@ -181,10 +210,13 @@ def _tile_scan_affine(
     big = jnp.int32(1 << 30)
 
     def step(carry, d):
-        prev1, prev2, f_prev1, e_prev1, best, bi, bj = carry
+        # same deferred-argmax / carried-right-column scheme as
+        # _tile_scan (see its step comment)
+        (prev1, prev2, f_prev1, e_prev1,
+         best_vec, bestj_vec, right_vec, right_vec_e) = carry
         off = C - d + R + 1
         t_diag = jax.lax.dynamic_slice_in_dim(t_rev_pad, off, R + 1)
-        s = jnp.take(flat_table, qi + t_diag, axis=0)
+        s = _prof_select(prof, t_diag, n_codes)
 
         shift1 = lambda x: jnp.concatenate(
             [jnp.array([NEGB], jnp.int32), x[:-1]]
@@ -218,37 +250,41 @@ def _tile_scan_affine(
         f_cur = jnp.where(outside, NEGB, f_cur)
         e_cur = jnp.where(outside, NEGB, e_cur)
         masked = jnp.where(iota > 0, cur, NEGB)
-        vmax = masked.max()
-        i_at = jnp.where(masked == vmax, iota, big).min()
-        upd = (vmax > best) | ((vmax == best) & (i_at < bi))
-        best = jnp.where(upd, vmax, best)
-        bi = jnp.where(upd, i_at, bi)
-        bj = jnp.where(upd, d - i_at, bj)
+        upd = masked > best_vec
+        best_vec = jnp.where(upd, masked, best_vec)
+        bestj_vec = jnp.where(upd, j_of, bestj_vec)
+        at_right = iota == d - C
+        right_vec = jnp.where(at_right, cur, right_vec)
+        right_vec_e = jnp.where(at_right, e_cur, right_vec_e)
         bottom = jax.lax.dynamic_index_in_dim(cur, R, keepdims=False)
         bottom_f = jax.lax.dynamic_index_in_dim(f_cur, R, keepdims=False)
-        right = jax.lax.dynamic_index_in_dim(
-            cur, jnp.clip(d - C, 0, R), keepdims=False
-        )
-        right_e = jax.lax.dynamic_index_in_dim(
-            e_cur, jnp.clip(d - C, 0, R), keepdims=False
-        )
-        return (cur, prev1, f_cur, e_cur, best, bi, bj), (
-            bottom, bottom_f, right, right_e,
-        )
+        return (
+            cur, prev1, f_cur, e_cur,
+            best_vec, bestj_vec, right_vec, right_vec_e,
+        ), (bottom, bottom_f)
 
     init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
-    (_, _, _, _, best, bi, bj), (bots, bots_f, rights, rights_e) = (
-        jax.lax.scan(
-            step,
-            (init_vec, init_vec, init_vec, init_vec,
-             jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-            jnp.arange(1, R + C + 1),
-        )
+    zeros_vec = jnp.zeros((R + 1,), jnp.int32)
+    (
+        (_, _, _, _, best_vec, bestj_vec, right_vec, right_vec_e),
+        (bots, bots_f),
+    ) = jax.lax.scan(
+        step,
+        (init_vec, init_vec, init_vec, init_vec,
+         init_vec, zeros_vec, init_vec, init_vec),
+        jnp.arange(1, R + C + 1),
     )
+    vmax = best_vec.max()
+    i_at = jnp.where(best_vec == vmax, iota, big).min()
+    bj = jax.lax.dynamic_index_in_dim(bestj_vec, i_at, keepdims=False)
+    zero = vmax <= 0
+    best = jnp.maximum(vmax, 0)
+    bi = jnp.where(zero, 0, i_at)
+    bj = jnp.where(zero, 0, bj)
     bottom_row = jax.lax.dynamic_slice_in_dim(bots, R, C)
     bottom_row_f = jax.lax.dynamic_slice_in_dim(bots_f, R, C)
-    right_col = jax.lax.dynamic_slice_in_dim(rights, C, R)
-    right_col_e = jax.lax.dynamic_slice_in_dim(rights_e, C, R)
+    right_col = right_vec[1:]
+    right_col_e = right_vec_e[1:]
     return bottom_row, bottom_row_f, right_col, right_col_e, best, bi, bj
 
 
@@ -272,9 +308,9 @@ def tile_sw_reference(q, t, top_row, left_col, corner, matrix, gap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gap", "block", "mesh", "axis"),
+    static_argnames=("gap", "block", "mesh", "axis", "n_codes"),
 )
-def _longpair_impl(q, t, table, gap, block, mesh, axis):
+def _longpair_impl(q, t, table, gap, block, mesh, axis, n_codes):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -284,8 +320,6 @@ def _longpair_impl(q, t, table, gap, block, mesh, axis):
     n_blocks = t.shape[0] // C
     n_steps = n_blocks + n_dev - 1
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    stride = table.shape[0]
-    flat_table = table.reshape(-1)
 
     def per_device(q_strip):
         q_strip = q_strip.reshape(-1).astype(jnp.int32)
@@ -307,7 +341,7 @@ def _longpair_impl(q, t, table, gap, block, mesh, axis):
             )
             bot, right, tile_best, tbi, tbj = _tile_scan(
                 q_strip, t_block, top, left, corner,
-                flat_table, stride, jnp.int32(gap),
+                table, n_codes, jnp.int32(gap),
             )
             # global endpoint, row-major-first across this device's tiles
             gi = my * R + tbi
@@ -350,9 +384,9 @@ def _longpair_impl(q, t, table, gap, block, mesh, axis):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("go", "ge", "block", "mesh", "axis"),
+    static_argnames=("go", "ge", "block", "mesh", "axis", "n_codes"),
 )
-def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
+def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis, n_codes):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -362,8 +396,6 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
     n_blocks = t.shape[0] // C
     n_steps = n_blocks + n_dev - 1
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    stride = table.shape[0]
-    flat_table = table.reshape(-1)
 
     def per_device(q_strip):
         q_strip = q_strip.reshape(-1).astype(jnp.int32)
@@ -392,7 +424,7 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
             bot, bot_f, right, right_e, tile_best, tbi, tbj = (
                 _tile_scan_affine(
                     q_strip, t_block, top, top_f, left, left_e, corner,
-                    flat_table, stride, jnp.int32(go), jnp.int32(ge),
+                    table, n_codes, jnp.int32(go), jnp.int32(ge),
                 )
             )
             gi = my * R + tbi
@@ -447,7 +479,10 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis):
 
 
 def _run_longpair(q, t, params, mesh, axis, block):
-    """Sharded forward: [n_dev, 3] per-device (best, end_i, end_j)."""
+    """Sharded forward: [n_dev, 3] per-device (best, end_i, end_j).
+    block=None picks the step-count-optimal width (_auto_block)."""
+    if block is None:
+        block = _auto_block(len(q), len(t), mesh.devices.size)
     from swtpu.kernels.xla.sw_scan import _extended_table
 
     table = jnp.asarray(_extended_table(params))
@@ -461,6 +496,7 @@ def _run_longpair(q, t, params, mesh, axis, block):
             block,
             mesh,
             axis,
+            int(params.alphabet_size),
         )
     return _longpair_impl(
         jnp.asarray(q, dtype=jnp.int32),
@@ -470,7 +506,32 @@ def _run_longpair(q, t, params, mesh, axis, block):
         block,
         mesh,
         axis,
+        int(params.alphabet_size),
     )
+
+
+def _auto_block(Lq: int, Lt: int, n_dev: int) -> int:
+    """Column-block width minimizing total anti-diagonal steps.
+
+    The sharded sweep runs (n_blocks + n_dev - 1) pipeline steps of one
+    R x C tile each, and a tile costs R + C scan steps — so total scan
+    steps = (nb + n_dev - 1) * (R + Lt/nb). One device wants nb = 1 (one
+    fat tile, no pipeline to fill); n_dev devices trade per-step overhead
+    against fill/drain bubbles (continuous optimum nb* ~
+    sqrt(Lt*(n_dev-1)/R)). Only divisors of Lt are candidates (the sweep
+    needs Lt % block == 0); measured on v5e at 4096x4096/1dev: block 256
+    -> 336 ms, 4096 -> 70 ms."""
+    R = max(Lq // n_dev, 1)
+    best_nb, best_cost = 1, None
+    for nb in range(1, Lt + 1):
+        if Lt % nb:
+            continue
+        cost = (nb + n_dev - 1) * (R + Lt // nb)
+        if best_cost is None or cost < best_cost:
+            best_nb, best_cost = nb, cost
+        if Lt // nb < 64:  # thinner blocks only add step overhead
+            break
+    return Lt // best_nb
 
 
 def _merge_device_ends(out) -> tuple:
@@ -489,7 +550,7 @@ def longpair_sw_score(
     params: ScoringParams,
     mesh,
     axis: str = "sp",
-    block: int = 256,
+    block: int = None,
 ) -> int:
     """Local-alignment score of ONE long pair, query sharded over `axis`.
 
@@ -508,7 +569,7 @@ def longpair_sw_ends(
     params: ScoringParams,
     mesh,
     axis: str = "sp",
-    block: int = 256,
+    block: int = None,
 ) -> tuple:
     """(score, end_i, end_j) of ONE long pair from the sharded forward:
     each device tracks its tiles' argmax under the row-major-first rule
@@ -525,7 +586,7 @@ def longpair_sw_align(
     params: ScoringParams,
     mesh,
     axis: str = "sp",
-    block: int = 256,
+    block: int = None,
     row_block: int = 512,
 ):
     """Local alignment of ONE long pair with traceback: sharded device

@@ -29,13 +29,40 @@ def test_tile_scan_matches_reference(rng):
             jnp.asarray(top, jnp.int32),
             jnp.asarray(left, jnp.int32),
             jnp.asarray(corner, jnp.int32),
-            jnp.asarray(table.reshape(-1)),
-            table.shape[0],
+            jnp.asarray(table),
+            4,
             jnp.int32(15),
         )
         assert np.array_equal(np.asarray(b), bref)
         assert np.array_equal(np.asarray(r), rref)
         assert int(best) == bestref
+
+
+def test_auto_block():
+    """_auto_block minimizes (nb + D - 1) * (R + Lt/nb) over divisors."""
+    from swtpu.parallel.longpair import _auto_block
+
+    # one device: one fat tile (no pipeline to fill)
+    assert _auto_block(4096, 4096, 1) == 4096
+    # 8 devices, R = 512: brute-force the divisor optimum
+    Lq, Lt, D = 4096, 4096, 8
+    R = Lq // D
+    best = min(
+        (nb for nb in range(1, Lt + 1) if Lt % nb == 0),
+        key=lambda nb: (nb + D - 1) * (R + Lt // nb),
+    )
+    assert _auto_block(Lq, Lt, D) == Lt // best
+    # prime target length: only divisor is itself
+    assert _auto_block(64, 97, 4) == 97
+
+
+def test_longpair_auto_block_score(rng):
+    """block=None (auto) produces the same score as explicit blocks."""
+    mesh = make_mesh(8, axis="sp")
+    q = rng.integers(0, 4, 8 * 48).astype(np.uint8)
+    t = rng.integers(0, 4, 384).astype(np.uint8)
+    want = sw_score(q, t, DNA_111)
+    assert longpair_sw_score(q, t, DNA_111, mesh) == want
 
 
 def test_longpair_sharded_score(rng):
