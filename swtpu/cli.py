@@ -369,7 +369,7 @@ def cmd_search(args):
         if args.verbose
         else None,
     )
-    if args.sam or args.cigar or args.traceback:
+    if args.sam or args.cigar or args.traceback or args.tsv:
         # BLAST-like end-to-end: traceback every surviving (query, hit)
         # pair in one batched device pass and emit alignments
         from swtpu.batch import sw_align_batch
@@ -396,6 +396,42 @@ def cmd_search(args):
                     sam_record(
                         qn[i], tn[j], Q[i], T[j], score, path,
                         args.alphabet, query_len=int(ql[i]),
+                    )
+                )
+            return
+        if args.tsv:
+            # BLAST outfmt-6-style: qname tname pident alnlen mismatches
+            # gapopens qstart qend tstart tend score (1-based inclusive
+            # coordinates; e-value/bitscore columns are out of scope —
+            # the engine reports raw SW scores)
+            from swtpu.core.cigar import cigar_stats, path_to_cigar
+
+            for (i, j), (score, path) in zip(zip(pi, pj), aligned):
+                if len(path) < 2:
+                    continue
+                st = cigar_stats(path_to_cigar(path, Q[i], T[j]))
+                cols = st["aligned_columns"] + st["insertions"] + st[
+                    "deletions"
+                ]
+                # gap openings = gap RUNS, not gap steps
+                runs = 0
+                prev = None
+                for (a, b), (c, d) in zip(path, path[1:]):
+                    stp = (c - a, d - b)
+                    if stp != (1, 1) and stp != prev:
+                        runs += 1
+                    prev = stp
+                pid = 100.0 * st["matches"] / cols if cols else 0.0
+                print(
+                    "\t".join(
+                        str(x)
+                        for x in (
+                            qn[i], tn[j], f"{pid:.1f}", cols,
+                            st["mismatches"], runs,
+                            path[0][0] + 1, path[-1][0],
+                            path[0][1] + 1, path[-1][1],
+                            int(score),
+                        )
                     )
                 )
             return
@@ -793,6 +829,13 @@ def build_parser():
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--checkpoint", help="resume cursor .npz path")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument(
+        "--tsv",
+        action="store_true",
+        help="BLAST outfmt-6-style tabular hits (qname tname pident "
+        "alnlen mismatches gapopens qstart qend tstart tend score), "
+        "computed from a batched traceback of every hit",
+    )
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("bench", help="benchmark suite")

@@ -76,6 +76,25 @@ def _run_sam(cli_args):
     return r.stdout.strip().split("\n")
 
 
+def test_cli_search_tsv():
+    """search --tsv: outfmt-6-style rows whose column arithmetic is
+    internally consistent (alnlen = aligned + indels; spans match)."""
+    lines = _run_sam(
+        ["search", "--random", "3x12x48", "--topk", "2", "--tsv"]
+    )
+    assert len(lines) == 6
+    for l in lines:
+        f = l.split("\t")
+        assert len(f) == 11
+        pident, alnlen, mism = float(f[2]), int(f[3]), int(f[4])
+        qs_, qe, ts_, te, score = (int(x) for x in f[6:11])
+        qspan, tspan = qe - qs_ + 1, te - ts_ + 1
+        aligned = qspan + tspan - alnlen  # I = alnlen - tspan, D = ...
+        assert aligned > 0 and score > 0
+        matches = round(pident * alnlen / 100)
+        assert matches + mism == aligned
+
+
 def test_cli_search_sam_and_cigar():
     """search --sam: one record per surviving hit, ranked per query;
     search --cigar: hits gain rescored alignments."""
