@@ -3,11 +3,11 @@
 Importing any kernel module enables the persistent XLA compilation cache:
 compiles through the tunnel's remote helper take 10-60 s each and dominate
 selftest/fuzz/bench startup (measured: a cold 63 s first-call drops to
-20 s in a fresh process with the cache). Harmless on CPU. This lives here
-rather than in the package __init__ so that oracle-only / numpy-only
-imports of ``swtpu`` never pay the jax import. Opt out with
-SWTPU_JAX_CACHE=0; a cache dir already configured by the embedding
-application is never overridden.
+20 s in a fresh process with the cache). Artifacts are segregated per
+platform config (see the inline comment). This lives here rather than in
+the package __init__ so that oracle-only / numpy-only imports of ``swtpu``
+never pay the jax import. Opt out with SWTPU_JAX_CACHE=0; a cache dir
+already configured by the embedding application is never overridden.
 """
 
 import os as _os
@@ -16,10 +16,25 @@ if _os.environ.get("SWTPU_JAX_CACHE", "1") != "0":
     import jax as _jax
 
     if not _jax.config.jax_compilation_cache_dir:
+        # one subdirectory per platform config: a cpu-only run (tests,
+        # virtual meshes) must not reload artifacts written under a
+        # different backend mix — XLA:CPU AOT results record
+        # machine-feature pseudo-flags (prefer-no-scatter/gather) that
+        # differ across configs and trip "could lead to SIGILL" loader
+        # warnings on reload.
+        _platforms = (
+            _jax.config.jax_platforms
+            or _os.environ.get("JAX_PLATFORMS")
+            or "default"
+        )
+        _sub = _platforms.strip().lower().replace(",", "_") or "default"
         _jax.config.update(
             "jax_compilation_cache_dir",
-            _os.environ.get(
-                "SWTPU_JAX_CACHE_DIR",
-                _os.path.expanduser("~/.cache/swtpu_jax"),
+            _os.path.join(
+                _os.environ.get(
+                    "SWTPU_JAX_CACHE_DIR",
+                    _os.path.expanduser("~/.cache/swtpu_jax"),
+                ),
+                _sub,
             ),
         )
