@@ -33,4 +33,5 @@ from swtpu.core.encode import (  # noqa: F401
     unpack_2bit,
     random_dna,
     mutate,
+    revcomp,
 )

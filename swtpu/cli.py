@@ -356,8 +356,21 @@ def cmd_search(args):
         tn, T, tl = load_fasta_batch(args.targets, args.alphabet, pad_code=5)
     log = RunLog()
     ckpt = SearchCheckpoint(args.checkpoint) if args.checkpoint else None
+    Nq = len(Q)
+    if args.both_strands:
+        if args.alphabet != "dna":
+            raise SystemExit("--both-strands is DNA-only")
+        from swtpu.core.encode import revcomp
+
+        # stack the reverse complements as extra query rows: one search
+        # over [2*Nq] queries, then a per-query merge of the two strands
+        Qrc = np.stack([revcomp(Q[i], ql[i]) for i in range(Nq)])
+        Qx = np.concatenate([Q, Qrc])
+    else:
+        Qrc = None
+        Qx = Q
     scores, ids = all_vs_all_topk(
-        Q,
+        Qx,
         T,
         params,
         k=args.topk,
@@ -369,21 +382,43 @@ def cmd_search(args):
         if args.verbose
         else None,
     )
+    if args.both_strands:
+        # deterministic per-query strand merge: score desc, then target
+        # id asc, then '+' strand before '-'
+        s2 = np.concatenate([scores[:Nq], scores[Nq:]], axis=1)
+        i2 = np.concatenate([ids[:Nq], ids[Nq:]], axis=1)
+        st2 = np.concatenate(
+            [np.zeros_like(ids[:Nq]), np.ones_like(ids[Nq:])], axis=1
+        )
+        order = np.lexsort((st2, i2, -s2), axis=1)[:, : args.topk]
+        scores = np.take_along_axis(s2, order, axis=1)
+        ids = np.take_along_axis(i2, order, axis=1)
+        strands = np.take_along_axis(st2, order, axis=1)
+    else:
+        strands = np.zeros_like(ids)
     if args.sam or args.cigar or args.traceback or args.tsv:
         # BLAST-like end-to-end: traceback every surviving (query, hit)
         # pair in one batched device pass and emit alignments
         from swtpu.batch import sw_align_batch
 
-        pi = [
-            i
+        hits_ijs = [
+            (i, int(j), int(st))
             for i in range(len(qn))
-            for s in scores[i]
+            for s, j, st in zip(scores[i], ids[i], strands[i])
             if s >= 0
         ]
-        pj = [int(j) for i in range(len(qn))
-              for s, j in zip(scores[i], ids[i]) if s >= 0]
+        pi = [h[0] for h in hits_ijs]
+        pj = [h[1] for h in hits_ijs]
+        ps = [h[2] for h in hits_ijs]
+        # the aligned query row is the strand that actually hit
+        qrow = lambda i, st: Qrc[i] if st else Q[i]
+        Qsel = (
+            np.stack([qrow(i, st) for i, _, st in hits_ijs])
+            if hits_ijs
+            else Q[:0]
+        )
         aligned = (
-            sw_align_batch(Q[pi], T[pj], params) if pi else []
+            sw_align_batch(Qsel, T[pj], params) if hits_ijs else []
         )
         if args.sam:
             from swtpu.core.sam import sam_header, sam_record
@@ -391,11 +426,12 @@ def cmd_search(args):
             print(
                 sam_header([(tn[j], int(tl[j])) for j in sorted(set(pj))])
             )
-            for (i, j), (score, path) in zip(zip(pi, pj), aligned):
+            for (i, j, st), (score, path) in zip(hits_ijs, aligned):
                 print(
                     sam_record(
-                        qn[i], tn[j], Q[i], T[j], score, path,
+                        qn[i], tn[j], qrow(i, st), T[j], score, path,
                         args.alphabet, query_len=int(ql[i]),
+                        flag=16 if st else 0,
                     )
                 )
             return
@@ -406,10 +442,12 @@ def cmd_search(args):
             # the engine reports raw SW scores)
             from swtpu.core.cigar import cigar_stats, path_to_cigar
 
-            for (i, j), (score, path) in zip(zip(pi, pj), aligned):
+            for (i, j, strand), (score, path) in zip(hits_ijs, aligned):
                 if len(path) < 2:
                     continue
-                st = cigar_stats(path_to_cigar(path, Q[i], T[j]))
+                st = cigar_stats(
+                    path_to_cigar(path, qrow(i, strand), T[j])
+                )
                 cols = st["aligned_columns"] + st["insertions"] + st[
                     "deletions"
                 ]
@@ -432,12 +470,16 @@ def cmd_search(args):
                             path[0][1] + 1, path[-1][1],
                             int(score),
                         )
+                        + (("-" if strand else "+",)
+                           if args.both_strands else ())
                     )
                 )
             return
         out = {i: [] for i in range(len(qn))}
-        for (i, j), (score, path) in zip(zip(pi, pj), aligned):
+        for (i, j, strand), (score, path) in zip(hits_ijs, aligned):
             hit = dict(target=tn[j], score=int(score))
+            if args.both_strands:
+                hit["strand"] = "-" if strand else "+"
             if args.traceback:
                 hit["path"] = path
             if args.cigar:
@@ -452,8 +494,16 @@ def cmd_search(args):
         return
     for i, name in enumerate(qn):
         hits = [
-            dict(target=tn[j] if j < len(tn) else int(j), score=int(s))
-            for s, j in zip(scores[i], ids[i])
+            dict(
+                target=tn[j] if j < len(tn) else int(j),
+                score=int(s),
+                **(
+                    dict(strand="-" if st else "+")
+                    if args.both_strands
+                    else {}
+                ),
+            )
+            for s, j, st in zip(scores[i], ids[i], strands[i])
             if s >= 0
         ]
         print(json.dumps(dict(query=name, hits=hits)))
@@ -835,6 +885,13 @@ def build_parser():
         help="BLAST outfmt-6-style tabular hits (qname tname pident "
         "alnlen mismatches gapopens qstart qend tstart tend score), "
         "computed from a batched traceback of every hit",
+    )
+    p.add_argument(
+        "--both-strands",
+        action="store_true",
+        help="DNA only: also search the reverse complement of every "
+        "query; hits carry a strand (+/-; SAM FLAG 16), merged "
+        "deterministically (score desc, id asc, '+' first)",
     )
     p.set_defaults(fn=cmd_search)
 

@@ -52,6 +52,22 @@ def random_dna(
     return rng.integers(0, 4, size=shape, dtype=np.int64).astype(np.uint8)
 
 
+def revcomp(codes: np.ndarray, length: Optional[int] = None) -> np.ndarray:
+    """Reverse complement of a DNA code array (A=0 <-> T=3, C=1 <-> G=2).
+
+    With ``length`` (a padded batch row's real length), only the first
+    ``length`` codes are reverse-complemented in place and trailing pad
+    codes (>= 4) stay where they are, so padded batches remain padded at
+    the tail. Pad codes inside the window are preserved unchanged.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    L = int(length) if length is not None else len(codes)
+    out = codes.copy()
+    head = codes[:L]
+    out[:L] = np.where(head < 4, 3 - head, head)[::-1]
+    return out
+
+
 def mutate(
     rng: np.random.Generator,
     seq: np.ndarray,

@@ -56,6 +56,7 @@ def sam_record(
     alphabet: str = "dna",
     query_len: Optional[int] = None,
     mapq: int = 255,
+    flag: int = 0,
 ) -> str:
     """One SAM line for an alignment path.
 
@@ -65,6 +66,9 @@ def sam_record(
     before the first aligned column). An empty alignment (< 2 cells)
     becomes an unmapped record (FLAG 4, ``*`` CIGAR). Tags: ``AS:i`` =
     engine score, ``NM:i`` = mismatches + inserted + deleted chars.
+    ``flag=16`` marks a reverse-strand hit — per the SAM spec, pass the
+    reverse-complemented query (the orientation that was aligned) as
+    ``query`` in that case.
     """
     qlen = int(query_len) if query_len is not None else int(len(query))
     seq = _decode(np.asarray(query)[:qlen], alphabet)
@@ -80,7 +84,7 @@ def sam_record(
     return "\t".join(
         [
             qname,
-            "0",
+            str(int(flag)),
             rname,
             str(pos),
             str(int(mapq)),

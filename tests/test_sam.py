@@ -95,6 +95,38 @@ def test_cli_search_tsv():
         assert matches + mism == aligned
 
 
+def test_cli_search_both_strands(tmp_path):
+    """--both-strands finds a planted reverse-complement match and tags
+    it '-' (SAM FLAG 16); forward-only search scores it low."""
+    from swtpu.core.encode import revcomp
+    from swtpu.core.io import decode_dna, write_fasta
+
+    rng = np.random.default_rng(10000)
+    t_codes = random_dna(rng, (60,))
+    # query = revcomp of the target's middle 40-mer
+    q_codes = revcomp(t_codes[10:50])
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    write_fasta(qf, [("q0", decode_dna(q_codes))])
+    write_fasta(
+        tf,
+        [("t0", decode_dna(t_codes)), ("t1", decode_dna(random_dna(rng, (60,))))],
+    )
+    base = ["search", "--queries", str(qf), "--targets", str(tf),
+            "--topk", "1"]
+    plus_only = json.loads(_run_sam(base)[0])
+    both = json.loads(_run_sam(base + ["--both-strands"])[0])
+    assert both["hits"][0]["strand"] == "-"
+    assert both["hits"][0]["target"] == "t0"
+    assert both["hits"][0]["score"] >= 40  # full 40-mer match
+    assert plus_only["hits"][0]["score"] < both["hits"][0]["score"]
+    # SAM: reverse-strand hit carries FLAG 16 and the revcomp'd SEQ
+    sam = _run_sam(base + ["--both-strands", "--sam"])
+    rec = [l for l in sam if not l.startswith("@")][0].split("\t")
+    assert rec[1] == "16"
+    assert rec[9] == decode_dna(revcomp(q_codes))
+    assert "AS:i:" + str(both["hits"][0]["score"]) in rec
+
+
 def test_cli_search_sam_and_cigar():
     """search --sam: one record per surviving hit, ranked per query;
     search --cigar: hits gain rescored alignments."""
