@@ -509,6 +509,71 @@ def cmd_search(args):
         print(json.dumps(dict(query=name, hits=hits)))
 
 
+def cmd_assemble(args):
+    """Greedy overlap-layout-consensus assembly (the reference's intended
+    but never-written assembly() consumer, source.cpp:2729-2731)."""
+    from swtpu.core.io import decode_dna, load_fasta_batch, write_fasta
+    from swtpu.models.assembly import assemble_greedy, make_reads
+
+    rng = np.random.default_rng(args.seed)
+    if args.random:
+        # GxLxS: random G-mer genome tiled into L-mers every S bases
+        G, L, S = (int(x) for x in args.random.split("x"))
+        genome = rng.integers(0, 4, size=G).astype(np.uint8)
+        reads = make_reads(rng, genome, read_len=L, step=S)
+        names = [f"read{i}" for i in range(len(reads))]
+    else:
+        if not args.reads:
+            raise SystemExit("need --reads FASTA or --random GxLxS")
+        names, arr, lens = load_fasta_batch(args.reads, "dna", pad_code=4)
+        reads = [arr[i][: lens[i]] for i in range(len(arr))]
+    contig = assemble_greedy(
+        reads, min_overlap=args.min_overlap
+    )
+    if args.out:
+        write_fasta(args.out, [("contig", decode_dna(contig))])
+    else:
+        print(json.dumps(dict(contig_len=len(contig), reads=len(reads))))
+        print(">contig")
+        print(decode_dna(contig))
+    if args.random:
+        # demo mode: report whether the assembly reproduced the genome
+        ok = len(contig) == len(genome) and bool(
+            np.array_equal(contig, genome)
+        )
+        print(
+            json.dumps(dict(genome_len=len(genome), reconstructed=ok)),
+            file=sys.stderr,
+        )
+    if args.sam:
+        # read placements: local-align every read back to the contig
+        from swtpu.batch import sw_align_batch
+        from swtpu.core.sam import sam_header, sam_record
+
+        L = max(len(r) for r in reads)
+        qs = np.stack(
+            [
+                np.concatenate(
+                    [r, np.full(L - len(r), 4, np.uint8)]
+                )
+                for r in reads
+            ]
+        )
+        ts = np.broadcast_to(
+            contig[None, :], (len(reads), len(contig))
+        )
+        print(sam_header([("contig", len(contig))]))
+        for k, (score, path) in enumerate(
+            sw_align_batch(qs, np.ascontiguousarray(ts), _scoring(args))
+        ):
+            print(
+                sam_record(
+                    names[k], "contig", qs[k], contig, score, path,
+                    "dna", query_len=len(reads[k]),
+                )
+            )
+
+
 def cmd_bench(args):
     from swtpu import bench_suite
 
@@ -894,6 +959,37 @@ def build_parser():
         "deterministically (score desc, id asc, '+' first)",
     )
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "assemble",
+        help="greedy overlap-layout-consensus assembly (the reference's "
+        "empty assembly() stub, implemented)",
+    )
+    p.add_argument("--reads", help="FASTA of reads")
+    p.add_argument(
+        "--random",
+        metavar="GxLxS",
+        help="demo: random G-mer genome tiled into L-mer reads every S "
+        "bases (reports whether the contig reconstructs the genome)",
+    )
+    p.add_argument("--seed", type=int, default=10000)
+    p.add_argument("--min-overlap", type=int, default=20)
+    p.add_argument("--out", help="write the contig FASTA here")
+    p.add_argument(
+        "--sam",
+        action="store_true",
+        help="also emit SAM placements of every read on the contig",
+    )
+    p.add_argument(
+        "--scoring", default="1,-1", help="match,mismatch for --sam"
+    )
+    p.add_argument("--gap", type=int, default=1)
+    p.add_argument("--gap-open", type=int, default=None)
+    p.add_argument("--gap-extend", type=int, default=1)
+    p.add_argument(
+        "--alphabet", choices=["dna"], default="dna", help=argparse.SUPPRESS
+    )
+    p.set_defaults(fn=cmd_assemble)
 
     p = sub.add_parser("bench", help="benchmark suite")
     p.add_argument("--quick", action="store_true")

@@ -21,11 +21,14 @@ from swtpu.core.scoring import DNA_10_30_15
 from swtpu.oracle import sw_score
 
 
-def _run(argv):
+def _run(argv, raw=False):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         main(argv)
-    return [json.loads(l) for l in buf.getvalue().splitlines()]
+    lines = buf.getvalue().splitlines()
+    if raw:
+        return lines
+    return [json.loads(l) for l in lines]
 
 
 @pytest.fixture
@@ -101,6 +104,19 @@ def test_cli_search(fastas):
          "--chunk", "2", "--verbose"]
     )
     assert recs_v == recs
+
+
+def test_cli_assemble():
+    """assemble --random reconstructs the genome; --sam places reads."""
+    out = _run(["assemble", "--random", "240x60x30"], raw=True)
+    assert json.loads(out[0])["contig_len"] == 240
+    assert out[1] == ">contig" and len(out[2]) == 240
+    out = _run(["assemble", "--random", "240x60x30", "--sam"], raw=True)
+    body = [
+        l for l in out if "\t" in l and not l.startswith("@")
+    ]
+    # every read placed as a perfect match on the contig
+    assert body and all("NM:i:0" in l and "60=" in l for l in body)
 
 
 def test_cli_selftest():
