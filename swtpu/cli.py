@@ -276,9 +276,10 @@ def cmd_longpair(args):
         q, t = q[:lq], t[:lt]
         # strip/block divisibility: trim to the mesh/block grid
         if len(q) < n_dev or len(t) < (args.block or 1):
+            blk = args.block if args.block is not None else "auto"
             raise SystemExit(
                 f"longpair needs len(q) >= devices ({n_dev}) and len(t) >="
-                f" --block ({args.block}); got {len(q)}x{len(t)} for"
+                f" --block ({blk}); got {len(q)}x{len(t)} for"
                 f" {name} — lower --block/--devices or use `align`"
             )
         if len(q) % n_dev:
@@ -407,9 +408,7 @@ def cmd_search(args):
             for s, j, st in zip(scores[i], ids[i], strands[i])
             if s >= 0
         ]
-        pi = [h[0] for h in hits_ijs]
         pj = [h[1] for h in hits_ijs]
-        ps = [h[2] for h in hits_ijs]
         # the aligned query row is the strand that actually hit
         qrow = lambda i, st: Qrc[i] if st else Q[i]
         Qsel = (
@@ -485,8 +484,10 @@ def cmd_search(args):
             if args.cigar:
                 from swtpu.core.cigar import path_to_cigar
 
+                # the path was walked on the strand that hit (qrow), so
+                # =/X classification must use that orientation too
                 hit["cigar"] = path_to_cigar(
-                    path, Q[i], T[j], query_len=int(ql[i])
+                    path, qrow(i, strand), T[j], query_len=int(ql[i])
                 )
             out[i].append(hit)
         for i, name in enumerate(qn):
@@ -532,10 +533,18 @@ def cmd_assemble(args):
     )
     if args.out:
         write_fasta(args.out, [("contig", decode_dna(contig))])
-    else:
+    elif not args.sam:
         print(json.dumps(dict(contig_len=len(contig), reads=len(reads))))
         print(">contig")
         print(decode_dna(contig))
+    else:
+        # --sam keeps stdout pure SAM (pipeable to samtools); the contig
+        # itself goes to --out or, failing that, only its summary to
+        # stderr below
+        print(
+            json.dumps(dict(contig_len=len(contig), reads=len(reads))),
+            file=sys.stderr,
+        )
     if args.random:
         # demo mode: report whether the assembly reproduced the genome
         ok = len(contig) == len(genome) and bool(

@@ -74,8 +74,13 @@ def sam_record(
     seq = _decode(np.asarray(query)[:qlen], alphabet)
     path = [(int(i), int(j)) for i, j in path]
     if len(path) < 2:
+        # unmapped, but keep orientation bits (e.g. FLAG 16) so SEQ's
+        # strand stays represented: 4 | flag
         return "\t".join(
-            [qname, "4", "*", "0", "0", "*", "*", "0", "0", seq or "*", "*"]
+            [
+                qname, str(4 | int(flag)), "*", "0", "0", "*", "*", "0",
+                "0", seq or "*", "*",
+            ]
         )
     cigar = path_to_cigar(path, query, target, query_len=qlen)
     st = cigar_stats(cigar)

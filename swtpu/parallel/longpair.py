@@ -522,15 +522,22 @@ def _auto_block(Lq: int, Lt: int, n_dev: int) -> int:
     needs Lt % block == 0); measured on v5e at 4096x4096/1dev: block 256
     -> 336 ms, 4096 -> 70 ms."""
     R = max(Lq // n_dev, 1)
+    # enumerate divisors in O(sqrt(Lt)) — an O(Lt) scan costs seconds of
+    # host time on multi-megabase targets with sparse divisors
+    divisors = set()
+    d = 1
+    while d * d <= Lt:
+        if Lt % d == 0:
+            divisors.add(d)
+            divisors.add(Lt // d)
+        d += 1
     best_nb, best_cost = 1, None
-    for nb in range(1, Lt + 1):
-        if Lt % nb:
+    for nb in sorted(divisors):
+        if Lt // nb < 64:  # thinner blocks only add step overhead
             continue
         cost = (nb + n_dev - 1) * (R + Lt // nb)
         if best_cost is None or cost < best_cost:
             best_nb, best_cost = nb, cost
-        if Lt // nb < 64:  # thinner blocks only add step overhead
-            break
     return Lt // best_nb
 
 

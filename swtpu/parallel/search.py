@@ -74,19 +74,6 @@ class SearchCheckpoint:
         os.replace(tmp, self.path)
 
 
-def _merge_topk(
-    scores_a, ids_a, scores_b, ids_b, k
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Deterministic top-k merge: score desc, then id asc."""
-    s = np.concatenate([scores_a, scores_b], axis=1)
-    i = np.concatenate([ids_a, ids_b], axis=1)
-    order = np.lexsort((i, -s), axis=1)[:, :k]
-    return (
-        np.take_along_axis(s, order, axis=1),
-        np.take_along_axis(i, order, axis=1),
-    )
-
-
 _SEARCH_STEP_CACHE: dict = {}
 _ID_SENTINEL = np.iinfo(np.int32).max
 
@@ -96,7 +83,7 @@ def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt):
     top-kk on device, and merge into the running [Nq, k] state — all in
     one executable, so the host loop moves only the chunk itself (and,
     when checkpointing, the tiny state) across the device link. The merge
-    reproduces :func:`_merge_topk`'s deterministic order (score desc, id
+    reproduces the repo-wide deterministic merge order (score desc, id
     asc) with two stable sorts; chunk-internal ties are safe because
     lax.top_k prefers the lower index, which here is the lower target id.
     Pad targets past the database end are masked by id (score -1 /

@@ -125,6 +125,14 @@ def test_cli_search_both_strands(tmp_path):
     assert rec[1] == "16"
     assert rec[9] == decode_dna(revcomp(q_codes))
     assert "AS:i:" + str(both["hits"][0]["score"]) in rec
+    # JSON --cigar: =/X classification must use the strand that was
+    # aligned — a perfect revcomp match is all '=' (regression: it was
+    # classified against the forward query, reading as all-X)
+    cg = json.loads(
+        _run_sam(base + ["--both-strands", "--cigar"])[0]
+    )["hits"][0]
+    assert cg["strand"] == "-"
+    assert cigar_stats(cg["cigar"])["mismatches"] == 0
 
 
 def test_cli_search_sam_and_cigar():
