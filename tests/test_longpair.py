@@ -54,6 +54,8 @@ def test_auto_block():
     assert _auto_block(Lq, Lt, D) == Lt // best
     # prime target length: only divisor is itself
     assert _auto_block(64, 97, 4) == 97
+    # tiny target (every block < 64): fall back to one block
+    assert _auto_block(64, 32, 4) == 32
 
 
 def test_longpair_auto_block_score(rng):
