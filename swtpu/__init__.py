@@ -25,7 +25,7 @@ against scalar oracles, mirroring the reference's harness strategy
 (source.cpp:2943-3030).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from swtpu.core.scoring import ScoringParams, DNA_111, dna_matrix  # noqa: F401
 from swtpu.core.encode import (  # noqa: F401
