@@ -301,11 +301,13 @@ def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge, n_codes=8):
 
 
 def _lens_cols(qs, ts, lens_q, lens_t):
-    """[B, 1] int32 per-pair real lengths (defaults: full widths)."""
+    """[B, 1] int32 per-pair real lengths (defaults: full widths).
+    Shape-only on qs/ts, so traced arrays (callers wrapped in an outer
+    jit, e.g. the salted timing chain) work too."""
     B, n = qs.shape
     m = ts.shape[1]
-    lq = np.full(B, n) if lens_q is None else np.asarray(lens_q)
-    lt = np.full(B, m) if lens_t is None else np.asarray(lens_t)
+    lq = np.full(B, n) if lens_q is None else lens_q
+    lt = np.full(B, m) if lens_t is None else lens_t
     return (
         jnp.asarray(lq, jnp.int32)[:, None],
         jnp.asarray(lt, jnp.int32)[:, None],
@@ -357,7 +359,7 @@ def semiglobal_batch_diag(
     (gap_open != gap_extend) score and argmax cell (1-based DP coords)
     on each pair's unpadded lengths.
     """
-    lq, lt = _lens_cols(np.asarray(qs), np.asarray(ts), lens_q, lens_t)
+    lq, lt = _lens_cols(qs, ts, lens_q, lens_t)
     if gap_open is not None and gap_open != gap_extend:
         return _semiglobal_affine_impl(
             jnp.asarray(qs), jnp.asarray(ts), lq, lt, int(match),
