@@ -27,8 +27,26 @@ import sys
 import numpy as np
 
 
-def _load_pair_inputs(args, pad_q=4, pad_t=5):
+def _pad_codes(alphabet):
+    """Alphabet-correct FASTA pad codes (query, target).
+
+    DNA uses 4/5 (first codes past the 0..3 alphabet). Protein must NOT:
+    4/5 are real residues (C, Q — BLOSUM62 C-C is +9), so its pads are
+    the reserved 24/25 just past the 24-letter NCBI alphabet.
+    """
+    if alphabet == "protein":
+        from swtpu.core.protein import PROTEIN_Q_PAD, PROTEIN_T_PAD
+
+        return PROTEIN_Q_PAD, PROTEIN_T_PAD
+    return 4, 5
+
+
+def _load_pair_inputs(args, pad_q=None, pad_t=None):
     from swtpu.core.io import load_fasta_batch
+
+    dq, dt = _pad_codes(args.alphabet)
+    pad_q = dq if pad_q is None else pad_q
+    pad_t = dt if pad_t is None else pad_t
 
     if args.random:
         b, n, m = (int(x) for x in args.random.split("x"))
@@ -142,15 +160,23 @@ def cmd_semiglobal(args):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     from swtpu.batch import semiglobal_align_batch
 
+    # varlen FASTA batches ride the exact masked-argmax path; uniform
+    # batches skip the lens args so the Pallas fast path stays eligible
+    varlen = bool(
+        (np.asarray(ql) != qs.shape[1]).any()
+        or (np.asarray(tl) != ts.shape[1]).any()
+    )
+    lens_kw = dict(lens_q=ql, lens_t=tl) if varlen else {}
     if args.alphabet == "protein":
         # general-substitution-matrix mode (BLOSUM62 table engine)
-        out = semiglobal_align_batch(qs, ts, params=_scoring(args))
+        out = semiglobal_align_batch(qs, ts, params=_scoring(args), **lens_kw)
     else:
         match, mismatch = (int(x) for x in args.scoring.split(","))
         out = semiglobal_align_batch(
             qs, ts, match, abs(mismatch), args.gap,
             gap_open=args.gap_open,
             gap_extend=args.gap_extend if args.gap_open is not None else None,
+            **lens_kw,
         )
     if args.sam:
         _emit_sam(names, qs, ts, ql, tl, args.alphabet, out)
@@ -346,15 +372,21 @@ def cmd_search(args):
     if args.random:
         nq, nt, L = (int(x) for x in args.random.split("x"))
         rng = np.random.default_rng(args.seed)
-        Q = rng.integers(0, 4, size=(nq, L)).astype(np.uint8)
-        T = rng.integers(0, 4, size=(nt, L)).astype(np.uint8)
+        hi = 4 if args.alphabet == "dna" else 20
+        Q = rng.integers(0, hi, size=(nq, L)).astype(np.uint8)
+        T = rng.integers(0, hi, size=(nt, L)).astype(np.uint8)
         qn = [f"q{i}" for i in range(nq)]
         tn = [f"t{i}" for i in range(nt)]
         ql = np.full(nq, L)
         tl = np.full(nt, L)
     else:
-        qn, Q, ql = load_fasta_batch(args.queries, args.alphabet, pad_code=4)
-        tn, T, tl = load_fasta_batch(args.targets, args.alphabet, pad_code=5)
+        pad_q, pad_t = _pad_codes(args.alphabet)
+        qn, Q, ql = load_fasta_batch(
+            args.queries, args.alphabet, pad_code=pad_q
+        )
+        tn, T, tl = load_fasta_batch(
+            args.targets, args.alphabet, pad_code=pad_t
+        )
     log = RunLog()
     ckpt = SearchCheckpoint(args.checkpoint) if args.checkpoint else None
     Nq = len(Q)

@@ -154,7 +154,8 @@ def _round_local(rng, stats, family, rnd, params, B, n, m, use_pallas,
         # endpoints: device argmax vs the traceback oracle on a subsample
         from swtpu.ops.variants import best_ends_engine
 
-        sub = slice(0, 4)
+        nsub = min(B, 4)
+        sub = slice(0, nsub)
         sc, ei, ej = (
             np.asarray(x) for x in best_ends_engine(params)(qe[sub], te[sub])
         )
@@ -162,7 +163,7 @@ def _round_local(rng, stats, family, rnd, params, B, n, m, use_pallas,
             from swtpu.oracle import sw_traceback as tb
         else:
             from swtpu.oracle.affine import sw_affine_traceback as tb
-        for b in range(4):
+        for b in range(nsub):
             s0, path = tb(qs[b], ts[b], params)
             if not (s0 == sc[b] and path[-1] == (ei[b], ej[b])):
                 _record_failure(
@@ -227,7 +228,7 @@ def _round_semiglobal(rng, stats, rnd, B, use_pallas, save_dir):
                 )
         stats.pairs += B
     # scalar-oracle anchor on a subsample
-    for b in range(4):
+    for b in range(min(B, 4)):
         s0, path = semiglobal_full(qs[b], ts[b], ma, mi, g)
         if not (s0 == fwd[0][b] and path[-1] == (fwd[1][b], fwd[2][b])):
             _record_failure(

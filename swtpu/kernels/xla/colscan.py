@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from swtpu.core.scoring import ScoringParams
-from swtpu.kernels.xla.sw_scan import _extended_table
+from swtpu.kernels.xla.sw_scan import _extended_table, select_scores
 
 NEG = -(2**29)
 
@@ -46,15 +46,6 @@ def _profile(qs, table, stride):
     """prof[b, i, c] = S[q_b[i], c] (c over the extended alphabet)."""
     q_pad = stride - 2
     return table[jnp.minimum(qs.astype(jnp.int32), q_pad)]  # [B, n, stride]
-
-
-def _col_scores(prof, t_col, A):
-    """s[b, i] = prof[b, i, t_col[b]] via an A+2-way select tree (pads
-    included; fused by XLA, no gather)."""
-    s = jnp.full(prof.shape[:2], NEG, jnp.int32)
-    for c in range(A + 2):  # real alphabet + both pad codes
-        s = jnp.where(t_col == c, prof[:, :, c], s)
-    return s
 
 
 def _maxplus_prefix(pre, gap, n):
@@ -83,7 +74,7 @@ def _colscan_impl(qs, ts, table, gap, A):
     def step(carry, j):
         h_prev, best = carry  # previous column H[:, j-1] over query axis
         t_col = jax.lax.dynamic_slice_in_dim(ts, j, 1, axis=1)  # [B, 1]
-        s = _col_scores(prof, t_col, A)  # [B, n]
+        s = select_scores(prof, t_col, A)  # [B, n] (pads fall through to NEG)
         diag = jnp.pad(h_prev, ((0, 0), (1, 0)))[:, :-1]
         pre = jnp.maximum(jnp.maximum(diag + s, h_prev - gap), 0)
         # exact vertical-gap propagation: max-plus prefix scan down the query
@@ -120,7 +111,7 @@ def _colscan_affine_impl(qs, ts, table, go, ge, A):
     def step(carry, j):
         h_prev, e_prev, best = carry
         t_col = jax.lax.dynamic_slice_in_dim(ts, j, 1, axis=1)
-        s = _col_scores(prof, t_col, A)
+        s = select_scores(prof, t_col, A)
         e = jnp.maximum(e_prev - ge, h_prev - go)
         diag = jnp.pad(h_prev, ((0, 0), (1, 0)))[:, :-1]
         pre = jnp.maximum(jnp.maximum(diag + s, e), 0)

@@ -57,16 +57,27 @@ def _extended_table(params: ScoringParams) -> np.ndarray:
     return ext
 
 
-def _prof_scores(prof, t_diag, n_codes):
-    """s[b, i] = prof[b, i, t_diag[b, i]] via an n_codes-way select tree.
+def select_scores(prof, codes, n_codes, init=None):
+    """s[...] = prof[..., codes[...]] via an n_codes-way select tree.
+
     Gathers of ~1e5 indices from a tiny table are pathologically slow on
     TPU (the sw_profile.py finding; measured 2x whole-engine speedup over
-    the flat-table gather here); selects fuse. Codes >= n_codes (clamped
-    pads) fall through to the NEG init."""
-    s = jnp.full(t_diag.shape, jnp.int32(_NEG))
+    the flat-table gather); selects fuse into the surrounding DP. `codes`
+    must broadcast against prof[..., c]; codes >= n_codes (clamped pads /
+    ghost slots) fall through to `init` (default: all-NEG, exact whenever
+    every extended-table column past the alphabet is all-NEG). Shared by
+    the diag engines, colscan, and the longpair tile scan."""
+    if init is None:
+        shape = jnp.broadcast_shapes(codes.shape, prof.shape[:-1])
+        init = jnp.full(shape, jnp.int32(_NEG))
+    s = init
     for c in range(n_codes):
-        s = jnp.where(t_diag == c, prof[:, :, c], s)
+        s = jnp.where(codes == c, prof[..., c], s)
     return s
+
+
+# historical name used by the diag engines ([B, n] codes shape)
+_prof_scores = select_scores
 
 
 @functools.partial(jax.jit, static_argnames=("gap", "n_codes"))

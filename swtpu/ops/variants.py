@@ -214,3 +214,36 @@ def best_engine(params: ScoringParams) -> Callable:
     from swtpu.kernels.xla.affine_scan import sw_affine_batch_diag
 
     return lambda q, t: sw_affine_batch_diag(q, t, params)
+
+
+def resolve_engine(params: ScoringParams, engine=None):
+    """(engine, cache_key) for the keyed jit caches in `parallel/*`.
+
+    With no caller engine, returns ``best_engine(params)`` keyed by the
+    scoring values (stable across calls, so repeated calls share one
+    compiled program). A caller-owned engine is keyed on the object
+    itself — NOT ``id()``: ids are recycled after gc and could serve a
+    stale compiled program for a different engine; the cache entry keeps
+    the object alive, which is what makes the key stable.
+    """
+    if engine is not None:
+        return engine, engine
+    return best_engine(params), (
+        params.matrix.tobytes(), params.gap_open, params.gap_extend,
+    )
+
+
+def cached_build(cache: dict, key, build, cap: int = 64):
+    """cache[key], building (and inserting) on miss.
+
+    Keyed jit caches hold compiled executables + engine closures forever;
+    `cap` bounds that growth — a process sweeping many (engine, geometry)
+    combinations clears and re-traces rather than leaking programs.
+    """
+    fn = cache.get(key)
+    if fn is None:
+        if len(cache) >= cap:
+            cache.clear()
+        fn = build()
+        cache[key] = fn
+    return fn

@@ -44,14 +44,13 @@ def _tile_profile(q_slot, table):
 
 
 def _prof_select(prof, t_diag, n_codes):
-    """s[i] = prof[i, t_diag[i]] via a select tree over the n_codes real
-    alphabet codes (≙ sw_scan._prof_scores for the unbatched tile shape).
-    Every extended-table column >= n_codes (pads / ghosts) is all-NEG, so
-    the fall-through prof[:, -1] is exact for codes the tree skips."""
-    s = prof[:, -1]
-    for c in range(n_codes):
-        s = jnp.where(t_diag == c, prof[:, c], s)
-    return s
+    """s[i] = prof[i, t_diag[i]] on the unbatched tile shape — the shared
+    alphabet select tree (sw_scan.select_scores). Every extended-table
+    column >= n_codes (pads / ghosts) is all-NEG, so the fall-through
+    prof[:, -1] is exact for codes the tree skips."""
+    from swtpu.kernels.xla.sw_scan import select_scores
+
+    return select_scores(prof, t_diag, n_codes, init=prof[:, -1])
 
 
 def _tile_scan(q, t, top_row, left_col, corner, table, n_codes, gap):

@@ -54,25 +54,15 @@ def data_parallel_scores(
     import jax.numpy as jnp
     from jax import shard_map
 
-    if engine is None:
-        from swtpu.ops.variants import best_engine
+    from swtpu.ops.variants import cached_build, resolve_engine
 
-        engine = best_engine(params)
-        key = (
-            params.matrix.tobytes(), params.gap_open, params.gap_extend,
-        )
-    else:
-        # caller-owned engine: key on the object itself (NOT id() — ids
-        # are recycled after gc, which could serve a stale compiled
-        # shard_map for a different engine). The cache entry keeps the
-        # engine alive, which is what makes the key stable.
-        key = engine
+    engine, key = resolve_engine(params, engine)
     # cache the jitted shard_map per (engine, mesh): rebuilding it every
     # call would re-trace + recompile every call
-    cache_key = (key, mesh, axis)
-    fn = _DP_CACHE.get(cache_key)
-    if fn is None:
-        fn = jax.jit(
+    fn = cached_build(
+        _DP_CACHE,
+        (key, mesh, axis),
+        lambda: jax.jit(
             shard_map(
                 engine,
                 mesh=mesh,
@@ -80,6 +70,6 @@ def data_parallel_scores(
                 out_specs=P(axis),
                 check_vma=False,
             )
-        )
-        _DP_CACHE[cache_key] = fn
+        ),
+    )
     return fn(jnp.asarray(qs), jnp.asarray(ts))

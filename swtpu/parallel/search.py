@@ -88,10 +88,9 @@ def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt):
     lax.top_k prefers the lower index, which here is the lower target id.
     Pad targets past the database end are masked by id (score -1 /
     id INT32_MAX, the state sentinels)."""
+    from swtpu.ops.variants import cached_build
+
     cache_key = (engine_key, Nq, n, C, m, k, kk, Nt)
-    fn = _SEARCH_STEP_CACHE.get(cache_key)
-    if fn is not None:
-        return fn
 
     @jax.jit
     def step(qs_dev, chunk_dev, state_s, state_i, c0):
@@ -118,8 +117,7 @@ def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt):
         )
 
     # the cache entry keeps the engine alive, which keeps the key stable
-    _SEARCH_STEP_CACHE[cache_key] = step
-    return step
+    return cached_build(_SEARCH_STEP_CACHE, cache_key, lambda: step)
 
 
 def _retry_or_raise(e, attempt, max_retries, cursor, log):
@@ -168,15 +166,9 @@ def all_vs_all_topk(
     behind compute (max-throughput mode: errors surface at the final
     fetch); otherwise each chunk is synced so retry/checkpoint stay exact.
     """
-    if engine is None:
-        from swtpu.ops.variants import best_engine
+    from swtpu.ops.variants import resolve_engine
 
-        engine = best_engine(params)
-        engine_key = (
-            params.matrix.tobytes(), params.gap_open, params.gap_extend,
-        )
-    else:
-        engine_key = engine
+    engine, engine_key = resolve_engine(params, engine)
 
     Nq, Nt = queries.shape[0], targets.shape[0]
     best_s = np.full((Nq, k), -1, np.int32)
@@ -280,20 +272,9 @@ def sharded_all_vs_all_topk(
     """
     from jax import shard_map
 
-    if engine is None:
-        from swtpu.ops.variants import best_engine
+    from swtpu.ops.variants import resolve_engine
 
-        engine = best_engine(params)
-        engine_key = (
-            params.matrix.tobytes(),
-            params.gap_open,
-            params.gap_extend,
-        )
-    else:
-        # caller-owned engine: key on the object itself (NOT id() — ids
-        # are recycled after gc and could alias a different engine); the
-        # cache entry keeps the engine alive, making the key stable
-        engine_key = engine
+    engine, engine_key = resolve_engine(params, engine)
 
     n_dev = mesh.devices.size
     Nq = queries.shape[0]
@@ -317,6 +298,7 @@ def sharded_all_vs_all_topk(
     cache_key = (engine_key, mesh, axis, Nq, n, shard, m, kk)
     fn = _SHARDED_TOPK_CACHE.get(cache_key)
     if fn is None:
+        from swtpu.ops.variants import cached_build
 
         def local(qs, ts_shard):
             ts_local = ts_shard.reshape(shard, -1)
@@ -335,16 +317,19 @@ def sharded_all_vs_all_topk(
             gi = jax.lax.all_gather(top_i, axis, axis=1).reshape(Nq, -1)
             return gs, gi
 
-        fn = jax.jit(
-            shard_map(
-                local,
-                mesh=mesh,
-                in_specs=(P(), P(axis)),
-                out_specs=(P(), P()),
-                check_vma=False,
-            )
+        fn = cached_build(
+            _SHARDED_TOPK_CACHE,
+            cache_key,
+            lambda: jax.jit(
+                shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(), P(axis)),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+            ),
         )
-        _SHARDED_TOPK_CACHE[cache_key] = fn
     gs, gi = fn(jnp.asarray(queries), jnp.asarray(targets))
     gs = np.asarray(gs).astype(np.int64)
     gi = np.array(gi)  # writable copy (device arrays map read-only)

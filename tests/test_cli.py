@@ -180,6 +180,39 @@ def test_cli_protein_banded(tmp_path):
     assert len(recs) == 1 and recs[0]["path"]
 
 
+def test_cli_protein_varlen_pads(tmp_path):
+    """Unequal-length protein FASTA must pad with the reserved 24/25
+    codes, not the DNA 4/5 (= residues C/Q, BLOSUM62 C-C is +9): a short
+    all-C query vs a long C-rich target is the adversarial case — DNA
+    pads would extend the alignment through fake C matches."""
+    from swtpu.core.protein import BLOSUM62, encode_protein
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.oracle import sw_score
+
+    q1, q2 = "CCCCCCCC", "ARNDCQEGHILKMFPSTWYV"
+    t1, t2 = "CCCCCCCCCCCC", "ARNDCQEG"
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    qf.write_text(f">q1\n{q1}\n>q2\n{q2}\n")
+    tf.write_text(f">t1\n{t1}\n>t2\n{t2}\n")
+    params = ScoringParams(BLOSUM62, gap_open=11, gap_extend=11)
+    want = [
+        sw_score(encode_protein(q), encode_protein(t), params)
+        for q, t in [(q1, t1), (q2, t2)]
+    ]
+    recs = _run(
+        ["align", "--queries", str(qf), "--targets", str(tf),
+         "--alphabet", "protein", "--gap", "11"]
+    )
+    assert [r["score"] for r in recs] == want  # q1|t1: 8 C's = 72
+    # semiglobal rides the varlen masked-argmax path for these shapes
+    recs = _run(
+        ["semiglobal", "--queries", str(qf), "--targets", str(tf),
+         "--alphabet", "protein", "--cigar"]
+    )
+    assert recs[0]["cigar"] == "8="  # no pad-extended tail
+    assert recs[0]["end"] == [8, 8]
+
+
 def test_cli_longpair(tmp_path):
     rng = np.random.default_rng(17)
     q = decode_dna(rng.integers(0, 4, 256))
