@@ -1,6 +1,7 @@
 from swtpu.batch.traceback import (  # noqa: F401
     sw_align_batch,
     semiglobal_align_batch,
+    nw_align_batch,
     banded_align_batch,
     banded_static_align_batch,
     banded_affine_traceback,

@@ -95,6 +95,7 @@ def semiglobal_align_batch(
     params: Optional[ScoringParams] = None,
     lens_q: Optional[Sequence[int]] = None,
     lens_t: Optional[Sequence[int]] = None,
+    pin_end: bool = False,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """Batched semi-global alignment with traceback (full matrix),
     linear or affine (gap_open != gap_extend) gaps.
@@ -105,6 +106,8 @@ def semiglobal_align_batch(
     ``lens_q`` / ``lens_t`` give per-pair real lengths (varlen batches:
     the XLA engine masks each pair's argmax to its real region; the
     fixed-shape Pallas fast path applies only to uniform-length batches).
+    ``pin_end`` pins every endpoint at each pair's (lq, lt) corner —
+    GLOBAL (Needleman-Wunsch) alignment; see nw_align_batch.
     """
     import jax
 
@@ -114,7 +117,7 @@ def semiglobal_align_batch(
 
     if params is not None:
         return _semiglobal_align_batch_general(
-            qs, ts, params, lens_q=lens_q, lens_t=lens_t
+            qs, ts, params, lens_q=lens_q, lens_t=lens_t, pin_end=pin_end
         )
     if gap_open is not None and gap_open == gap_extend:
         gap, gap_open, gap_extend = gap_open, None, None
@@ -130,9 +133,12 @@ def semiglobal_align_batch(
         semiglobal_batch_pallas,
     )
 
-    # (no batch-size gate: the Pallas wrapper self-pads B to its tile)
+    # (no batch-size gate: the Pallas wrapper self-pads B to its tile;
+    # pinned-end/global mode rides the XLA engine — the Pallas kernel
+    # tracks the argmax, not the corner)
     use_pallas = (
         not varlen
+        and not pin_end
         and jax.devices()[0].platform == "tpu"
         and n % SG_ROWS == 0
         and m % SG_CHUNK == 0
@@ -145,23 +151,30 @@ def semiglobal_align_batch(
     elif affine:
         fwd = semiglobal_batch_diag(
             qs, ts, match, mismatch, gap_open=gap_open,
-            gap_extend=gap_extend, lens_q=lq, lens_t=lt,
+            gap_extend=gap_extend, lens_q=lq, lens_t=lt, pin_end=pin_end,
         )
     else:
         fwd = semiglobal_batch_diag(
-            qs, ts, match, mismatch, gap, lens_q=lq, lens_t=lt
+            qs, ts, match, mismatch, gap, lens_q=lq, lens_t=lt,
+            pin_end=pin_end,
         )
     score, ei, ej = (np.asarray(x) for x in fwd)
+    end_of = (lambda q, t: (len(q), len(t))) if pin_end else (
+        lambda q, t: None
+    )
     if affine:
         walker = lambda q, t: semiglobal_affine_full(
-            q, t, match, mismatch, gap_open, gap_extend
+            q, t, match, mismatch, gap_open, gap_extend,
+            endpoint=end_of(q, t),
         )
     elif native.available():
         walker = lambda q, t: native.semiglobal_traceback(
-            q, t, match, mismatch, gap
+            q, t, match, mismatch, gap, pin_end=pin_end
         )
     else:
-        walker = lambda q, t: semiglobal_full(q, t, match, mismatch, gap)
+        walker = lambda q, t: semiglobal_full(
+            q, t, match, mismatch, gap, endpoint=end_of(q, t)
+        )
     out = []
     for b in range(qs.shape[0]):
         sc, path = walker(qs[b, : lq[b]], ts[b, : lt[b]])
@@ -170,12 +183,41 @@ def semiglobal_align_batch(
     return out
 
 
+def nw_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
+    params: Optional[ScoringParams] = None,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Batched GLOBAL (Needleman-Wunsch) alignment with traceback.
+
+    Extension beyond the reference (which stops at semi-global,
+    source.cpp:1776-1834): the semi-global forward pass is already
+    origin-anchored with penalized boundary gap chains, so global
+    alignment is the same device scan + host walk with the endpoint
+    pinned at each pair's (lq, lt) corner instead of the argmax. Same
+    argument surface as semiglobal_align_batch; matches oracle nw_full /
+    nw_affine_full (tie-breaks included)."""
+    return semiglobal_align_batch(
+        qs, ts, match, mismatch, gap, gap_open=gap_open,
+        gap_extend=gap_extend, params=params, lens_q=lens_q,
+        lens_t=lens_t, pin_end=True,
+    )
+
+
 def _semiglobal_align_batch_general(
     qs: np.ndarray,
     ts: np.ndarray,
     params: ScoringParams,
     lens_q: Optional[Sequence[int]] = None,
     lens_t: Optional[Sequence[int]] = None,
+    pin_end: bool = False,
 ) -> List[Tuple[int, List[Tuple[int, int]]]]:
     """General-matrix semi-global with traceback: device forward (Pallas
     packed-profile kernel on TPU when the tile shape allows, else the XLA
@@ -194,6 +236,7 @@ def _semiglobal_align_batch_general(
     planes = -(-(params.alphabet_size + 2) // 4)
     if (
         not varlen
+        and not pin_end  # global mode reads the corner: XLA engine only
         and jax.devices()[0].platform == "tpu"
         and n % 8 == 0 and m % 16 == 0
         # the Pallas kernel keeps the whole packed profile + two m-sized
@@ -211,22 +254,27 @@ def _semiglobal_align_batch_general(
         fwd = semiglobal_batch_profile_pallas(qs, ts, params)
     else:
         fwd = semiglobal_batch_general(
-            qs, ts, params, lens_q=lq, lens_t=lt
+            qs, ts, params, lens_q=lq, lens_t=lt, pin_end=pin_end
         )
     score, ei, ej = (np.asarray(x) for x in fwd)
     use_native = native.available()
+    end_of = (lambda q, t: (len(q), len(t))) if pin_end else (
+        lambda q, t: None
+    )
     if params.is_linear:
         if use_native:
             walker = lambda q, t: native.semiglobal_traceback_matrix(
-                q, t, params.matrix, params.gap
+                q, t, params.matrix, params.gap, pin_end=pin_end
             )
         else:
             walker = lambda q, t: semiglobal_full(
-                q, t, gap=params.gap, matrix=params.matrix
+                q, t, gap=params.gap, matrix=params.matrix,
+                endpoint=end_of(q, t),
             )
     elif use_native:
         walker = lambda q, t: native.semiglobal_affine_traceback(
-            q, t, params.matrix, params.gap_open, params.gap_extend
+            q, t, params.matrix, params.gap_open, params.gap_extend,
+            pin_end=pin_end,
         )
     else:
         walker = lambda q, t: semiglobal_affine_full(
@@ -235,6 +283,7 @@ def _semiglobal_align_batch_general(
             gap_open=params.gap_open,
             gap_extend=params.gap_extend,
             matrix=params.matrix,
+            endpoint=end_of(q, t),
         )
     out = []
     for b in range(qs.shape[0]):

@@ -156,7 +156,7 @@ def cmd_align(args):
         print(json.dumps(dict(pair=name, score=int(s))))
 
 
-def cmd_semiglobal(args):
+def cmd_semiglobal(args, pin_end=False):
     names, qs, ts, ql, tl = _load_pair_inputs(args)
     from swtpu.batch import semiglobal_align_batch
 
@@ -167,6 +167,9 @@ def cmd_semiglobal(args):
         or (np.asarray(tl) != ts.shape[1]).any()
     )
     lens_kw = dict(lens_q=ql, lens_t=tl) if varlen else {}
+    if pin_end:
+        # global/NW: endpoints pinned at each pair's corner
+        lens_kw["pin_end"] = True
     if args.alphabet == "protein":
         # general-substitution-matrix mode (BLOSUM62 table engine)
         out = semiglobal_align_batch(qs, ts, params=_scoring(args), **lens_kw)
@@ -642,6 +645,14 @@ def cmd_selftest(args):
     dev = np.asarray(sw_batch_diag(qs, ts, DNA_10_30_15))
     checks.append(("xla_vs_oracle", np.array_equal(dev, orc)))
 
+    # global/NW: corner-pinned read-out of the semiglobal scan
+    from swtpu.kernels.xla.semiglobal_scan import nw_batch_diag
+    from swtpu.oracle import nw_full
+
+    nsc = np.asarray(nw_batch_diag(qs[:8], ts[:8], 2, 1, 1))
+    nref = [nw_full(qs[b], ts[b], 2, 1, 1)[0] for b in range(8)]
+    checks.append(("nw_vs_oracle", list(nsc) == nref))
+
     if jax.devices()[0].platform == "tpu":
         from swtpu.core.protein import BLOSUM62
         from swtpu.kernels.pallas import sw_batch_pallas
@@ -951,6 +962,14 @@ def build_parser():
     p = sub.add_parser("semiglobal", help="semi-global alignment")
     common(p)
     p.set_defaults(fn=cmd_semiglobal)
+
+    p = sub.add_parser(
+        "global",
+        help="global (Needleman-Wunsch) alignment — the semi-global "
+        "forward pass with the endpoint pinned at each pair's corner",
+    )
+    common(p)
+    p.set_defaults(fn=lambda args: cmd_semiglobal(args, pin_end=True))
 
     p = sub.add_parser("banded", help="adaptive-banded X-drop semi-global")
     common(p)

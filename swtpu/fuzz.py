@@ -240,6 +240,22 @@ def _round_semiglobal(rng, stats, rnd, B, use_pallas, save_dir):
             )
     stats.pairs += B
     stats.cells += B * n * m
+    # global/NW read-out of the same family (pin_end): engine vs oracle
+    from swtpu.kernels.xla.semiglobal_scan import nw_batch_diag
+    from swtpu.oracle.semiglobal import nw_full
+
+    nsc = np.asarray(nw_batch_diag(qs, ts, ma, mi, g))
+    for b in range(min(B, 4)):
+        s0 = nw_full(qs[b], ts[b], ma, mi, g)[0]
+        if s0 != nsc[b]:
+            _record_failure(
+                stats, "semiglobal", rnd,
+                f"nw mismatch at pair {b}: {nsc[b]} vs {s0}",
+                dict(qs=qs[:4], ts=ts[:4], scoring=np.array([ma, mi, g])),
+                save_dir,
+            )
+    stats.pairs += B
+    stats.cells += B * n * m
 
 
 def _round_banded(rng, stats, rnd, B, save_dir):

@@ -32,8 +32,34 @@ _NEG = -(2**20)
 MINUS_INF = -(2**30)
 
 
-@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
-def _semiglobal_impl(qs, ts, lq, lt, match, mismatch, gap):
+def _track_best(cur, best_v, best_j, iota, j_of, lq, lt, pin_end):
+    """Per-step endpoint tracking. Default: masked argmax over each
+    pair's real [0..lq] x [0..lt] region (varlen: real cells never read
+    padded cells, so the padded DP is exact and only the tracking needs
+    masking). With ``pin_end`` the "argmax" degenerates to reading the
+    single (lq, lt) corner cell — GLOBAL (Needleman-Wunsch) alignment,
+    which shares this origin-anchored forward pass (the reference's
+    semi-global init, source.cpp:1789-1792) and differs only in where
+    the score is read."""
+    if pin_end:
+        upd = (cur > best_v) & (iota == lq) & (j_of == lt)
+    else:
+        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
+    return jnp.where(upd, cur, best_v), jnp.where(upd, j_of, best_j)
+
+
+def _best_init(iota, lq, lt, B, pin_end):
+    """best_v at d=0: slot 0 holds H[0,0] = 0 — an eligible endpoint for
+    the argmax always, but for a pinned end only when (lq, lt) == (0, 0)
+    (the empty pair)."""
+    cond = (iota == 0) & (lq == 0) & (lt == 0) if pin_end else iota == 0
+    return jnp.where(cond, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("match", "mismatch", "gap", "pin_end")
+)
+def _semiglobal_impl(qs, ts, lq, lt, match, mismatch, gap, pin_end=False):
     B, n = qs.shape
     m = ts.shape[1]
     qs = qs.astype(jnp.int32)
@@ -71,20 +97,15 @@ def _semiglobal_impl(qs, ts, lq, lt, match, mismatch, gap):
         # clamp phantoms (j < 0 or j > m) hard to -inf
         j_of = d - iota
         cur = jnp.where((j_of < 0) | (j_of > m), minus_inf, cur)
-        # restrict the argmax to each pair's real [0..lq] x [0..lt]
-        # region (varlen: real cells never read padded cells, so the
-        # padded DP is exact and only the tracking needs masking)
-        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
-        best_v = jnp.where(upd, cur, best_v)
-        best_j = jnp.where(upd, j_of, best_j)
+        best_v, best_j = _track_best(
+            cur, best_v, best_j, iota, j_of, lq, lt, pin_end
+        )
         return (cur, prev1, best_v, best_j), None
 
     prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
     d0 = jnp.zeros((B, n + 1), jnp.int32)
     d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
-    best_v0 = jnp.where(
-        iota == 0, 0, MINUS_INF
-    ) * jnp.ones((B, 1), jnp.int32)
+    best_v0 = _best_init(iota, lq, lt, B, pin_end)
     best_j0 = jnp.zeros((B, n + 1), jnp.int32)
     ds = jnp.arange(1, n + m + 1)
     (p1, p2, best_v, best_j), _ = jax.lax.scan(
@@ -101,9 +122,11 @@ def _semiglobal_impl(qs, ts, lq, lt, match, mismatch, gap):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("match", "mismatch", "go", "ge")
+    jax.jit, static_argnames=("match", "mismatch", "go", "ge", "pin_end")
 )
-def _semiglobal_affine_impl(qs, ts, lq, lt, match, mismatch, go, ge):
+def _semiglobal_affine_impl(
+    qs, ts, lq, lt, match, mismatch, go, ge, pin_end=False
+):
     B, n = qs.shape
     m = ts.shape[1]
     qs = qs.astype(jnp.int32)
@@ -143,19 +166,14 @@ def _semiglobal_affine_impl(qs, ts, lq, lt, match, mismatch, go, ge):
         cur = jnp.where(phantom, minus_inf, cur)
         e_cur = jnp.where(phantom, minus_inf, e_cur)
         f_cur = jnp.where(phantom, minus_inf, f_cur)
-        # restrict the argmax to each pair's real [0..lq] x [0..lt]
-        # region (varlen: real cells never read padded cells, so the
-        # padded DP is exact and only the tracking needs masking)
-        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
-        best_v = jnp.where(upd, cur, best_v)
-        best_j = jnp.where(upd, j_of, best_j)
+        best_v, best_j = _track_best(
+            cur, best_v, best_j, iota, j_of, lq, lt, pin_end
+        )
         return (cur, h1, e_cur, f_cur, best_v, best_j), None
 
     prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
     d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
-    best_v0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones(
-        (B, 1), jnp.int32
-    )
+    best_v0 = _best_init(iota, lq, lt, B, pin_end)
     best_j0 = jnp.zeros((B, n + 1), jnp.int32)
     ds = jnp.arange(1, n + m + 1)
     (h1, h2, e1, f1, best_v, best_j), _ = jax.lax.scan(
@@ -170,8 +188,10 @@ def _semiglobal_affine_impl(qs, ts, lq, lt, match, mismatch, go, ge):
     return score, end_i, end_j
 
 
-@functools.partial(jax.jit, static_argnames=("gap", "n_codes"))
-def _semiglobal_table_impl(qs, ts, lq, lt, table, gap, n_codes=8):
+@functools.partial(jax.jit, static_argnames=("gap", "n_codes", "pin_end"))
+def _semiglobal_table_impl(
+    qs, ts, lq, lt, table, gap, n_codes=8, pin_end=False
+):
     """Linear-gap semi-global with a general substitution table (the
     general-matrix / protein mode; scoring via flat-table gather like
     sw_scan/colscan instead of the uniform match/mismatch compare)."""
@@ -208,19 +228,14 @@ def _semiglobal_table_impl(qs, ts, lq, lt, table, gap, n_codes=8):
         cur = jnp.where(iota == d, jnp.where(d <= n, -d * gap, cur), cur)
         j_of = d - iota
         cur = jnp.where((j_of < 0) | (j_of > m), minus_inf, cur)
-        # restrict the argmax to each pair's real [0..lq] x [0..lt]
-        # region (varlen: real cells never read padded cells, so the
-        # padded DP is exact and only the tracking needs masking)
-        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
-        best_v = jnp.where(upd, cur, best_v)
-        best_j = jnp.where(upd, j_of, best_j)
+        best_v, best_j = _track_best(
+            cur, best_v, best_j, iota, j_of, lq, lt, pin_end
+        )
         return (cur, prev1, best_v, best_j), None
 
     prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
     d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
-    best_v0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones(
-        (B, 1), jnp.int32
-    )
+    best_v0 = _best_init(iota, lq, lt, B, pin_end)
     best_j0 = jnp.zeros((B, n + 1), jnp.int32)
     ds = jnp.arange(1, n + m + 1)
     (p1, p2, best_v, best_j), _ = jax.lax.scan(
@@ -235,8 +250,12 @@ def _semiglobal_table_impl(qs, ts, lq, lt, table, gap, n_codes=8):
     return score, end_i, end_j
 
 
-@functools.partial(jax.jit, static_argnames=("go", "ge", "n_codes"))
-def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge, n_codes=8):
+@functools.partial(
+    jax.jit, static_argnames=("go", "ge", "n_codes", "pin_end")
+)
+def _semiglobal_affine_table_impl(
+    qs, ts, lq, lt, table, go, ge, n_codes=8, pin_end=False
+):
     """Gotoh semi-global with a general substitution table."""
     B, n = qs.shape
     m = ts.shape[1]
@@ -273,19 +292,14 @@ def _semiglobal_affine_table_impl(qs, ts, lq, lt, table, go, ge, n_codes=8):
         cur = jnp.where(phantom, minus_inf, cur)
         e_cur = jnp.where(phantom, minus_inf, e_cur)
         f_cur = jnp.where(phantom, minus_inf, f_cur)
-        # restrict the argmax to each pair's real [0..lq] x [0..lt]
-        # region (varlen: real cells never read padded cells, so the
-        # padded DP is exact and only the tracking needs masking)
-        upd = (cur > best_v) & (iota <= lq) & (j_of <= lt) & (j_of >= 0)
-        best_v = jnp.where(upd, cur, best_v)
-        best_j = jnp.where(upd, j_of, best_j)
+        best_v, best_j = _track_best(
+            cur, best_v, best_j, iota, j_of, lq, lt, pin_end
+        )
         return (cur, h1, e_cur, f_cur, best_v, best_j), None
 
     prev_init = jnp.full((B, n + 1), MINUS_INF, jnp.int32)
     d0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones((B, 1), jnp.int32)
-    best_v0 = jnp.where(iota == 0, 0, MINUS_INF) * jnp.ones(
-        (B, 1), jnp.int32
-    )
+    best_v0 = _best_init(iota, lq, lt, B, pin_end)
     best_j0 = jnp.zeros((B, n + 1), jnp.int32)
     ds = jnp.arange(1, n + m + 1)
     (h1, h2, e1, f1, best_v, best_j), _ = jax.lax.scan(
@@ -314,7 +328,9 @@ def _lens_cols(qs, ts, lens_q, lens_t):
     )
 
 
-def semiglobal_batch_general(qs, ts, params, lens_q=None, lens_t=None):
+def semiglobal_batch_general(
+    qs, ts, params, lens_q=None, lens_t=None, pin_end=False
+):
     """Batched semi-global scores + endpoints for a general substitution
     matrix (DNA 4x4 or protein/BLOSUM62), linear or affine gaps.
 
@@ -330,7 +346,7 @@ def semiglobal_batch_general(qs, ts, params, lens_q=None, lens_t=None):
     if params.is_linear:
         return _semiglobal_table_impl(
             jnp.asarray(qs), jnp.asarray(ts), lq, lt, table,
-            int(params.gap), n_codes=n_codes,
+            int(params.gap), n_codes=n_codes, pin_end=pin_end,
         )
     return _semiglobal_affine_table_impl(
         jnp.asarray(qs),
@@ -341,12 +357,13 @@ def semiglobal_batch_general(qs, ts, params, lens_q=None, lens_t=None):
         int(params.gap_open),
         int(params.gap_extend),
         n_codes=n_codes,
+        pin_end=pin_end,
     )
 
 
 def semiglobal_batch_diag(
     qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None,
-    lens_q=None, lens_t=None,
+    lens_q=None, lens_t=None, pin_end=False,
 ):
     """Batched semi-global scores + argmax endpoints.
 
@@ -363,11 +380,38 @@ def semiglobal_batch_diag(
     if gap_open is not None and gap_open != gap_extend:
         return _semiglobal_affine_impl(
             jnp.asarray(qs), jnp.asarray(ts), lq, lt, int(match),
-            int(mismatch), int(gap_open), int(gap_extend),
+            int(mismatch), int(gap_open), int(gap_extend), pin_end=pin_end,
         )
     if gap_open is not None:
         gap = gap_open
     return _semiglobal_impl(
         jnp.asarray(qs), jnp.asarray(ts), lq, lt, int(match),
-        int(mismatch), int(gap),
+        int(mismatch), int(gap), pin_end=pin_end,
     )
+
+
+def nw_batch_diag(
+    qs, ts, match=1, mismatch=1, gap=1, gap_open=None, gap_extend=None,
+    lens_q=None, lens_t=None,
+):
+    """Batched GLOBAL (Needleman-Wunsch) scores: [B] int32.
+
+    Extension beyond the reference: its semi-global forward pass is
+    already origin-anchored with penalized boundary gap chains
+    (source.cpp:1789-1792), so global alignment is the identical scan
+    reading each pair's (lq, lt) corner instead of the argmax. Matches
+    oracle nw_full / nw_affine_full on the unpadded lengths."""
+    score, _, _ = semiglobal_batch_diag(
+        qs, ts, match, mismatch, gap, gap_open=gap_open,
+        gap_extend=gap_extend, lens_q=lens_q, lens_t=lens_t, pin_end=True,
+    )
+    return score
+
+
+def nw_batch_general(qs, ts, params, lens_q=None, lens_t=None):
+    """Batched GLOBAL scores for a general substitution matrix (DNA 4x4
+    or protein/BLOSUM62), linear or affine gaps — see nw_batch_diag."""
+    score, _, _ = semiglobal_batch_general(
+        qs, ts, params, lens_q=lens_q, lens_t=lens_t, pin_end=True
+    )
+    return score

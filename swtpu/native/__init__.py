@@ -73,15 +73,15 @@ def _get_lib():
         ]
         lib.semiglobal_traceback.restype = i64
         lib.semiglobal_traceback.argtypes = [
-            i8p, i64, i8p, i64, i32, i32, i32, i32p, i32p,
+            i8p, i64, i8p, i64, i32, i32, i32, i32, i32p, i32p,
         ]
         lib.semiglobal_traceback_matrix.restype = i64
         lib.semiglobal_traceback_matrix.argtypes = [
-            i8p, i64, i8p, i64, i32p, i32, i32, i32p, i32p,
+            i8p, i64, i8p, i64, i32p, i32, i32, i32, i32p, i32p,
         ]
         lib.semiglobal_affine_traceback.restype = i64
         lib.semiglobal_affine_traceback.argtypes = [
-            i8p, i64, i8p, i64, i32p, i32, i32, i32, i32p, i32p,
+            i8p, i64, i8p, i64, i32p, i32, i32, i32, i32, i32p, i32p,
         ]
         lib.banded_traceback.restype = i64
         lib.banded_traceback.argtypes = [
@@ -262,8 +262,11 @@ def sw_traceback_lowmem(
 
 
 def semiglobal_traceback(
-    q: np.ndarray, t: np.ndarray, match: int, mismatch: int, gap: int
+    q: np.ndarray, t: np.ndarray, match: int, mismatch: int, gap: int,
+    pin_end: bool = False,
 ) -> Tuple[int, List[Tuple[int, int]]]:
+    """pin_end=True pins the endpoint at the (n, m) corner — GLOBAL
+    (Needleman-Wunsch) alignment (twin of oracle.nw_full)."""
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
@@ -271,8 +274,8 @@ def semiglobal_traceback(
     pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     score = ctypes.c_int32(0)
     ln = lib.semiglobal_traceback(
-        qp, len(q), tp, len(t), int(match), int(mismatch), int(gap), pp,
-        ctypes.byref(score),
+        qp, len(q), tp, len(t), int(match), int(mismatch), int(gap),
+        int(pin_end), pp, ctypes.byref(score),
     )
     if ln < 0:
         raise AssertionError("inconsistent native semiglobal traceback")
@@ -281,10 +284,11 @@ def semiglobal_traceback(
 
 
 def semiglobal_traceback_matrix(
-    q: np.ndarray, t: np.ndarray, matrix: np.ndarray, gap: int
+    q: np.ndarray, t: np.ndarray, matrix: np.ndarray, gap: int,
+    pin_end: bool = False,
 ) -> Tuple[int, List[Tuple[int, int]]]:
     """General-matrix linear-gap semi-global walk (twin of
-    oracle.semiglobal_full with matrix=)."""
+    oracle.semiglobal_full with matrix=); pin_end -> global/NW."""
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
@@ -295,7 +299,7 @@ def semiglobal_traceback_matrix(
     pp = path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     score = ctypes.c_int32(0)
     ln = lib.semiglobal_traceback_matrix(
-        qp, len(q), tp, len(t), mp, int(A), int(gap), pp,
+        qp, len(q), tp, len(t), mp, int(A), int(gap), int(pin_end), pp,
         ctypes.byref(score),
     )
     if ln < 0:
@@ -310,8 +314,10 @@ def semiglobal_affine_traceback(
     matrix: np.ndarray,
     gap_open: int,
     gap_extend: int,
+    pin_end: bool = False,
 ) -> Tuple[int, List[Tuple[int, int]]]:
-    """Gotoh semi-global walk (twin of oracle.semiglobal_affine_full)."""
+    """Gotoh semi-global walk (twin of oracle.semiglobal_affine_full);
+    pin_end -> global/NW (twin of oracle.nw_affine_full)."""
     lib = _get_lib()
     q, qp = _u8(q)
     t, tp = _u8(t)
@@ -323,7 +329,7 @@ def semiglobal_affine_traceback(
     score = ctypes.c_int32(0)
     ln = lib.semiglobal_affine_traceback(
         qp, len(q), tp, len(t), mp, int(A), int(gap_open),
-        int(gap_extend), pp, ctypes.byref(score),
+        int(gap_extend), int(pin_end), pp, ctypes.byref(score),
     )
     if ln < 0:
         raise AssertionError("inconsistent native affine semiglobal traceback")

@@ -327,9 +327,11 @@ int64_t banded_static_traceback(const uint8_t* q, int64_t n,
 // ------------------------------------------- semi-global with traceback --
 
 // Full-matrix semi-global (no zero floor, start at (0,0), end at argmax).
+// pin_end != 0 pins the end at the (n, m) corner instead — GLOBAL
+// (Needleman-Wunsch) alignment, same origin-anchored fill.
 int64_t semiglobal_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
                              int64_t m, int32_t match, int32_t mismatch,
-                             int32_t gap, int32_t* path_out,
+                             int32_t gap, int32_t pin_end, int32_t* path_out,
                              int32_t* out_score) {
   const int32_t MINF = INT32_MIN / 2;
   const int64_t stride = m + 1;
@@ -352,6 +354,11 @@ int64_t semiglobal_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
         bj = j;
       }
     }
+  }
+  if (pin_end) {
+    bi = n;
+    bj = m;
+    best = dp[n * stride + m];
   }
   *out_score = best;
   int64_t len = 0;
@@ -390,8 +397,8 @@ int64_t semiglobal_traceback(const uint8_t* q, int64_t n, const uint8_t* t,
 int64_t semiglobal_traceback_matrix(const uint8_t* q, int64_t n,
                                     const uint8_t* t, int64_t m,
                                     const int32_t* matrix, int32_t A,
-                                    int32_t gap, int32_t* path_out,
-                                    int32_t* out_score) {
+                                    int32_t gap, int32_t pin_end,
+                                    int32_t* path_out, int32_t* out_score) {
   const int32_t MINF = INT32_MIN / 2;
   const int64_t stride = m + 1;
   std::vector<int32_t> dp((n + 1) * stride, MINF);
@@ -413,6 +420,11 @@ int64_t semiglobal_traceback_matrix(const uint8_t* q, int64_t n,
         bj = j;
       }
     }
+  }
+  if (pin_end) {
+    bi = n;
+    bj = m;
+    best = dp[n * stride + m];
   }
   *out_score = best;
   int64_t len = 0;
@@ -453,7 +465,8 @@ int64_t semiglobal_affine_traceback(const uint8_t* q, int64_t n,
                                     const uint8_t* t, int64_t m,
                                     const int32_t* matrix, int32_t A,
                                     int32_t gap_open, int32_t gap_extend,
-                                    int32_t* path_out, int32_t* out_score) {
+                                    int32_t pin_end, int32_t* path_out,
+                                    int32_t* out_score) {
   const int32_t MINF = INT32_MIN / 2;
   const int64_t stride = m + 1;
   std::vector<int32_t> H((n + 1) * stride, MINF);
@@ -482,6 +495,11 @@ int64_t semiglobal_affine_traceback(const uint8_t* q, int64_t n,
         bj = j;
       }
     }
+  }
+  if (pin_end) {
+    bi = n;
+    bj = m;
+    best = H[n * stride + m];
   }
   *out_score = best;
   int64_t len = 0;

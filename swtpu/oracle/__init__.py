@@ -13,6 +13,8 @@ from swtpu.oracle.sw import (  # noqa: F401
 from swtpu.oracle.semiglobal import (  # noqa: F401
     semiglobal_full,
     semiglobal_affine_full,
+    nw_full,
+    nw_affine_full,
     banded_xdrop,
 )
 from swtpu.oracle.affine import (  # noqa: F401

@@ -30,6 +30,7 @@ def semiglobal_full(
     mismatch: int = 1,
     gap: int = 1,
     matrix: Optional[np.ndarray] = None,
+    endpoint: Optional[Tuple[int, int]] = None,
 ) -> Tuple[int, List[Tuple[int, int]]]:
     """Full-matrix semi-global alignment with traceback.
 
@@ -44,6 +45,11 @@ def semiglobal_full(
     [q_char, t_char] and match/mismatch are ignored (the general-matrix /
     protein mode; the reference's semi-global family is (1,1,1)-only,
     source.cpp:1776-1834 — this is the engine-matrix generalization).
+
+    ``endpoint`` pins the alignment end instead of the argmax: (n, m)
+    gives GLOBAL (Needleman-Wunsch) alignment — the reference's
+    semi-global is already origin-anchored (source.cpp:1789-1792), so
+    global differs only in where the score is read and the walk starts.
     """
     q = np.asarray(q, dtype=np.int64)
     t = np.asarray(t, dtype=np.int64)
@@ -69,10 +75,14 @@ def semiglobal_full(
         up = dp[i_idx - 1, j_idx] - gap
         left = dp[i_idx, j_idx - 1] - gap
         dp[i_idx, j_idx] = np.maximum(diag, np.maximum(up, left))
-    # argmax with the reference's "strict < vs initial 0" rule: dp[0,0] == 0 is
-    # scanned first, so plain row-major argmax reproduces it.
-    flat = int(np.argmax(dp))
-    max_i, max_j = divmod(flat, m + 1)
+    if endpoint is not None:
+        max_i, max_j = endpoint
+    else:
+        # argmax with the reference's "strict < vs initial 0" rule:
+        # dp[0,0] == 0 is scanned first, so plain row-major argmax
+        # reproduces it.
+        flat = int(np.argmax(dp))
+        max_i, max_j = divmod(flat, m + 1)
     max_score = int(dp[max_i, max_j])
 
     path = [(max_i, max_j)]
@@ -100,6 +110,7 @@ def semiglobal_affine_full(
     gap_open: int = 3,
     gap_extend: int = 1,
     matrix: Optional[np.ndarray] = None,
+    endpoint: Optional[Tuple[int, int]] = None,
 ) -> Tuple[int, List[Tuple[int, int]]]:
     """Full-matrix semi-global alignment with AFFINE (Gotoh) gaps.
 
@@ -131,8 +142,11 @@ def semiglobal_affine_full(
             E[i, j] = max(E[i, j - 1] - ge, H[i, j - 1] - go)
             F[i, j] = max(F[i - 1, j] - ge, H[i - 1, j] - go)
             H[i, j] = max(H[i - 1, j - 1] + srow[j - 1], E[i, j], F[i, j])
-    flat = int(np.argmax(H))
-    max_i, max_j = divmod(flat, m + 1)
+    if endpoint is not None:
+        max_i, max_j = endpoint
+    else:
+        flat = int(np.argmax(H))
+        max_i, max_j = divmod(flat, m + 1)
     max_score = int(H[max_i, max_j])
 
     path = [(max_i, max_j)]
@@ -171,6 +185,44 @@ def semiglobal_affine_full(
             path.append((i, j))
     path.reverse()
     return max_score, path
+
+
+def nw_full(
+    q: np.ndarray,
+    t: np.ndarray,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    matrix: Optional[np.ndarray] = None,
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """GLOBAL (Needleman-Wunsch) alignment with traceback, linear gaps.
+
+    Extension beyond the reference (which stops at semi-global): the
+    reference's semi-global DP is already origin-anchored with penalized
+    boundary gap chains (source.cpp:1789-1792), so global alignment is
+    the identical forward pass with the score read at the (n, m) corner
+    and the walk started there. Same tie-breaks (diag -> up -> left)."""
+    return semiglobal_full(
+        q, t, match, mismatch, gap, matrix=matrix,
+        endpoint=(len(q), len(t)),
+    )
+
+
+def nw_affine_full(
+    q: np.ndarray,
+    t: np.ndarray,
+    match: int = 1,
+    mismatch: int = 1,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+    matrix: Optional[np.ndarray] = None,
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """GLOBAL (Needleman-Wunsch/Gotoh) alignment, affine gaps — the
+    (n, m)-pinned read-out of semiglobal_affine_full (see nw_full)."""
+    return semiglobal_affine_full(
+        q, t, match, mismatch, gap_open, gap_extend, matrix=matrix,
+        endpoint=(len(q), len(t)),
+    )
 
 
 @dataclasses.dataclass

@@ -213,6 +213,28 @@ def test_cli_protein_varlen_pads(tmp_path):
     assert recs[0]["end"] == [8, 8]
 
 
+def test_cli_global(tmp_path):
+    """`swtpu global`: NW scores + corner-to-corner paths vs the oracle."""
+    from swtpu.core.io import decode_dna as dec
+    from swtpu.oracle import nw_full
+
+    rng = np.random.default_rng(23)
+    qs = rng.integers(0, 4, (2, 30))
+    ts = rng.integers(0, 4, (2, 34))
+    qf, tf = tmp_path / "q.fa", tmp_path / "t.fa"
+    write_fasta(qf, [(f"q{i}", dec(qs[i])) for i in range(2)])
+    write_fasta(tf, [(f"t{i}", dec(ts[i])) for i in range(2)])
+    recs = _run(
+        ["global", "--queries", str(qf), "--targets", str(tf),
+         "--scoring", "2,-1", "--gap", "1", "--traceback"]
+    )
+    for i, r in enumerate(recs):
+        sc, path = nw_full(qs[i], ts[i], 2, 1, 1)
+        assert r["score"] == sc
+        assert r["start"] == [0, 0] and r["end"] == [30, 34]
+        assert [tuple(p) for p in r["path"]] == path
+
+
 def test_cli_longpair(tmp_path):
     rng = np.random.default_rng(17)
     q = decode_dna(rng.integers(0, 4, 256))
