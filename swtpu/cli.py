@@ -471,11 +471,41 @@ def cmd_search(args):
             return
         if args.tsv:
             # BLAST outfmt-6-style: qname tname pident alnlen mismatches
-            # gapopens qstart qend tstart tend score (1-based inclusive
-            # coordinates; e-value/bitscore columns are out of scope —
-            # the engine reports raw SW scores)
+            # gapopens qstart qend tstart tend + either the raw SW score
+            # (--stats none, 11 cols) or the standard evalue/bitscore
+            # pair (--stats auto/preset/calibrate: full outfmt 6).
+            # 1-based inclusive coordinates.
             from swtpu.core.cigar import cigar_stats, path_to_cigar
 
+            ka = None
+            if args.stats != "none":
+                from swtpu.core.stats import (
+                    bit_score,
+                    e_value,
+                    resolve_stats,
+                )
+
+                # calibrate at the search's own geometry (median lengths
+                # rounded to the engines' 8/16 tile quanta): the fitted
+                # Gumbel then models the score distribution at exactly
+                # this problem size, edge effects included
+                mean_tl = float(np.mean(tl)) if len(tl) else 1.0
+                m_cal = max(8, int(round(np.median(ql) / 8)) * 8)
+                n_cal = max(16, int(round(np.median(tl) / 16)) * 16)
+                ka = resolve_stats(
+                    params,
+                    args.alphabet,
+                    mode=args.stats,
+                    calibrate_pairs=args.calibrate_pairs,
+                    seed=args.seed,
+                    m=m_cal,
+                    n=n_cal,
+                )
+                print(
+                    f"# karlin-altschul: lambda={ka.lam:.4f} "
+                    f"K={ka.K:.4g} source={ka.source}",
+                    file=sys.stderr,
+                )
             for (i, j, strand), (score, path) in zip(hits_ijs, aligned):
                 if len(path) < 2:
                     continue
@@ -494,6 +524,21 @@ def cmd_search(args):
                         runs += 1
                     prev = stp
                 pid = 100.0 * st["matches"] / cols if cols else 0.0
+                if ka is not None:
+                    ev = float(
+                        e_value(
+                            score, int(ql[i]), mean_tl, ka,
+                            db_seqs=len(T),
+                        )
+                    )
+                    if (
+                        args.evalue_max is not None
+                        and ev > args.evalue_max
+                    ):
+                        continue
+                    tail = (f"{ev:.2g}", f"{float(bit_score(score, ka)):.1f}")
+                else:
+                    tail = (int(score),)
                 print(
                     "\t".join(
                         str(x)
@@ -502,8 +547,8 @@ def cmd_search(args):
                             st["mismatches"], runs,
                             path[0][0] + 1, path[-1][0],
                             path[0][1] + 1, path[-1][1],
-                            int(score),
                         )
+                        + tail
                         + (("-" if strand else "+",)
                            if args.both_strands else ())
                     )
@@ -850,6 +895,23 @@ def cmd_selftest(args):
             )
         )
 
+        # Karlin-Altschul calibration: fit (lambda, K) for the standard
+        # protein config on the device engine and compare to NCBI's own
+        # simulation-fitted preset (0.267 / 0.041). At 256x256 the
+        # finite-size bias is ~2% on lambda (see core/stats.py).
+        from swtpu.core.stats import calibrate_stats
+
+        ka = calibrate_stats(
+            paff, "protein", m=256, pairs=4096, seed=10000, chunk=4096
+        )
+        checks.append(
+            (
+                "ka_calibration_vs_ncbi_preset",
+                abs(ka.lam - 0.267) < 0.267 * 0.12
+                and 0.015 < ka.K < 0.12,
+            )
+        )
+
     # reference-scale geometry: one 16384-mer mutation pair end to end
     # (SemiGlobal_111's shape, source.cpp:1776-1834) — device banded
     # forward + host walk, cross-checked against the scalar banded oracle
@@ -1017,6 +1079,30 @@ def build_parser():
         help="DNA only: also search the reverse complement of every "
         "query; hits carry a strand (+/-; SAM FLAG 16), merged "
         "deterministically (score desc, id asc, '+' first)",
+    )
+    p.add_argument(
+        "--stats",
+        choices=["none", "auto", "preset", "calibrate"],
+        default="none",
+        help="Karlin-Altschul significance layer: --tsv emits the "
+        "standard evalue/bitscore columns (full BLAST outfmt 6). "
+        "preset = NCBI tabulated parameters (BLOSUM62 + gap 11/1); "
+        "calibrate = fit (lambda, K) for the EXACT scoring in use by "
+        "aligning random background pairs on the device engine (the "
+        "methodology behind BLAST's own gapped tables); auto = preset "
+        "when tabulated, else calibrate",
+    )
+    p.add_argument(
+        "--calibrate-pairs",
+        type=int,
+        default=8192,
+        help="random pairs scored by --stats calibrate (default 8192)",
+    )
+    p.add_argument(
+        "--evalue-max",
+        type=float,
+        default=None,
+        help="with --stats: drop hits whose E-value exceeds this",
     )
     p.set_defaults(fn=cmd_search)
 
