@@ -845,6 +845,68 @@ def bench_search(quick=False):
     return [rec]
 
 
+def bench_map(quick=False):
+    """Seed-and-extend read mapping end to end (swtpu.models.mapper):
+    k-mer index build (host), seeding (host numpy), batched banded
+    X-drop glocal extension (device). Wall-clock timed on distinct read
+    sets (the tunnel result-cache serves identical calls, so every
+    timed rep uses fresh reads after a warmup set compiles the
+    extension executable); quality = fraction of mutation-model reads
+    mapped back to their true locus."""
+    import time
+
+    import jax
+
+    from swtpu.core.encode import mutate
+    from swtpu.models.mapper import build_index, map_reads
+
+    G = 200_000 if quick else 1_000_000
+    R = 512 if quick else 4096
+    L = 152
+    rng = np.random.default_rng(10000)
+    genome = rng.integers(0, 4, size=G).astype(np.uint8)
+
+    t0 = time.perf_counter()
+    idx = build_index([genome], k=9)
+    t_index = time.perf_counter() - t0
+
+    def read_set(seed):
+        r = np.random.default_rng(seed)
+        starts = r.integers(0, G - L, size=R)
+        reads = np.stack(
+            [mutate(r, genome[s : s + L], out_len=L) for s in starts]
+        )
+        return reads, starts
+
+    sets = [read_set(s) for s in (1, 2, 3)]
+    map_reads(sets[0][0], index=idx, min_score=20)  # warmup/compile
+    walls, correct = [], 0
+    for reads, starts in sets[1:]:
+        t0 = time.perf_counter()
+        hits = map_reads(reads, index=idx, min_score=20)
+        walls.append(time.perf_counter() - t0)
+        correct = sum(
+            1
+            for i, h in enumerate(hits)
+            if h is not None and abs(h.pos - int(starts[i])) <= 32
+        )
+    wall = min(walls)
+    rec = dict(
+        kernel="map_seed_extend", genome_bp=G, reads=R, read_len=L,
+        index_s=round(t_index, 3), wall_ms=round(wall * 1e3, 1),
+        reads_per_s=round(R / wall),
+        correct_locus_frac=round(correct / R, 4),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"map_seed_extend: {wall*1e3:.1f} ms / {R} reads vs {G/1e6:.1f} "
+        f"Mbp = {R/wall/1e3:.1f} K reads/s (index {t_index:.2f} s, "
+        f"correct locus {correct/R:.1%})"
+    )
+    print("JSON:", json.dumps(rec))
+    return [rec]
+
+
 def forever(variant_name: str):
     """Infinite loop of one kernel for external profilers (≙ InfinitySW,
     source.cpp:3149-3170). Ctrl-C to stop."""
@@ -876,6 +938,7 @@ def main():
         choices=[
             "all", "sw", "semiglobal", "semiglobal_full", "affine",
             "protein", "swissprot", "unpack", "varlen", "dist", "search",
+            "map",
         ],
     )
     ap.add_argument(
@@ -915,6 +978,8 @@ def main():
         results += bench_varlen(args.quick)
     if args.suite in ("all", "search"):
         results += bench_search(args.quick)
+    if args.suite in ("all", "map"):
+        results += bench_map(args.quick)
     if args.suite in ("all", "unpack"):
         results += bench_unpack(args.quick)
     json.dump(results, sys.stdout, indent=1)

@@ -590,6 +590,138 @@ def cmd_search(args):
         print(json.dumps(dict(query=name, hits=hits)))
 
 
+def cmd_map(args):
+    """Seed-and-extend read mapping: k-mer seeding (host) + batched
+    adaptive-banded X-drop glocal extension (device) — the mapping
+    pipeline the reference's banded family (source.cpp:1836-2725) and
+    mutation-model generator (source.cpp:2750-2771) are built for."""
+    from swtpu.core.io import load_fasta_batch
+    from swtpu.models.mapper import build_index, map_reads
+
+    rng = np.random.default_rng(args.seed)
+    if args.random:
+        # GxRxL: random G-mer genome, R reads of length L sampled at
+        # random loci and pushed through the mutation model
+        from swtpu.core.encode import mutate, revcomp
+
+        G, R, L = (int(x) for x in args.random.split("x"))
+        genome = rng.integers(0, 4, size=G).astype(np.uint8)
+        starts = rng.integers(0, G - L, size=R)
+        reads = np.stack(
+            [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+        )
+        if args.both_strands:
+            flip = rng.random(R) < 0.5
+            for i in np.nonzero(flip)[0]:
+                reads[i] = revcomp(reads[i])
+        rnames = [f"read{i}" for i in range(R)]
+        rlens = np.full(R, L)
+        contigs, cnames, clens = [genome], ["genome"], [G]
+    else:
+        if not (args.reads and args.ref):
+            raise SystemExit("need --reads and --ref FASTAs or --random")
+        rnames, reads, rlens = load_fasta_batch(
+            args.reads, "dna", pad_code=4
+        )
+        cnames, carr, clens = load_fasta_batch(args.ref, "dna", pad_code=5)
+        contigs = [carr[i] for i in range(len(carr))]
+    k = args.k if args.k is not None else (9 if args.random else 13)
+    idx = build_index(contigs, cnames, k=k, lens=clens)
+    want_path = args.traceback or args.cigar or args.sam
+    hits = map_reads(
+        reads,
+        rlens,
+        index=idx,
+        min_seeds=args.min_seeds,
+        max_occ=args.max_occ,
+        max_loci=args.max_loci,
+        match=args.match,
+        mismatch=args.mismatch,
+        gap=args.gap,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
+        bandwidth=args.bandwidth,
+        x_threshold=args.x_drop,
+        min_score=args.min_score,
+        both_strands=args.both_strands,
+        traceback=want_path,
+    )
+    n_mapped = sum(h is not None for h in hits)
+    if args.random:
+        # reconstruction report: how many reads land on their true locus
+        ok = sum(
+            1
+            for i, h in enumerate(hits)
+            if h is not None and abs(h.pos - int(starts[i])) <= args.bandwidth
+        )
+        print(
+            json.dumps(
+                dict(
+                    reads=len(hits), mapped=n_mapped,
+                    correct_locus=ok,
+                )
+            )
+        )
+        return
+    if args.sam:
+        from swtpu.core.encode import revcomp
+        from swtpu.core.sam import sam_header, sam_record
+
+        print(sam_header(list(zip(cnames, [int(x) for x in clens]))))
+        for i, h in enumerate(hits):
+            q = reads[i]
+            if h is not None and h.strand == "-":
+                q = revcomp(reads[i], int(rlens[i]))
+            if h is None or not h.path:
+                print(
+                    sam_record(
+                        rnames[i], "*", reads[i][: int(rlens[i])],
+                        reads[i][:0], 0, [], "dna",
+                        query_len=int(rlens[i]),
+                    )
+                )
+                continue
+            cid = idx.contig_names.index(h.contig)
+            cstart = int(idx.contig_starts[cid])
+            tseq = idx.ref[cstart : cstart + int(idx.contig_lens[cid])]
+            print(
+                sam_record(
+                    rnames[i], h.contig, q, tseq, h.score, h.path, "dna",
+                    query_len=int(rlens[i]),
+                    flag=16 if h.strand == "-" else 0,
+                )
+            )
+        return
+    for i, h in enumerate(hits):
+        rec = dict(read=rnames[i])
+        if h is None:
+            rec["mapped"] = False
+        else:
+            rec.update(
+                mapped=True, contig=h.contig, pos=h.pos, score=h.score,
+                strand=h.strand, n_seeds=h.n_seeds,
+            )
+            if args.traceback and h.path:
+                rec["path"] = [list(p) for p in h.path]
+            if args.cigar and h.path:
+                from swtpu.core.cigar import path_to_cigar
+
+                q = reads[i]
+                if h.strand == "-":
+                    from swtpu.core.encode import revcomp
+
+                    q = revcomp(reads[i], int(rlens[i]))
+                cid = idx.contig_names.index(h.contig)
+                cstart = int(idx.contig_starts[cid])
+                tseq = idx.ref[
+                    cstart : cstart + int(idx.contig_lens[cid])
+                ]
+                rec["cigar"] = path_to_cigar(
+                    h.path, q, tseq, query_len=int(rlens[i])
+                )
+        print(json.dumps(rec))
+
+
 def cmd_assemble(args):
     """Greedy overlap-layout-consensus assembly (the reference's intended
     but never-written assembly() consumer, source.cpp:2729-2731)."""
@@ -1105,6 +1237,47 @@ def build_parser():
         help="with --stats: drop hits whose E-value exceeds this",
     )
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "map",
+        help="seed-and-extend read mapping: k-mer seeds + batched "
+        "adaptive-banded X-drop glocal extension on device",
+    )
+    p.add_argument("--reads", help="FASTA of reads (DNA)")
+    p.add_argument("--ref", help="FASTA of reference contigs")
+    p.add_argument(
+        "--random",
+        metavar="GxRxL",
+        help="demo: random G-mer genome, R mutation-model reads of "
+        "length L; reports how many map back to their true locus",
+    )
+    p.add_argument("--seed", type=int, default=10000)
+    p.add_argument(
+        "--k", type=int, default=None,
+        help="seed k-mer size (default 13; 9 for the --random demo, "
+        "whose mutation-model reads are only ~70%% identity)",
+    )
+    p.add_argument("--min-seeds", type=int, default=2)
+    p.add_argument(
+        "--max-occ", type=int, default=64,
+        help="ignore k-mers occurring more often than this (repeats)",
+    )
+    p.add_argument("--max-loci", type=int, default=8)
+    p.add_argument("--match", type=int, default=1)
+    p.add_argument(
+        "--mismatch", type=int, default=1, help="penalty (positive)"
+    )
+    p.add_argument("--gap", type=int, default=1, help="penalty (positive)")
+    p.add_argument("--gap-open", type=int, default=None)
+    p.add_argument("--gap-extend", type=int, default=1)
+    p.add_argument("--bandwidth", type=int, default=32)
+    p.add_argument("--x-drop", type=int, default=70)
+    p.add_argument("--min-score", type=int, default=20)
+    p.add_argument("--both-strands", action="store_true")
+    p.add_argument("--traceback", action="store_true")
+    p.add_argument("--cigar", action="store_true")
+    p.add_argument("--sam", action="store_true")
+    p.set_defaults(fn=cmd_map)
 
     p = sub.add_parser(
         "assemble",

@@ -370,6 +370,9 @@ def _banded_packed_impl(
     with_history, early_exit=False, gap_open=None, gap_extend=None,
     table=None,
 ):
+    # sequences arrive int8 (wire format); the kernel computes in int32
+    qp = qp.astype(jnp.int32)
+    tp = tp.astype(jnp.int32)
     PAIRS = _pairs(W)
     T = qp.shape[0] // (PAIRS * (qlen // LANE))
     rf = min(RF, LANE - 1 - W)
@@ -516,11 +519,18 @@ def banded_xdrop_batch_packed(
     Bp = -(-B // PAIRS) * PAIRS
     qlen = -(-(1 + n + W + LANE) // LANE) * LANE
     tlen = -(-(W + m + W + LANE) // LANE) * LANE
-    qp = np.full((Bp, qlen), -1, dtype=np.int32)
-    tp = np.full((Bp, tlen), -1, dtype=np.int32)
-    for b in range(B):
-        qp[b, 1 : 1 + lens_q[b]] = qs[b, : lens_q[b]]
-        tp[b, W : W + lens_t[b]] = ts[b, : lens_t[b]]
+    # int8 on the wire (4x less host->device traffic; codes are 0..25
+    # and the pad is -1), upcast to int32 device-side at the jit entry;
+    # vectorized masked writes (a Python loop over B dominated wall time
+    # for short-sequence mapping batches: 65k slice ops at B=32k)
+    qp = np.full((Bp, qlen), -1, dtype=np.int8)
+    tp = np.full((Bp, tlen), -1, dtype=np.int8)
+    qp[:B, 1 : 1 + n] = np.where(
+        np.arange(n)[None, :] < lens_q[:, None], qs.astype(np.int8), -1
+    )
+    tp[:B, W : W + m] = np.where(
+        np.arange(m)[None, :] < lens_t[:, None], ts.astype(np.int8), -1
+    )
     # per-lane lens: pair (b, g) of a tile owns lanes [32g, 32g+32)
     lq = np.zeros(Bp, np.int32)
     lt = np.zeros(Bp, np.int32)

@@ -1,0 +1,496 @@
+"""Seed-and-extend read mapping on the banded X-drop engine.
+
+The reference builds an adaptive-banded X-drop kernel family and a
+mutation-model test generator (source.cpp:1836-2725, 2750-2771) — the
+components of a read mapper — but never assembles them into one (its
+`assembly` driver is an empty stub, source.cpp:2729-2731). This module is
+that assembly for the mapping use case, the standard seed-and-extend
+pipeline (BLAST/minimap lineage) built TPU-first:
+
+1. **Index** (host): sorted k-mer table over the reference — positions
+   argsorted by k-mer code, queried by binary search. Multi-contig
+   references are concatenated with runs of the target pad code (5) so no
+   k-mer spans a boundary and extensions die at -mismatch/matrix.min()
+   per column ("pads can only lose").
+2. **Seed** (host, fully vectorized numpy): every read k-mer is looked
+   up; hits become (read, diagonal, position) triples; repetitive k-mers
+   above --max-occ are dropped (the minimap practice). Seeds are
+   clustered by quantized diagonal (adjacent buckets merged) and clusters
+   with >= min_seeds become candidate loci.
+3. **Extend** (device, batched): every candidate locus is one glocal
+   alignment — the read vs a fixed-width reference window anchored at the
+   cluster's minimum diagonal — through the adaptive-banded X-drop
+   forward (`with_history=False`: scores only, nothing big crosses the
+   host link). One batched call scores ALL loci of ALL reads.
+4. **Traceback** (survivors only): the winning locus per read re-runs
+   through `banded_align_batch` (device forward + band-history host
+   walk) when a path/CIGAR is requested; path coordinates are shifted
+   back to reference space.
+
+Candidate windows have ONE static shape (read_width + 2*bandwidth), so
+the whole pipeline compiles exactly one extension executable per
+configuration — XLA-friendly by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+#: Reference separator/pad: the DNA target pad code (pads can only lose).
+REF_PAD = 5
+
+
+# ---------------------------------------------------------------------------
+# 1. Index
+
+
+@dataclasses.dataclass
+class KmerIndex:
+    """Sorted k-mer table over a (concatenated) reference."""
+
+    k: int
+    ref: np.ndarray  # [N] uint8 concatenated reference (REF_PAD separators)
+    codes: np.ndarray  # [P] int64 k-mer codes, sorted
+    pos: np.ndarray  # [P] int64 positions, ordered by code
+    contig_starts: np.ndarray  # [C] int64 offset of each contig in ref
+    contig_names: List[str]
+    contig_lens: np.ndarray  # [C] int64
+    #: direct-addressed CSR row starts ([4^k + 1]) when 4^k is small
+    #: (k <= 11, <= 32 MB): O(1) lookups instead of binary search
+    starts: Optional[np.ndarray] = None
+
+    def locate(self, ref_pos: np.ndarray):
+        """Map concatenated positions -> (contig_id, local_pos)."""
+        p = np.asarray(ref_pos, dtype=np.int64)
+        cid = np.searchsorted(self.contig_starts, p, side="right") - 1
+        return cid, p - self.contig_starts[cid]
+
+
+def _kmer_codes(rows: np.ndarray, k: int) -> np.ndarray:
+    """[.., L] uint8 -> [.., L-k+1] int64 base-4 codes; windows containing
+    any char >= 4 (pads/separators) get code -1."""
+    rows = np.asarray(rows)
+    L = rows.shape[-1]
+    n = L - k + 1
+    if n <= 0:
+        return np.full(rows.shape[:-1] + (0,), -1, dtype=np.int64)
+    codes = np.zeros(rows.shape[:-1] + (n,), dtype=np.int64)
+    bad = np.zeros(rows.shape[:-1] + (n,), dtype=bool)
+    for j in range(k):
+        c = rows[..., j : j + n].astype(np.int64)
+        codes = (codes << 2) | (c & 3)
+        bad |= c >= 4
+    return np.where(bad, -1, codes)
+
+
+def build_index(
+    contigs: Sequence[np.ndarray],
+    names: Optional[Sequence[str]] = None,
+    k: int = 13,
+    lens: Optional[Sequence[int]] = None,
+) -> KmerIndex:
+    """Build the sorted k-mer table. `contigs` are uint8 code arrays
+    (0..3); `lens` trims padded rows (e.g. from load_fasta_batch)."""
+    names = (
+        list(names)
+        if names is not None
+        else [f"contig{i}" for i in range(len(contigs))]
+    )
+    sep = np.full(k, REF_PAD, dtype=np.uint8)
+    parts, starts, clens = [], [], []
+    off = 0
+    for i, c in enumerate(contigs):
+        c = np.asarray(c, dtype=np.uint8)
+        if lens is not None:
+            c = c[: int(lens[i])]
+        starts.append(off)
+        clens.append(len(c))
+        parts.append(c)
+        parts.append(sep)
+        off += len(c) + k
+    ref = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    codes = _kmer_codes(ref, k)
+    valid = np.nonzero(codes >= 0)[0]
+    order = valid[np.argsort(codes[valid], kind="stable")]
+    sorted_codes = codes[order]
+    csr = None
+    if k <= 11:  # 4^11 + 1 entries = 32 MB of int64
+        counts = np.bincount(sorted_codes, minlength=4**k)
+        csr = np.concatenate([[0], np.cumsum(counts)])
+    return KmerIndex(
+        k=k,
+        ref=ref,
+        codes=sorted_codes,
+        pos=order.astype(np.int64),
+        contig_starts=np.asarray(starts, dtype=np.int64),
+        contig_names=names,
+        contig_lens=np.asarray(clens, dtype=np.int64),
+        starts=csr,
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Seeding
+
+
+@dataclasses.dataclass
+class Candidates:
+    """Candidate loci: one row per (read, reference window) to extend."""
+
+    read: np.ndarray  # [C] int64 read row index
+    tstart: np.ndarray  # [C] int64 window start in the concatenated ref
+    n_seeds: np.ndarray  # [C] int64 seeds supporting the cluster
+
+
+def find_candidates(
+    index: KmerIndex,
+    reads: np.ndarray,
+    lens: Optional[np.ndarray] = None,
+    min_seeds: int = 2,
+    max_occ: int = 64,
+    max_loci: int = 8,
+    diag_window: Optional[int] = None,
+) -> Candidates:
+    """Vectorized seeding: k-mer lookups -> (read, diag) clusters.
+
+    Diagonals (tpos - qpos) are quantized to `diag_window` buckets
+    (default: the extension bandwidth, 32); adjacent buckets of one read
+    merge into one cluster, so an alignment straddling a bucket boundary
+    is never lost. Clusters need >= min_seeds seeds; each read keeps its
+    top `max_loci` clusters by seed count. The cluster anchor is the
+    diagonal of its EARLIEST seed (minimum qpos): the banded extension
+    is origin-anchored, so the window origin must sit at the read
+    start's diagonal, and indel drift before the first seed is the only
+    unaccounted offset (absorbed by the margin in `extend` + the band)."""
+    reads = np.asarray(reads, dtype=np.uint8)
+    R, L = reads.shape
+    dw = 32 if diag_window is None else int(diag_window)
+    qcodes = _kmer_codes(reads, index.k)  # [R, n]
+    n = qcodes.shape[1]
+    if lens is not None:
+        lens = np.asarray(lens)
+        qpos_grid = np.arange(n)[None, :]
+        in_len = qpos_grid <= (lens[:, None] - index.k)
+        qcodes = np.where(in_len, qcodes, -1)
+    rid, qpos = np.nonzero(qcodes >= 0)
+    flat = qcodes[rid, qpos]
+    if index.starts is not None:  # O(1) direct-addressed lookup
+        lo = index.starts[flat]
+        occ = index.starts[flat + 1] - lo
+    else:
+        lo = np.searchsorted(index.codes, flat, side="left")
+        occ = np.searchsorted(index.codes, flat, side="right") - lo
+    keep = (occ > 0) & (occ <= max_occ)
+    rid, qpos, lo, occ = rid[keep], qpos[keep], lo[keep], occ[keep]
+    if len(rid) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return Candidates(read=z, tstart=z.copy(), n_seeds=z.copy())
+    total = int(occ.sum())
+    # expand [lo, lo+occ) ranges without a Python loop
+    ends = np.cumsum(occ)
+    within = np.arange(total) - np.repeat(ends - occ, occ)
+    tpos = index.pos[np.repeat(lo, occ) + within]
+    h_rid = np.repeat(rid, occ)
+    h_qpos = np.repeat(qpos, occ)
+    diag = tpos - h_qpos  # can be negative near contig starts
+    # cluster on (read, diag bucket); bucket ids made non-negative
+    bucket = (diag + L) // dw
+    key = h_rid * np.int64(2**40) + bucket
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    # per-seed packed (qpos, diag) so a min reduction yields the diagonal
+    # of the earliest seed; diag + L >= 0 keeps the low field non-negative
+    packed = (h_qpos[order] << np.int64(32)) | (diag[order] + L)
+    # key_s is already sorted: derive run starts directly (np.unique
+    # would sort a second time)
+    first = np.concatenate([[0], np.nonzero(np.diff(key_s))[0] + 1])
+    uniq = key_s[first]
+    counts = np.diff(np.append(first, len(key_s)))
+    pmin = np.minimum.reduceat(packed, first)
+    # merge runs of adjacent buckets (same read, consecutive bucket ids);
+    # reduceat over run starts (ufunc.at is orders slower at this size)
+    new_cluster = np.ones(len(uniq), dtype=bool)
+    new_cluster[1:] = np.diff(uniq) != 1
+    firsts = np.nonzero(new_cluster)[0]
+    cl_counts = np.add.reduceat(counts, firsts)
+    cl_pmin = np.minimum.reduceat(pmin, firsts)
+    cl_anchor = (cl_pmin & np.int64(2**32 - 1)) - L
+    cl_read = (uniq[firsts] // np.int64(2**40)).astype(np.int64)
+    ok = cl_counts >= min_seeds
+    cl_read, cl_anchor, cl_counts = (
+        cl_read[ok], cl_anchor[ok], cl_counts[ok],
+    )
+    # top max_loci clusters per read, sorted by (read, -count, anchor);
+    # clusters far below the read's best (< top/3 seeds) are random
+    # k-mer noise on a big reference — drop them rather than extend them
+    order = np.lexsort((cl_anchor, -cl_counts, cl_read))
+    cl_read, cl_anchor, cl_counts = (
+        cl_read[order], cl_anchor[order], cl_counts[order],
+    )
+    grp0 = np.searchsorted(cl_read, cl_read, side="left")
+    rank = np.arange(len(cl_read)) - grp0
+    ok = (rank < max_loci) & (
+        cl_counts >= np.maximum(min_seeds, cl_counts[grp0] // 3)
+    )
+    return Candidates(
+        read=cl_read[ok],
+        tstart=cl_anchor[ok],  # earliest-seed diagonal; margin in extend
+        n_seeds=cl_counts[ok],
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Extension
+
+
+def _banded_scores(qs, ts, lens_q, lens_t, **kw):
+    """Adaptive-banded X-drop forward, scores only, best tier for the
+    backend (the tiering mirrors batch.traceback.banded_align_batch)."""
+    import jax
+
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+
+    forward = banded_xdrop_batch
+    bandwidth = kw.get("bandwidth", 32)
+    if jax.devices()[0].platform == "tpu":
+        if bandwidth in (32, 64):
+            from swtpu.kernels.pallas.banded_packed import (
+                banded_xdrop_batch_packed as forward,
+            )
+        elif bandwidth <= 96:
+            from swtpu.kernels.pallas.banded_batch import (
+                banded_xdrop_batch_pallas as forward,
+            )
+    res = forward(qs, ts, lens_q, lens_t, with_history=False, **kw)
+    return np.asarray(res.score)
+
+
+@dataclasses.dataclass
+class MapHit:
+    read: int
+    contig: str
+    #: 0-based alignment start on the contig: the extension window origin,
+    #: refined to the first aligned column when a path was requested
+    pos: int
+    score: int
+    strand: str = "+"
+    n_seeds: int = 0
+    path: Optional[List[Tuple[int, int]]] = None  # read/contig coords, 1-based
+    #: window origin in the concatenated reference (debug/parity checks)
+    window_start: int = 0
+
+
+def _window_geometry(read_width: int, bandwidth: int):
+    """(margin, window_len): the extension is origin-anchored, so the
+    window origin sits exactly ON the anchor diagonal (margin 0: a left
+    margin would cost margin*gap of leading target-gap on every hit);
+    drift before the earliest seed is charged its own indel cost and
+    absorbed by the band. The window spans the read plus band drift."""
+    return 0, read_width + 2 * bandwidth
+
+
+def extend_candidates(
+    index: KmerIndex,
+    reads: np.ndarray,
+    lens: np.ndarray,
+    cands: Candidates,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
+    bandwidth: int = 32,
+    x_threshold: int = 70,
+    matrix: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Score every candidate locus in ONE batched device call.
+
+    Returns (scores [C], tstart [C]) — tstart is the margin-adjusted
+    window origin the path coordinates are relative to."""
+    reads = np.asarray(reads, dtype=np.uint8)
+    R, L = reads.shape
+    margin, Lw = _window_geometry(L, bandwidth)
+    tstart = np.clip(cands.tstart - margin, 0, max(len(index.ref) - 1, 0))
+    idx = tstart[:, None] + np.arange(Lw)[None, :]
+    windows = index.ref[np.clip(idx, 0, len(index.ref) - 1)]
+    lens_t = np.minimum(Lw, len(index.ref) - tstart)
+    kw = dict(bandwidth=bandwidth, x_threshold=x_threshold)
+    if matrix is not None:
+        kw["matrix"] = matrix
+    else:
+        kw.update(match=match, mismatch=mismatch, gap=gap)
+    if gap_open is not None and gap_open != gap_extend:
+        kw.update(gap_open=gap_open, gap_extend=gap_extend)
+    elif gap_open is not None:
+        kw["gap"] = gap_open
+    # pad the batch to a 512 multiple (the packed kernel's grid step):
+    # candidate counts vary run to run, and a stable shape keeps ONE
+    # compiled extension executable per configuration
+    C = len(cands.read)
+    if C == 0:
+        return np.zeros(0, np.int32), tstart
+    Cp = max(512, -(-C // 512) * 512)
+    qsel = reads[cands.read]
+    lq = np.asarray(lens)[cands.read]
+    if Cp > C:
+        padrow = lambda a: np.concatenate(
+            [a, np.repeat(a[:1] * 0, Cp - C, axis=0)], axis=0
+        )
+        qsel, windows = padrow(qsel), padrow(windows)
+        lq = np.concatenate([lq, np.zeros(Cp - C, lq.dtype)])
+        lens_t = np.concatenate([lens_t, np.zeros(Cp - C, lens_t.dtype)])
+    scores = _banded_scores(qsel, windows, lq, lens_t, **kw)[:C]
+    return scores, tstart
+
+
+# ---------------------------------------------------------------------------
+# 4. The pipeline
+
+
+def map_reads(
+    reads: np.ndarray,
+    lens: Optional[Sequence[int]] = None,
+    index: Optional[KmerIndex] = None,
+    contigs: Optional[Sequence[np.ndarray]] = None,
+    contig_names: Optional[Sequence[str]] = None,
+    k: int = 13,
+    min_seeds: int = 2,
+    max_occ: int = 64,
+    max_loci: int = 8,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
+    bandwidth: int = 32,
+    x_threshold: int = 70,
+    min_score: int = 1,
+    both_strands: bool = False,
+    traceback: bool = False,
+) -> List[Optional[MapHit]]:
+    """Map every read to its best reference locus; None = unmapped.
+
+    Deterministic winner selection: per read the best (score desc,
+    tstart asc, '+' before '-') candidate above min_score wins."""
+    reads = np.asarray(reads, dtype=np.uint8)
+    R, L = reads.shape
+    lens = (
+        np.full(R, L, dtype=np.int64)
+        if lens is None
+        else np.asarray(lens, dtype=np.int64)
+    )
+    if index is None:
+        if contigs is None:
+            raise ValueError("need index= or contigs=")
+        index = build_index(contigs, contig_names, k=k)
+    rows = [(reads, lens, "+")]
+    if both_strands:
+        from swtpu.core.encode import revcomp
+
+        rc = np.stack([revcomp(reads[i], int(lens[i])) for i in range(R)])
+        rows.append((rc, lens, "-"))
+    all_read, all_tstart, all_scores, all_seeds, all_strand = (
+        [], [], [], [], [],
+    )
+    strand_rows = {}
+    for q, ql, strand in rows:
+        strand_rows[strand] = q
+        cands = find_candidates(
+            index, q, ql, min_seeds=min_seeds, max_occ=max_occ,
+            max_loci=max_loci, diag_window=bandwidth,
+        )
+        if len(cands.read) == 0:
+            continue
+        scores, tstart = extend_candidates(
+            index, q, ql, cands, match=match, mismatch=mismatch, gap=gap,
+            gap_open=gap_open, gap_extend=gap_extend, bandwidth=bandwidth,
+            x_threshold=x_threshold,
+        )
+        all_read.append(cands.read)
+        all_tstart.append(tstart)
+        all_scores.append(scores.astype(np.int64))
+        all_seeds.append(cands.n_seeds)
+        all_strand.append(
+            np.zeros(len(cands.read), np.int64)
+            if strand == "+"
+            else np.ones(len(cands.read), np.int64)
+        )
+    hits: List[Optional[MapHit]] = [None] * R
+    if not all_read:
+        return hits
+    read = np.concatenate(all_read)
+    tstart = np.concatenate(all_tstart)
+    scores = np.concatenate(all_scores)
+    seeds = np.concatenate(all_seeds)
+    strands = np.concatenate(all_strand)
+    ok = scores >= min_score
+    read, tstart, scores, seeds, strands = (
+        read[ok], tstart[ok], scores[ok], seeds[ok], strands[ok],
+    )
+    if len(read) == 0:
+        return hits
+    order = np.lexsort((strands, tstart, -scores, read))
+    first = np.searchsorted(read[order], np.arange(R), side="left")
+    last = np.searchsorted(read[order], np.arange(R), side="right")
+    win = [order[f] for f, l in zip(first, last) if f < l]
+    win_reads = [int(read[w]) for w in win]
+    paths = [None] * len(win)
+    if traceback and win:
+        from swtpu.batch import banded_align_batch
+
+        margin, Lw = _window_geometry(L, bandwidth)
+        w_tstart = tstart[win]
+        idx = w_tstart[:, None] + np.arange(Lw)[None, :]
+        windows = index.ref[np.clip(idx, 0, len(index.ref) - 1)]
+        qsel = np.stack(
+            [
+                strand_rows["-" if strands[w] else "+"][r]
+                for w, r in zip(win, win_reads)
+            ]
+        )
+        kw = dict(bandwidth=bandwidth, x_threshold=x_threshold)
+        if gap_open is not None and gap_open != gap_extend:
+            kw.update(gap_open=gap_open, gap_extend=gap_extend)
+        elif gap_open is not None:
+            kw["gap"] = gap_open
+        out = banded_align_batch(
+            qsel,
+            windows,
+            [int(lens[r]) for r in win_reads],
+            list(np.minimum(Lw, len(index.ref) - w_tstart)),
+            match=match,
+            mismatch=mismatch,
+            gap=gap,
+            **kw,
+        )
+        # same engine, same window: the traceback score IS the stored one
+        scores = scores.copy()
+        for w, (s, _) in zip(win, out):
+            scores[w] = s
+        paths = [p for _, p in out]
+    for w, rd, path in zip(win, win_reads, paths):
+        cid, local = index.locate(np.array([tstart[w]]))
+        cid, local = int(cid[0]), int(local[0])
+        pos = local
+        rel_path = None
+        if path:
+            # path cells are 1-based (y=read, x=window) after a (0, 0)
+            # origin; refine pos to the column where read char 1 aligns
+            # and rebase x onto the contig
+            first = next((x for y, x in path if y == 1), path[0][1] + 1)
+            pos = local + first - 1
+            rel_path = [(y, x + local) for y, x in path]
+        hits[rd] = MapHit(
+            read=rd,
+            contig=index.contig_names[cid],
+            pos=pos,
+            score=int(scores[w]),
+            strand="-" if strands[w] else "+",
+            n_seeds=int(seeds[w]),
+            path=rel_path,
+            window_start=int(tstart[w]),
+        )
+    return hits

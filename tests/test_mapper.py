@@ -1,0 +1,194 @@
+"""Seed-and-extend read mapper (swtpu/models/mapper.py).
+
+The mapper composes components that are each differential-tested
+elsewhere (banded X-drop engines vs the scalar oracle); these tests pin
+the composition: index correctness vs a brute-force k-mer dict, seeding
+geometry, window/length plumbing (hit scores bit-equal to the scalar
+banded oracle on the same window), locus recovery on mutation-model
+reads (the reference's generator, source.cpp:2750-2771), strand
+handling, and multi-contig coordinates.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from swtpu.core.encode import mutate, revcomp
+from swtpu.models.mapper import (
+    Candidates,
+    KmerIndex,
+    _kmer_codes,
+    _window_geometry,
+    build_index,
+    extend_candidates,
+    find_candidates,
+    map_reads,
+)
+from swtpu.oracle import banded_xdrop
+
+
+@pytest.fixture
+def genome(rng):
+    return rng.integers(0, 4, size=8192).astype(np.uint8)
+
+
+def test_kmer_codes_brute_force(rng):
+    seq = rng.integers(0, 4, size=50).astype(np.uint8)
+    k = 5
+    codes = _kmer_codes(seq, k)
+    for i in range(len(seq) - k + 1):
+        want = 0
+        for c in seq[i : i + k]:
+            want = want * 4 + int(c)
+        assert codes[i] == want
+
+
+def test_kmer_codes_mask_pads():
+    seq = np.array([0, 1, 2, 3, 5, 0, 1, 2, 3, 0], np.uint8)
+    codes = _kmer_codes(seq, 3)
+    # windows touching the pad (index 4) are invalid
+    assert (codes[[2, 3, 4]] == -1).all()
+    assert (codes[[0, 1, 5, 6, 7]] >= 0).all()
+
+
+def test_build_index_matches_dict(rng, genome):
+    k = 7
+    idx = build_index([genome], k=k)
+    # brute-force dict of kmer -> sorted positions
+    brute = {}
+    for i in range(len(genome) - k + 1):
+        code = 0
+        for c in genome[i : i + k]:
+            code = code * 4 + int(c)
+        brute.setdefault(code, []).append(i)
+    # the index must return exactly those positions for sampled kmers
+    for i in rng.integers(0, len(genome) - k, size=50):
+        code = _kmer_codes(genome[i : i + k], k)[0]
+        lo = np.searchsorted(idx.codes, code, "left")
+        hi = np.searchsorted(idx.codes, code, "right")
+        assert sorted(idx.pos[lo:hi].tolist()) == brute[int(code)]
+
+
+def test_candidates_exact_read(genome):
+    k = 13
+    idx = build_index([genome], k=k)
+    p = 1000
+    read = genome[p : p + 100]
+    c = find_candidates(idx, read[None, :], np.array([100]))
+    assert len(c.read) >= 1
+    # best cluster anchors at the true diagonal (exact read: diag == p)
+    assert c.read[0] == 0 and c.tstart[0] == p
+    assert c.n_seeds[0] == 100 - k + 1
+
+
+def test_hit_scores_match_banded_oracle(rng, genome):
+    """The mapper's window/length plumbing: every reported hit score is
+    bit-equal to the scalar banded oracle on the read vs the hit's
+    window slice."""
+    L = 120
+    starts = rng.integers(0, len(genome) - L, size=12)
+    reads = np.stack(
+        [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+    )
+    idx = build_index([genome], k=9)
+    hits = map_reads(reads, index=idx, min_score=10)
+    margin, Lw = _window_geometry(L, 32)
+    n_checked = 0
+    for i, h in enumerate(hits):
+        if h is None:
+            continue
+        w = idx.ref[h.window_start : h.window_start + Lw]
+        want, _ = banded_xdrop(reads[i], w)
+        assert h.score == want
+        n_checked += 1
+    assert n_checked >= 8
+
+
+def test_locus_recovery_mutation_model(rng, genome):
+    L = 120
+    starts = rng.integers(0, len(genome) - L, size=40)
+    reads = np.stack(
+        [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+    )
+    idx = build_index([genome], k=9)
+    hits = map_reads(reads, index=idx, min_score=20, traceback=True)
+    correct = 0
+    for i, h in enumerate(hits):
+        if h is not None and abs(h.pos - int(starts[i])) <= 32:
+            correct += 1
+            # path sanity: a (y=0) origin row (glocal: origin-anchored),
+            # then 1-based cells ending within the read
+            assert h.path[0][0] == 0
+            assert 0 < h.path[-1][0] <= L
+    assert correct >= 36  # >= 90%
+
+
+def test_both_strands(rng, genome):
+    L = 150
+    p = 3000
+    fwd = mutate(rng, genome[p : p + L], out_len=L)
+    rev = revcomp(fwd)
+    reads = np.stack([fwd, rev])
+    idx = build_index([genome], k=9)
+    hits = map_reads(reads, index=idx, both_strands=True, min_score=20)
+    assert hits[0] is not None and hits[0].strand == "+"
+    assert hits[1] is not None and hits[1].strand == "-"
+    assert abs(hits[0].pos - p) <= 32 and abs(hits[1].pos - p) <= 32
+    # identical alignment either way: same score
+    assert hits[0].score == hits[1].score
+
+
+def test_multi_contig_coordinates(rng):
+    c1 = rng.integers(0, 4, size=3000).astype(np.uint8)
+    c2 = rng.integers(0, 4, size=5000).astype(np.uint8)
+    idx = build_index([c1, c2], names=["chr1", "chr2"], k=11)
+    p = 1200
+    read = c2[p : p + 100]
+    hits = map_reads(read[None, :], index=idx, min_score=50)
+    h = hits[0]
+    assert h is not None and h.contig == "chr2"
+    assert h.pos == p  # margin-0 window on the exact diagonal
+    assert h.score == 100  # perfect match, match=1
+
+
+def test_no_cross_contig_kmers(rng):
+    """No k-mer in the index may span the separator between contigs."""
+    c1 = rng.integers(0, 4, size=64).astype(np.uint8)
+    c2 = rng.integers(0, 4, size=64).astype(np.uint8)
+    k = 5
+    idx = build_index([c1, c2], k=k)
+    # every indexed position's window must be pad-free
+    for p in idx.pos:
+        assert (idx.ref[p : p + k] < 4).all()
+
+
+def test_unmapped_read(rng, genome):
+    # a read over a disjoint alphabet region: no seeds, no hit
+    alien = rng.integers(0, 4, size=(1, 100)).astype(np.uint8)
+    # make it definitely absent: mutate heavily away from the genome
+    idx = build_index([genome], k=13)
+    hits = map_reads(alien, index=idx, min_seeds=3, min_score=95)
+    assert hits[0] is None or hits[0].score >= 95
+
+
+def test_cli_map_random_demo():
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv=['swtpu','map','--random','20000x30x150',"
+            "'--both-strands'];"
+            "from swtpu.cli import main; main()",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["reads"] == 30
+    assert rec["correct_locus"] >= 26
