@@ -795,6 +795,59 @@ def cmd_assemble(args):
             )
 
 
+def cmd_msa(args):
+    """Center-star multiple sequence alignment (models/msa.py): batched
+    device NW forwards pick the center and align every sequence to it;
+    the merged alignment goes to stdout as gapped FASTA."""
+    from swtpu.core.io import read_fasta
+    from swtpu.models.msa import msa_center_star, msa_rows_to_strings
+
+    if args.random:
+        # NxL: N mutation-model descendants of one random L-mer ancestor
+        N, L = (int(x) for x in args.random.split("x"))
+        rng = np.random.default_rng(args.seed)
+        from swtpu.core.encode import mutate
+
+        hi = 4 if args.alphabet == "dna" else 20
+        ancestor = rng.integers(0, hi, size=L).astype(np.uint8)
+        seqs = [mutate(rng, ancestor) for _ in range(N)]
+        names = [f"seq{i}" for i in range(N)]
+    else:
+        if not args.queries:
+            raise SystemExit("need --queries FASTA or --random NxL")
+        if args.alphabet == "protein":
+            from swtpu.core.protein import encode_protein as enc
+        else:
+            from swtpu.core.io import encode_dna as enc
+        names, seqs = [], []
+        for name, s in read_fasta(args.queries):
+            names.append(name)
+            seqs.append(enc(s))
+    if len(seqs) < 2:
+        raise SystemExit("msa needs >= 2 sequences")
+    params = _scoring(args)
+    center = None
+    if args.center is not None:
+        if args.center not in names:
+            raise SystemExit(f"--center {args.center!r} not in inputs")
+        center = names.index(args.center)
+    res = msa_center_star(seqs, params=params, center=center)
+    print(
+        json.dumps(
+            dict(
+                n=len(seqs),
+                width=len(res.rows[0]),
+                center=names[res.center],
+                sp_score=res.sp,
+            )
+        ),
+        file=sys.stderr,
+    )
+    for name, row in zip(names, msa_rows_to_strings(res.rows, args.alphabet)):
+        print(f">{name}")
+        print(row)
+
+
 def cmd_bench(args):
     from swtpu import bench_suite
 
@@ -1309,6 +1362,35 @@ def build_parser():
         "--alphabet", choices=["dna"], default="dna", help=argparse.SUPPRESS
     )
     p.set_defaults(fn=cmd_assemble)
+
+    p = sub.add_parser(
+        "msa",
+        help="center-star multiple sequence alignment on the batched "
+        "NW engine (gapped FASTA to stdout)",
+    )
+    p.add_argument("--queries", help="FASTA of sequences to align")
+    p.add_argument(
+        "--random",
+        metavar="NxL",
+        help="demo: N mutation-model descendants of one random L-mer",
+    )
+    p.add_argument("--seed", type=int, default=10000)
+    p.add_argument(
+        "--alphabet", choices=["dna", "protein"], default="dna"
+    )
+    p.add_argument(
+        "--scoring", default="1,-1",
+        help="match,mismatch (DNA; protein uses BLOSUM62)",
+    )
+    p.add_argument("--gap", type=int, default=1)
+    p.add_argument("--gap-open", type=int, default=None)
+    p.add_argument("--gap-extend", type=int, default=1)
+    p.add_argument(
+        "--center",
+        help="star around this named sequence instead of the "
+        "max-total-similarity pick",
+    )
+    p.set_defaults(fn=cmd_msa)
 
     p = sub.add_parser("bench", help="benchmark suite")
     p.add_argument("--quick", action="store_true")
