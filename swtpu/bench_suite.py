@@ -907,6 +907,62 @@ def bench_map(quick=False):
     return [rec]
 
 
+def bench_msa(quick=False):
+    """Center-star MSA end to end (swtpu.models.msa): two batched device
+    NW calls (center pick over N(N-1)/2 pairs, star alignment) + host
+    path walks and merge. Wall-clock on distinct families per rep (the
+    tunnel result-cache serves identical calls); quality = the exact
+    projection invariant on every pair."""
+    import time
+
+    import jax
+
+    from swtpu.core.encode import mutate
+    from swtpu.models.msa import GAP, msa_center_star
+
+    N = 16 if quick else 48
+    L = 128 if quick else 256
+    rng = np.random.default_rng(10000)
+
+    def family(seed):
+        r = np.random.default_rng(seed)
+        anc = r.integers(0, 4, size=L).astype(np.uint8)
+        return [mutate(r, anc) for _ in range(N)]
+
+    fams = [family(s) for s in (1, 2, 3)]
+    msa_center_star(fams[0], match=2, mismatch=3, gap=2)  # warmup/compile
+    walls, ok = [], True
+    for seqs in fams[1:]:
+        t0 = time.perf_counter()
+        res = msa_center_star(seqs, match=2, mismatch=3, gap=2)
+        walls.append(time.perf_counter() - t0)
+        for k in range(N):
+            if k == res.center:
+                continue
+            ra, rb = res.rows[res.center], res.rows[k]
+            keep = ~((ra == GAP) & (rb == GAP))
+            a, b = ra[keep], rb[keep]
+            both = (a != GAP) & (b != GAP)
+            proj = int(np.where(a[both] == b[both], 2, -3).sum()) - 2 * int(
+                ((a != GAP) ^ (b != GAP)).sum()
+            )
+            ok &= proj == res.scores[k]
+    wall = min(walls)
+    rec = dict(
+        kernel="msa_center_star", n_seqs=N, seq_len=L,
+        wall_ms=round(wall * 1e3, 1),
+        seqs_per_s=round(N / wall, 1),
+        projection_ok=bool(ok),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"msa_center_star: {wall*1e3:.1f} ms / {N} x {L}-mers "
+        f"(projection invariant {'ok' if ok else 'FAILED'})"
+    )
+    print("JSON:", json.dumps(rec))
+    return [rec]
+
+
 def forever(variant_name: str):
     """Infinite loop of one kernel for external profilers (≙ InfinitySW,
     source.cpp:3149-3170). Ctrl-C to stop."""
@@ -938,7 +994,7 @@ def main():
         choices=[
             "all", "sw", "semiglobal", "semiglobal_full", "affine",
             "protein", "swissprot", "unpack", "varlen", "dist", "search",
-            "map",
+            "map", "msa",
         ],
     )
     ap.add_argument(
@@ -980,6 +1036,8 @@ def main():
         results += bench_search(args.quick)
     if args.suite in ("all", "map"):
         results += bench_map(args.quick)
+    if args.suite in ("all", "msa"):
+        results += bench_msa(args.quick)
     if args.suite in ("all", "unpack"):
         results += bench_unpack(args.quick)
     json.dump(results, sys.stdout, indent=1)

@@ -1111,6 +1111,30 @@ def cmd_selftest(args):
         ("banded_16k_e2e_vs_scalar_oracle", out16[0] == (s16, p16))
     )
 
+    # center-star MSA: degap + the exact projection invariant (the
+    # MSA's (center, k) column score equals the device NW score)
+    from swtpu.models.msa import GAP, msa_center_star
+
+    manc = random_dna(rng, (1, 96))[0]
+    mseqs = [mutate(rng, manc) for _ in range(6)]
+    mres = msa_center_star(mseqs, match=2, mismatch=3, gap=2)
+    ok_msa = all(
+        np.array_equal(r[r != GAP].astype(np.uint8), s)
+        for r, s in zip(mres.rows, mseqs)
+    )
+    for k in range(len(mseqs)):
+        if k == mres.center:
+            continue
+        ra, rb = mres.rows[mres.center], mres.rows[k]
+        keep = ~((ra == GAP) & (rb == GAP))
+        a, b = ra[keep], rb[keep]
+        both = (a != GAP) & (b != GAP)
+        proj = int(
+            np.where(a[both] == b[both], 2, -3).sum()
+        ) - 2 * int(((a != GAP) ^ (b != GAP)).sum())
+        ok_msa &= proj == mres.scores[k]
+    checks.append(("msa_center_star_projection", ok_msa))
+
     # short soak: one round of every fuzz family (the full harness is
     # `python -m swtpu fuzz`; reference-scale soaks are source.cpp:2943+)
     from swtpu.fuzz import run_fuzz
