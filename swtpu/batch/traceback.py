@@ -578,7 +578,7 @@ def banded_affine_traceback(
     return path
 
 
-def banded_align_batch(
+def banded_forward_batch(
     qs: np.ndarray,
     ts: np.ndarray,
     lens_q: Optional[Sequence[int]] = None,
@@ -588,20 +588,19 @@ def banded_align_batch(
     gap: int = 1,
     bandwidth: int = 32,
     x_threshold: int = 70,
-    compress_history: bool = False,
+    compress_history: Optional[bool] = None,
     gap_open: Optional[int] = None,
     gap_extend: Optional[int] = None,
     matrix: Optional[np.ndarray] = None,
-) -> List[Tuple[int, List[Tuple[int, int]]]]:
-    """Batched adaptive-banded X-drop alignment with traceback.
+):
+    """Adaptive-banded X-drop forward pass on the best engine for this
+    backend/geometry, history included (the device half of
+    banded_align_batch). Returns a BandedBatchResult (host arrays).
 
-    Device forward pass (band history on device, one anti-diagonal per
-    round), host walks paths from the history. Output per pair is
-    bit-identical to swtpu.oracle.banded_xdrop (linear gaps) /
-    swtpu.oracle.banded_affine.banded_affine_xdrop (gap_open != gap_extend).
-    ``matrix`` selects the general-substitution-matrix / protein mode
-    (match/mismatch ignored; forward pass on the Pallas baked-table
-    kernels on TPU, the XLA table engine elsewhere).
+    ``compress_history=None`` (default) auto-selects the reference's
+    8-bit offset-rebias wire format (source.cpp:2105-2119) whenever the
+    int32 history would exceed ~8 MB and x_threshold fits in a byte —
+    at 16K-mer geometry this cuts the device->host fetch 4x.
     """
     import jax
 
@@ -609,7 +608,6 @@ def banded_align_batch(
 
     if gap_open is not None and gap_open == gap_extend:
         gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
-    affine = gap_open is not None
     on_tpu = jax.devices()[0].platform == "tpu"
     # the Pallas banded kernels keep the whole band history VMEM-resident
     # (~2.3 KB/round/grid-step measured): ~4K rounds (2048-mers) fits,
@@ -617,6 +615,12 @@ def banded_align_batch(
     # rides the XLA forward, whose history streams to HBM
     if qs.shape[1] + ts.shape[1] + 1 > 6000:
         on_tpu = False
+    if compress_history is None:
+        R_cap = (max(qs.shape[1], ts.shape[1]) + 1) * 2 - 1
+        compress_history = (
+            x_threshold <= 254
+            and R_cap * qs.shape[0] * bandwidth * 4 > 8 * 2**20
+        )
     kw = {}
     if matrix is not None:
         # general matrices: same Pallas tiering as uniform scoring (the
@@ -642,7 +646,7 @@ def banded_align_batch(
         )
     else:
         forward = banded_xdrop_batch
-    res = forward(
+    return forward(
         qs,
         ts,
         lens_q,
@@ -657,8 +661,30 @@ def banded_align_batch(
         gap_extend=gap_extend,
         **kw,
     )
+
+
+def banded_walk_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    res,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    bandwidth: int = 32,
+    x_threshold: int = 70,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
+    matrix: Optional[np.ndarray] = None,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Host half of banded_align_batch: walk every pair's path from a
+    fetched BandedBatchResult (the device forward's history)."""
     from swtpu import native
 
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None
+    affine = gap_open is not None
     B = qs.shape[0]
     lens_q = [qs.shape[1]] * B if lens_q is None else list(lens_q)
     lens_t = [ts.shape[1]] * B if lens_t is None else list(lens_t)
@@ -693,3 +719,41 @@ def banded_align_batch(
         )
         out.append((int(res.score[b]), path))
     return out
+
+
+def banded_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    bandwidth: int = 32,
+    x_threshold: int = 70,
+    compress_history: Optional[bool] = None,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
+    matrix: Optional[np.ndarray] = None,
+) -> List[Tuple[int, List[Tuple[int, int]]]]:
+    """Batched adaptive-banded X-drop alignment with traceback.
+
+    Device forward pass (band history on device, one anti-diagonal per
+    round), host walks paths from the history. Output per pair is
+    bit-identical to swtpu.oracle.banded_xdrop (linear gaps) /
+    swtpu.oracle.banded_affine.banded_affine_xdrop (gap_open != gap_extend).
+    ``matrix`` selects the general-substitution-matrix / protein mode
+    (match/mismatch ignored; forward pass on the Pallas baked-table
+    kernels on TPU, the XLA table engine elsewhere). Composition of
+    banded_forward_batch (device) + banded_walk_batch (host).
+    """
+    res = banded_forward_batch(
+        qs, ts, lens_q, lens_t, match, mismatch, gap, bandwidth,
+        x_threshold, compress_history=compress_history, gap_open=gap_open,
+        gap_extend=gap_extend, matrix=matrix,
+    )
+    return banded_walk_batch(
+        qs, ts, res, lens_q, lens_t, match, mismatch, gap, bandwidth,
+        x_threshold, gap_open=gap_open, gap_extend=gap_extend,
+        matrix=matrix,
+    )

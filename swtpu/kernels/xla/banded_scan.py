@@ -284,6 +284,75 @@ def _banded_ext_table(matrix) -> np.ndarray:
     return ext
 
 
+def _prep_padded(qs, ts, lens_q, lens_t, bandwidth):
+    """Padded wire arrays for the XLA forward: qp [B, 1+n+W] / tp
+    [B, W+m+W] int32 with -1 (≙ 0xF0) pads, per the oracle's layout."""
+    qs = np.asarray(qs)
+    ts = np.asarray(ts)
+    B, n = qs.shape
+    m = ts.shape[1]
+    W = bandwidth
+    lens_q = np.full(B, n) if lens_q is None else np.asarray(lens_q)
+    lens_t = np.full(B, m) if lens_t is None else np.asarray(lens_t)
+    qp = np.full((B, 1 + n + W), -1, dtype=np.int32)
+    tp = np.full((B, W + m + W), -1, dtype=np.int32)
+    qp[:, 1 : 1 + n] = np.where(
+        np.arange(n)[None, :] < lens_q[:, None], qs.astype(np.int32), -1
+    )
+    tp[:, W : W + m] = np.where(
+        np.arange(m)[None, :] < lens_t[:, None], ts.astype(np.int32), -1
+    )
+    return qp, tp, lens_q, lens_t
+
+
+def bench_forward_fn(
+    qs,
+    ts,
+    lens_q=None,
+    lens_t=None,
+    match=1,
+    mismatch=1,
+    gap=1,
+    bandwidth=32,
+    x_threshold=70,
+    gap_open=None,
+    gap_extend=None,
+    matrix=None,
+    with_history=False,
+):
+    """(fn, devargs) for honest timing via swtpu.utils.time_kernel.
+
+    fn(qp, tp) runs the jitted forward on pre-staged device arrays and
+    returns the [B] scores (scoring-only mode) or a scalar fold of
+    score + history (history mode) so the timing chain fetches nothing
+    big. The kernel's wall time is round-cap-bound, not data-dependent,
+    so the chain's char salting does not change the work measured.
+    """
+    import jax.numpy as jnp
+
+    qp, tp, lq, lt = _prep_padded(qs, ts, lens_q, lens_t, int(bandwidth))
+    lq_d, lt_d = jnp.asarray(lq), jnp.asarray(lt)
+    table = None if matrix is None else jnp.asarray(_banded_ext_table(matrix))
+
+    def fn(qp_d, tp_d):
+        out = _banded_impl(
+            qp_d, tp_d, lq_d, lt_d, int(match), int(mismatch), int(gap),
+            int(bandwidth), int(x_threshold), with_history=with_history,
+            compress=with_history, gap_open=gap_open, gap_extend=gap_extend,
+            table=table,
+        )
+        if with_history:
+            score, _, _, hist, posy, _ = out
+            return (
+                score.sum()
+                + hist.astype(jnp.int32).sum()
+                + posy.sum()
+            )
+        return out[0]
+
+    return fn, (jnp.asarray(qp), jnp.asarray(tp))
+
+
 def banded_xdrop_batch(
     qs,
     ts,
@@ -312,21 +381,11 @@ def banded_xdrop_batch(
     ``matrix`` ([A, A] signed scores) selects the general-matrix / protein
     mode (match/mismatch ignored; oracle parity via its ``matrix=`` arg).
     """
-    qs = np.asarray(qs)
-    ts = np.asarray(ts)
-    B, n = qs.shape
-    m = ts.shape[1]
-    W = bandwidth
-    lens_q = np.full(B, n) if lens_q is None else np.asarray(lens_q)
-    lens_t = np.full(B, m) if lens_t is None else np.asarray(lens_t)
-
     # padded sequences (pad = -1 ≙ 0xF0): q: 1 front + W back;
-    # t: W front + W back (see oracle)
-    qp = np.full((B, 1 + n + W), -1, dtype=np.int32)
-    tp = np.full((B, W + m + W), -1, dtype=np.int32)
-    for b in range(B):
-        qp[b, 1 : 1 + lens_q[b]] = qs[b, : lens_q[b]]
-        tp[b, W : W + lens_t[b]] = ts[b, : lens_t[b]]
+    # t: W front + W back (see oracle); vectorized masked writes
+    qp, tp, lens_q, lens_t = _prep_padded(
+        qs, ts, lens_q, lens_t, bandwidth
+    )
 
     score, max_round, n_rounds, hist, posy, offs = _banded_impl(
         jnp.asarray(qp),
