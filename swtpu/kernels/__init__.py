@@ -16,18 +16,32 @@ if _os.environ.get("SWTPU_JAX_CACHE", "1") != "0":
     import jax as _jax
 
     if not _jax.config.jax_compilation_cache_dir:
-        # one subdirectory per platform config: a cpu-only run (tests,
-        # virtual meshes) must not reload artifacts written under a
-        # different backend mix — XLA:CPU AOT results record
-        # machine-feature pseudo-flags (prefer-no-scatter/gather) that
-        # differ across configs and trip "could lead to SIGILL" loader
-        # warnings on reload.
+        # one subdirectory per (platform config, host fingerprint):
+        # - a cpu-only run (tests, virtual meshes) must not reload
+        #   artifacts written under a different backend mix — XLA:CPU AOT
+        #   results record machine-feature pseudo-flags
+        #   (prefer-no-scatter/gather) that differ across configs;
+        # - artifacts compiled on a DIFFERENT HOST (a shared cache dir, a
+        #   driver machine vs a dev machine) record that host's CPU
+        #   feature set and trip "could lead to SIGILL" loader errors on
+        #   reload. Hashing /proc/cpuinfo's flags into the key puts every
+        #   distinct machine in its own subdir.
         _platforms = (
             _jax.config.jax_platforms
             or _os.environ.get("JAX_PLATFORMS")
             or "default"
         )
         _sub = _platforms.strip().lower().replace(",", "_") or "default"
+        try:
+            import hashlib as _hashlib
+
+            with open("/proc/cpuinfo") as _f:
+                _flags = next(
+                    (l for l in _f if l.startswith("flags")), ""
+                )
+            _host = _hashlib.sha1(_flags.encode()).hexdigest()[:10]
+        except OSError:  # non-Linux: fall back to platform-only keying
+            _host = "nohost"
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.path.join(
@@ -35,6 +49,6 @@ if _os.environ.get("SWTPU_JAX_CACHE", "1") != "0":
                     "SWTPU_JAX_CACHE_DIR",
                     _os.path.expanduser("~/.cache/swtpu_jax"),
                 ),
-                _sub,
+                f"{_sub}-{_host}",
             ),
         )
