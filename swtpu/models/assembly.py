@@ -45,9 +45,20 @@ def make_reads(
 
 
 def _overlap_coords(
-    a: np.ndarray, b: np.ndarray, params: ScoringParams, min_overlap: int
+    a: np.ndarray,
+    b: np.ndarray,
+    params: ScoringParams,
+    min_overlap: int,
+    slack: int = 0,
 ) -> int:
-    """Return overlap length if A's suffix aligns to B's prefix, else 0."""
+    """Offset of B's origin in A coordinates if A's suffix aligns to B's
+    prefix, else 0.
+
+    ``slack`` tolerates sequencing errors at the read ends: a local
+    alignment clips a trailing/leading mismatch, so error-tolerant overlap
+    detection must accept paths ending within ``slack`` of A's end and
+    starting within ``slack`` of B's start (exact suffix-prefix at the
+    default 0)."""
     from swtpu import native
     from swtpu.oracle.sw import sw_traceback
 
@@ -58,9 +69,10 @@ def _overlap_coords(
     if len(path) < 2:
         return 0
     (i0, j0), (i1, j1) = path[0], path[-1]
-    # proper suffix-prefix: alignment reaches A's end and starts at B's start
-    if i1 == len(a) and j0 == 0 and (i1 - i0) >= min_overlap:
-        return j1  # B is consumed up to j1 by the overlap
+    # suffix-prefix (± slack): alignment reaches A's end, starts at B's start
+    if i1 >= len(a) - slack and j0 <= slack and (i1 - i0) >= min_overlap:
+        offset = i0 - j0  # B's coordinate 0 sits here in A coordinates
+        return offset if 0 < offset < len(a) else 0
     return 0
 
 
@@ -69,8 +81,17 @@ def assemble_greedy(
     params: ScoringParams = DNA_111,
     min_overlap: int = 20,
     engine=None,
+    slack: int = 0,
 ) -> np.ndarray:
-    """Assemble reads into one contig (greedy OLC). Returns the contig."""
+    """Assemble reads into one contig (greedy OLC). Returns the contig.
+
+    ``slack > 0`` turns on error tolerance: overlap endpoints may miss the
+    read ends by up to ``slack`` (local alignment clips erroneous ends),
+    and the consensus is a per-column majority vote over all chained reads
+    (a base from the earliest covering read is replaced only when strictly
+    outvoted) instead of a splice — substitution errors covered >= 3x are
+    voted out. With the default slack=0 the consensus degenerates to the
+    exact splice (clean reads assemble bit-exactly)."""
     n = len(reads)
     if n == 0:
         return np.zeros(0, np.uint8)
@@ -99,7 +120,9 @@ def assemble_greedy(
             row += 1
     scores = np.asarray(engine(batch_q, batch_t))
 
-    thresh = min_overlap * int(np.diag(params.matrix).min())
+    # with errors allowed inside the overlap, require most (not all) of
+    # min_overlap columns to be matches before exact verification
+    thresh = (min_overlap - 2 * slack) * int(np.diag(params.matrix).min())
     best_next: dict = {}
     has_pred: set = set()
     # exact verification of promising pairs, best overlap per source read
@@ -110,22 +133,39 @@ def assemble_greedy(
         i, j = pairs[idx]
         if i in best_next:
             continue
-        olen = _overlap_coords(reads[i], reads[j], params, min_overlap)
-        if olen > 0:
-            best_next[i] = (j, olen)
+        off = _overlap_coords(reads[i], reads[j], params, min_overlap,
+                              slack)
+        if off > 0:
+            best_next[i] = (j, off)
             has_pred.add(j)
 
-    # layout: start from a read with no predecessor
+    # layout: start from a read with no predecessor, chain offsets
     starts = [i for i in range(n) if i not in has_pred]
     start = starts[0] if starts else 0
-    contig = list(np.asarray(reads[start]))
+    chain = [(start, 0)]  # (read index, contig offset)
     used = {start}
-    cur = start
+    cur, cur_off = start, 0
     while cur in best_next:
-        nxt, olen = best_next[cur]
+        nxt, off = best_next[cur]
         if nxt in used:
             break
-        contig.extend(np.asarray(reads[nxt])[olen:])
+        cur_off += off
+        chain.append((nxt, cur_off))
         used.add(nxt)
         cur = nxt
-    return np.asarray(contig, np.uint8)
+
+    # consensus: first covering read's base, replaced only when strictly
+    # outvoted by the per-column majority over all chained reads
+    total = max(off + len(reads[r]) for r, off in chain)
+    base = np.full(total, 255, np.uint8)
+    counts = np.zeros((total, 4), np.int32)
+    for r, off in chain:
+        seg = np.asarray(reads[r], np.uint8)
+        cols = np.arange(off, off + len(seg))
+        np.add.at(counts, (cols, seg.astype(np.int64)), 1)
+        unwritten = base[cols] == 255
+        base[cols[unwritten]] = seg[unwritten]
+    maj = counts.argmax(axis=1).astype(np.uint8)
+    maj_cnt = counts.max(axis=1)
+    base_cnt = counts[np.arange(total), base.astype(np.int64)]
+    return np.where(maj_cnt > base_cnt, maj, base).astype(np.uint8)

@@ -1,5 +1,7 @@
-"""Greedy OLC assembler demo (realizing the reference's empty assembly
-stub, source.cpp:2729-2731)."""
+"""Greedy OLC assembler (realizing the reference's empty assembly stub,
+source.cpp:2729-2731): clean-read reconstruction, error-tolerant overlap
++ majority-vote consensus on mutated reads, and a misjoin negative case
+(two unrelated genomes must not be joined)."""
 
 import numpy as np
 
@@ -18,3 +20,57 @@ def test_single_and_empty():
     assert assemble_greedy([]).size == 0
     r = np.array([0, 1, 2, 3], np.uint8)
     assert np.array_equal(assemble_greedy([r]), r)
+
+
+def _sub_mutate(rng, seq, p):
+    """Substitution-only errors (always to a different base)."""
+    seq = seq.copy()
+    flip = np.nonzero(rng.random(len(seq)) < p)[0]
+    seq[flip] = (seq[flip] + rng.integers(1, 4, len(flip))) % 4
+    return seq
+
+
+def test_assembles_mutated_reads(rng):
+    """Error-tolerant assembly: 2% substitution errors per read, 3x
+    coverage; the consensus majority vote must reach >= 99.5% identity
+    (the per-read error rate is 4x that)."""
+    genome = random_dna(rng, (1200,))
+    reads = [
+        _sub_mutate(rng, r, 0.02)
+        for r in make_reads(rng, genome, read_len=150, step=50)
+    ]
+    contig = assemble_greedy(reads, min_overlap=30, slack=4)
+    assert len(contig) == len(genome), (
+        f"chain broke: contig {len(contig)} vs genome {len(genome)}"
+    )
+    identity = float(np.mean(contig == genome))
+    assert identity >= 0.995, f"consensus identity {identity:.4f}"
+
+
+def test_mutated_reads_higher_error(rng):
+    """5% substitutions still chain end to end (consensus fixes most
+    3x-covered errors; identity must beat the raw per-read rate)."""
+    genome = random_dna(rng, (900,))
+    reads = [
+        _sub_mutate(rng, r, 0.05)
+        for r in make_reads(rng, genome, read_len=150, step=50)
+    ]
+    contig = assemble_greedy(reads, min_overlap=30, slack=6)
+    assert len(contig) == len(genome)
+    assert float(np.mean(contig == genome)) >= 0.97
+
+
+def test_misjoin_negative(rng):
+    """Reads from two unrelated genomes must assemble into ONE genome's
+    contig, never a chimera spanning both."""
+    g1 = random_dna(rng, (600,))
+    g2 = random_dna(rng, (600,))
+    reads = make_reads(rng, g1, read_len=150, step=90) + make_reads(
+        rng, g2, read_len=150, step=90
+    )
+    order = rng.permutation(len(reads))
+    reads = [reads[i] for i in order]
+    contig = assemble_greedy(reads, min_overlap=30)
+    assert np.array_equal(contig, g1) or np.array_equal(contig, g2), (
+        f"chimeric contig of length {len(contig)}"
+    )
