@@ -41,9 +41,20 @@ def _pad_codes(alphabet):
     return 4, 5
 
 
-def _load_pair_inputs(args, pad_q=None, pad_t=None):
-    from swtpu.core.io import load_fasta_batch
+def _load_seq_batch(path, alphabet, pad_code, pad_to=0):
+    """Load a sequence batch: FASTA, or a 2-bit-packed .npz container
+    (swtpu pack; the reference's packed wire format) by extension."""
+    from swtpu.core.io import load_fasta_batch, load_packed_batch
 
+    if path.endswith(".npz"):
+        if alphabet != "dna":
+            raise SystemExit("2-bit packed input is DNA-only")
+        return load_packed_batch(path, pad_to=pad_to, pad_code=pad_code)
+    return load_fasta_batch(path, alphabet, pad_to=pad_to,
+                            pad_code=pad_code)
+
+
+def _load_pair_inputs(args, pad_q=None, pad_t=None):
     dq, dt = _pad_codes(args.alphabet)
     pad_q = dq if pad_q is None else pad_q
     pad_t = dt if pad_t is None else pad_t
@@ -58,10 +69,10 @@ def _load_pair_inputs(args, pad_q=None, pad_t=None):
         return names, qs, ts, np.full(b, n), np.full(b, m)
     if not (args.queries and args.targets):
         raise SystemExit("need --random BxNxM or --queries/--targets FASTA")
-    qn, qs, ql = load_fasta_batch(
+    qn, qs, ql = _load_seq_batch(
         args.queries, args.alphabet, pad_code=pad_q
     )
-    tn, ts, tl = load_fasta_batch(
+    tn, ts, tl = _load_seq_batch(
         args.targets, args.alphabet, pad_code=pad_t
     )
     if len(qs) != len(ts):
@@ -367,7 +378,6 @@ def cmd_longpair(args):
 
 
 def cmd_search(args):
-    from swtpu.core.io import load_fasta_batch
     from swtpu.parallel.search import all_vs_all_topk, SearchCheckpoint
     from swtpu.utils.obs import RunLog
 
@@ -384,10 +394,10 @@ def cmd_search(args):
         tl = np.full(nt, L)
     else:
         pad_q, pad_t = _pad_codes(args.alphabet)
-        qn, Q, ql = load_fasta_batch(
+        qn, Q, ql = _load_seq_batch(
             args.queries, args.alphabet, pad_code=pad_q
         )
-        tn, T, tl = load_fasta_batch(
+        tn, T, tl = _load_seq_batch(
             args.targets, args.alphabet, pad_code=pad_t
         )
     log = RunLog()
@@ -595,7 +605,6 @@ def cmd_map(args):
     adaptive-banded X-drop glocal extension (device) — the mapping
     pipeline the reference's banded family (source.cpp:1836-2725) and
     mutation-model generator (source.cpp:2750-2771) are built for."""
-    from swtpu.core.io import load_fasta_batch
     from swtpu.models.mapper import build_index, map_reads
 
     rng = np.random.default_rng(args.seed)
@@ -620,10 +629,10 @@ def cmd_map(args):
     else:
         if not (args.reads and args.ref):
             raise SystemExit("need --reads and --ref FASTAs or --random")
-        rnames, reads, rlens = load_fasta_batch(
+        rnames, reads, rlens = _load_seq_batch(
             args.reads, "dna", pad_code=4
         )
-        cnames, carr, clens = load_fasta_batch(args.ref, "dna", pad_code=5)
+        cnames, carr, clens = _load_seq_batch(args.ref, "dna", pad_code=5)
         contigs = [carr[i] for i in range(len(carr))]
     k = args.k if args.k is not None else (9 if args.random else 13)
     idx = build_index(contigs, cnames, k=k, lens=clens)
@@ -722,6 +731,42 @@ def cmd_map(args):
         print(json.dumps(rec))
 
 
+def cmd_pack(args):
+    """DNA FASTA <-> 2-bit packed .npz batch container."""
+    from swtpu.core.io import (
+        decode_dna,
+        load_fasta_batch,
+        load_packed_batch,
+        save_packed_batch,
+        write_fasta,
+    )
+
+    if args.unpack:
+        names, batch, lens = load_packed_batch(args.input)
+        write_fasta(
+            args.output,
+            [
+                (n, decode_dna(batch[i, : lens[i]]))
+                for i, n in enumerate(names)
+            ],
+        )
+        print(json.dumps(dict(records=len(names), out=args.output)))
+        return
+    names, batch, lens = load_fasta_batch(args.input, "dna", pad_code=0)
+    save_packed_batch(args.output, names, batch, lens)
+    import os
+
+    print(
+        json.dumps(
+            dict(
+                records=len(names),
+                packed_bytes=os.path.getsize(args.output),
+                out=args.output,
+            )
+        )
+    )
+
+
 def cmd_assemble(args):
     """Greedy overlap-layout-consensus assembly (the reference's intended
     but never-written assembly() consumer, source.cpp:2729-2731)."""
@@ -741,7 +786,7 @@ def cmd_assemble(args):
         names, arr, lens = load_fasta_batch(args.reads, "dna", pad_code=4)
         reads = [arr[i][: lens[i]] for i in range(len(arr))]
     contig = assemble_greedy(
-        reads, min_overlap=args.min_overlap
+        reads, min_overlap=args.min_overlap, slack=args.slack
     )
     if args.out:
         write_fasta(args.out, [("contig", decode_dna(contig))])
@@ -1370,6 +1415,12 @@ def build_parser():
     )
     p.add_argument("--seed", type=int, default=10000)
     p.add_argument("--min-overlap", type=int, default=20)
+    p.add_argument(
+        "--slack", type=int, default=0,
+        help="error tolerance: overlap endpoints may miss the read ends "
+        "by up to this many bases and the consensus majority-votes "
+        "substitution errors out (0 = exact suffix-prefix splice)",
+    )
     p.add_argument("--out", help="write the contig FASTA here")
     p.add_argument(
         "--sam",
@@ -1415,6 +1466,19 @@ def build_parser():
         "max-total-similarity pick",
     )
     p.set_defaults(fn=cmd_msa)
+
+    p = sub.add_parser(
+        "pack",
+        help="convert DNA FASTA to/from the 2-bit packed .npz container "
+        "(≙ the reference's packed format, source.cpp:1580-1583; "
+        "align/search/map accept .npz inputs directly)",
+    )
+    p.add_argument("input", help="FASTA (or .npz with --unpack)")
+    p.add_argument("output", help=".npz out (or FASTA with --unpack)")
+    p.add_argument(
+        "--unpack", action="store_true", help=".npz -> FASTA instead"
+    )
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("bench", help="benchmark suite")
     p.add_argument("--quick", action="store_true")

@@ -77,3 +77,68 @@ def write_fasta(path: str, records) -> None:
     with open(path, "w") as f:
         for name, seq in records:
             f.write(f">{name}\n{seq}\n")
+
+
+def save_packed_batch(
+    path: str, names: List[str], batch: np.ndarray, lens: np.ndarray
+) -> None:
+    """Write a DNA batch as a 2-bit-packed .npz container (the reference's
+    packed wire format, source.cpp:1580-1583, as a batch file).
+
+    batch: [N, L] uint8 codes (pads allowed — anything >3 is stored as 0
+    and re-padded on load from ``lens``). L is padded to a multiple of 4.
+    """
+    from swtpu.core.encode import pack_2bit
+
+    batch = np.asarray(batch, dtype=np.uint8)
+    lens = np.asarray(lens, dtype=np.int64)
+    L = -(-batch.shape[1] // 4) * 4
+    if L != batch.shape[1]:
+        batch = np.pad(batch, ((0, 0), (0, L - batch.shape[1])))
+    packed = pack_2bit(np.where(batch > 3, 0, batch))
+    np.savez_compressed(
+        path, packed=packed, lens=lens, names=np.asarray(names, dtype=object)
+    )
+
+
+def load_packed_batch(
+    path: str, pad_to: int = 0, pad_code: int = 4, device: bool = False
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Read a 2-bit-packed .npz batch; inverse of save_packed_batch.
+
+    Returns (names, batch, lengths) exactly like load_fasta_batch.
+    ``device=True`` decodes on the accelerator (kernels/xla/unpack.py —
+    the reference's tuned unpack family collapses to one fused VPU pass
+    there) and returns a committed jax array; the host path is numpy.
+    """
+    z = np.load(path, allow_pickle=True)
+    packed, lens = z["packed"], z["lens"].astype(np.int64)
+    names = [str(n) for n in z["names"]]
+    if device:
+        import jax.numpy as jnp
+
+        from swtpu.kernels.xla.unpack import unpack_2bit_device
+
+        batch = unpack_2bit_device(jnp.asarray(packed))
+    else:
+        from swtpu.core.encode import unpack_2bit
+
+        batch = unpack_2bit(packed)
+    L = batch.shape[1]
+    Lp = -(-L // pad_to) * pad_to if pad_to else L
+    mask = np.arange(L)[None, :] < lens[:, None]
+    if device:
+        import jax.numpy as jnp
+
+        batch = jnp.where(jnp.asarray(mask), batch, np.uint8(pad_code))
+        if Lp != L:
+            batch = jnp.pad(
+                batch, ((0, 0), (0, Lp - L)), constant_values=pad_code
+            )
+    else:
+        batch = np.where(mask, batch, np.uint8(pad_code))
+        if Lp != L:
+            batch = np.pad(
+                batch, ((0, 0), (0, Lp - L)), constant_values=pad_code
+            )
+    return names, batch, lens

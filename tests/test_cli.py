@@ -248,3 +248,44 @@ def test_cli_longpair(tmp_path):
          "--devices", "8", "--traceback"]
     )
     assert len(recs) == 1 and recs[0]["path"]
+
+
+def test_cli_pack_roundtrip_and_2bit_inputs(rng, tmp_path):
+    """2-bit container e2e: pack -> packed .npz accepted by align/search
+    directly (≙ the reference's unpack family feeding its kernels,
+    source.cpp:1580-1774), and pack --unpack restores the FASTA."""
+    from swtpu.core.io import load_packed_batch
+
+    n = [17, 32, 9]
+    seqs = [rng.integers(0, 4, L).astype(np.uint8) for L in n]
+    fa = tmp_path / "db.fa"
+    write_fasta(fa, [(f"s{i}", decode_dna(s)) for i, s in enumerate(seqs)])
+    npz = tmp_path / "db.npz"
+    (rec,) = _run(["pack", str(fa), str(npz)])
+    assert rec["records"] == 3
+
+    names, batch, lens = load_packed_batch(str(npz))
+    assert names == ["s0", "s1", "s2"]
+    assert list(lens) == n
+    for i, s in enumerate(seqs):
+        assert np.array_equal(batch[i, : lens[i]], s)
+        assert (batch[i, lens[i] :] == 4).all()  # re-padded
+
+    # device-side decode path returns the same codes
+    names_d, batch_d, lens_d = load_packed_batch(str(npz), device=True)
+    assert np.array_equal(np.asarray(batch_d), batch)
+
+    # packed input accepted end-to-end by search (vs the FASTA itself)
+    got_fa = _run(
+        ["search", "--queries", str(fa), "--targets", str(fa), "--topk", "2"]
+    )
+    got_npz = _run(
+        ["search", "--queries", str(npz), "--targets", str(npz),
+         "--topk", "2"]
+    )
+    assert got_fa == got_npz
+
+    # pack --unpack restores the FASTA records exactly
+    fa2 = tmp_path / "back.fa"
+    _run(["pack", str(npz), str(fa2), "--unpack"])
+    assert list(read_fasta(str(fa2))) == list(read_fasta(str(fa)))
