@@ -1,11 +1,19 @@
-"""Length-bucketing streaming engine for variable-length pair batches.
+"""Variable-length streaming engine: length-sorted packed dispatch.
 
 The reference operates on fixed 128-mers; a production engine sees mixed
 lengths. Under jit every distinct (n, m) shape is a separate compile, so
-pairs are grouped into geometric buckets (each dimension rounded up to the
-next bucket edge), each bucket runs as one padded batch through the chosen
-engine, and results scatter back to input order. Pad chars carry the usual
-guarantee (pads only lose), so bucket padding never changes a score.
+the varlen engine sorts pairs by query length, splits the sorted batch
+into at most ``max_buckets`` contiguous groups, pads each group to a
+shape quantum (so shapes recur across calls and compiles are reused),
+runs each group as ONE padded batch through the chosen engine, and
+scatters results back to input order. Pad chars carry the usual
+guarantee (pads only lose), so padding never changes a score.
+
+Round-2 postmortem: the first version dispatched one geometric bucket
+per length decade (factor 1.5) and built every bucket with a Python
+per-pair copy loop — 65.7K aln/s on the 32K mixed-read workload, ~100x
+below the flagship, all of it host overhead and per-bucket dispatch.
+This version is vectorized end to end and caps the dispatch count.
 """
 
 from __future__ import annotations
@@ -19,6 +27,11 @@ from swtpu.core.scoring import ScoringParams
 Q_PAD = 4
 T_PAD = 5
 
+#: shape quanta: bucket dims round up to these so repeated calls with
+#: similar length mixes hit the same compiled executables
+Q_QUANT = 32
+T_QUANT = 64
+
 
 def bucket_edges(max_len: int, min_edge: int = 32, factor: float = 1.5):
     """Geometric bucket edges up to max_len."""
@@ -30,48 +43,85 @@ def bucket_edges(max_len: int, min_edge: int = 32, factor: float = 1.5):
     return edges
 
 
-def _edge_for(L: int, edges: Sequence[int]) -> int:
-    for e in edges:
-        if L <= e:
-            return e
-    return edges[-1]
+def sw_scores_varlen(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    params: ScoringParams,
+    lens_q: Optional[Sequence[int]] = None,
+    lens_t: Optional[Sequence[int]] = None,
+    engine: Optional[Callable] = None,
+    max_buckets: int = 4,
+    q_pad: int = Q_PAD,
+    t_pad: int = T_PAD,
+) -> np.ndarray:
+    """Scores for a padded variable-length batch.
+
+    qs: [B, n_max] uint8, ts: [B, m_max] uint8 with per-pair lengths
+    (defaults: full width). Positions past each length are overwritten
+    with pad codes (vectorized), pairs are sorted by query length and
+    dispatched in at most ``max_buckets`` quantized-shape groups.
+    Returns [B] int32 scores in input order.
+    """
+    qs = np.asarray(qs, dtype=np.uint8)
+    ts = np.asarray(ts, dtype=np.uint8)
+    B, n = qs.shape
+    m = ts.shape[1]
+    lq = np.full(B, n, np.int64) if lens_q is None else np.asarray(
+        lens_q, np.int64
+    )
+    lt = np.full(B, m, np.int64) if lens_t is None else np.asarray(
+        lens_t, np.int64
+    )
+    qs = np.where(np.arange(n)[None, :] < lq[:, None], qs, np.uint8(q_pad))
+    ts = np.where(np.arange(m)[None, :] < lt[:, None], ts, np.uint8(t_pad))
+    if engine is None:
+        from swtpu.ops.variants import best_engine
+
+        engine = best_engine(params)
+
+    def quant(x, q):
+        return int(-(-int(x) // q) * q)
+
+    out = np.zeros(B, np.int32)
+    order = np.argsort(lq, kind="stable")
+    # contiguous equal-count splits of the sorted batch; tiny batches or
+    # tight length mixes collapse to one group (the padded-cell saving
+    # cannot beat the extra dispatch)
+    nb = max(1, min(max_buckets, B // 4096))
+    if quant(lq.max(), Q_QUANT) == quant(max(lq.min(), 1), Q_QUANT):
+        nb = 1
+    splits = [B * i // nb for i in range(nb + 1)]
+    for lo, hi in zip(splits[:-1], splits[1:]):
+        if lo == hi:
+            continue
+        idxs = order[lo:hi]
+        bn = min(n, quant(max(int(lq[idxs].max()), 1), Q_QUANT))
+        bm = min(m, quant(max(int(lt[idxs].max()), 1), T_QUANT))
+        out[idxs] = np.asarray(engine(qs[idxs, :bn], ts[idxs, :bm]))
+    return out
 
 
 def sw_scores_bucketed(
     pairs: Sequence,
     params: ScoringParams,
     engine: Optional[Callable] = None,
-    min_edge: int = 32,
-    factor: float = 1.5,
+    max_buckets: int = 4,
 ) -> np.ndarray:
-    """Scores for a list of (q, t) variable-length pairs.
+    """Scores for a list of (q, t) variable-length pairs (input order).
 
-    pairs: sequence of (q: [n_i] uint8, t: [m_i] uint8). Returns [len(pairs)]
-    int32 scores in input order. Compiles one kernel per occupied bucket.
+    Convenience wrapper over :func:`sw_scores_varlen` for list-of-arrays
+    input; the array API avoids the per-pair assembly cost.
     """
-    if engine is None:
-        from swtpu.ops.variants import best_engine
-
-        engine = best_engine(params)
-
     n_max = max(len(q) for q, _ in pairs)
     m_max = max(len(t) for _, t in pairs)
-    eq = bucket_edges(n_max, min_edge, factor)
-    et = bucket_edges(m_max, min_edge, factor)
-
-    buckets = {}
-    for idx, (q, t) in enumerate(pairs):
-        key = (_edge_for(len(q), eq), _edge_for(len(t), et))
-        buckets.setdefault(key, []).append(idx)
-
-    out = np.zeros(len(pairs), np.int32)
-    for (bn, bm), idxs in sorted(buckets.items()):
-        qs = np.full((len(idxs), bn), Q_PAD, np.uint8)
-        ts = np.full((len(idxs), bm), T_PAD, np.uint8)
-        for row, idx in enumerate(idxs):
-            q, t = pairs[idx]
-            qs[row, : len(q)] = q
-            ts[row, : len(t)] = t
-        scores = np.asarray(engine(qs, ts))
-        out[np.asarray(idxs)] = scores
-    return out
+    qs = np.full((len(pairs), n_max), Q_PAD, np.uint8)
+    ts = np.full((len(pairs), m_max), T_PAD, np.uint8)
+    lq = np.empty(len(pairs), np.int64)
+    lt = np.empty(len(pairs), np.int64)
+    for i, (q, t) in enumerate(pairs):
+        qs[i, : len(q)] = q
+        ts[i, : len(t)] = t
+        lq[i], lt[i] = len(q), len(t)
+    return sw_scores_varlen(
+        qs, ts, params, lq, lt, engine=engine, max_buckets=max_buckets
+    )

@@ -28,6 +28,40 @@ def test_bucket_edges_monotone():
     assert e == sorted(set(e)) and e[-1] == 1000
 
 
+def test_varlen_array_scores(rng):
+    """sw_scores_varlen (the packed array API): mixed q AND t lengths,
+    pad application, sorted-bucket scatter back to input order."""
+    from swtpu.batch import sw_scores_varlen
+
+    B = 37
+    qs = random_dna(rng, (B, 180))
+    ts = random_dna(rng, (B, 220))
+    lq = rng.integers(5, 181, B)
+    lt = rng.integers(5, 221, B)
+    got = sw_scores_varlen(qs, ts, DNA_111, lq, lt, max_buckets=3)
+    want = np.array(
+        [
+            sw_score(qs[b, : lq[b]], ts[b, : lt[b]], DNA_111)
+            for b in range(B)
+        ],
+        np.int32,
+    )
+    assert np.array_equal(got, want)
+
+    # garbage past the lengths must not change anything
+    qs2 = qs.copy()
+    qs2[:, 100:] = 3
+    got2 = sw_scores_varlen(qs2, ts, DNA_111, np.minimum(lq, 100), lt)
+    want2 = np.array(
+        [
+            sw_score(qs[b, : min(lq[b], 100)], ts[b, : lt[b]], DNA_111)
+            for b in range(B)
+        ],
+        np.int32,
+    )
+    assert np.array_equal(got2, want2)
+
+
 def test_compressed_band_history(rng):
     B = 3
     qs = random_dna(rng, (B, 250))
