@@ -165,6 +165,8 @@ def find_candidates(
     is origin-anchored, so the window origin must sit at the read
     start's diagonal, and indel drift before the first seed is the only
     unaccounted offset (absorbed by the margin in `extend` + the band)."""
+    from swtpu import native
+
     reads = np.asarray(reads, dtype=np.uint8)
     R, L = reads.shape
     dw = 32 if diag_window is None else int(diag_window)
@@ -175,6 +177,15 @@ def find_candidates(
         qpos_grid = np.arange(n)[None, :]
         in_len = qpos_grid <= (lens[:, None] - index.k)
         qcodes = np.where(in_len, qcodes, -1)
+    if index.starts is not None and native.available() and n > 0:
+        # C++ seeding twin (bit-equal, OpenMP across reads): the numpy
+        # path below is the reference implementation and stays the
+        # differential-test anchor (test_mapper.py)
+        read, anchor, nseeds = native.seed_candidates(
+            qcodes, index.starts, index.pos, L, dw, max_occ, min_seeds,
+            max_loci,
+        )
+        return Candidates(read=read, tstart=anchor, n_seeds=nseeds)
     rid, qpos = np.nonzero(qcodes >= 0)
     flat = qcodes[rid, qpos]
     if index.starts is not None:  # O(1) direct-addressed lookup

@@ -42,7 +42,15 @@ def _build() -> str:
         "-o",
         _LIB_PATH,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # OpenMP parallelizes the per-read seeding loop; fall back to a
+    # serial build if libgomp is unavailable in this toolchain
+    try:
+        subprocess.run(
+            cmd[:1] + ["-fopenmp"] + cmd[1:], check=True,
+            capture_output=True,
+        )
+    except subprocess.CalledProcessError:
+        subprocess.run(cmd, check=True, capture_output=True)
     return _LIB_PATH
 
 
@@ -97,6 +105,12 @@ def _get_lib():
         lib.sw_traceback_lowmem.argtypes = [
             i8p, i64, i8p, i64, i32p, i32, i32, i32, i64, i64, i32,
             i32p, i32p,
+        ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.seed_candidates.restype = i64
+        lib.seed_candidates.argtypes = [
+            i64p, i64, i64, i64, i64p, i64p, i64, i64, i64, i64,
+            i64p, i64p, i32p,
         ]
         _lib = lib
     except Exception as e:  # toolchain missing etc.
@@ -411,3 +425,45 @@ def banded_affine_traceback(
         raise AssertionError("inconsistent native affine banded traceback")
     pairs = path[: 2 * ln].reshape(-1, 2)
     return [tuple(map(int, p)) for p in pairs]
+
+
+def _i64(a):
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def seed_candidates(
+    qcodes: np.ndarray,
+    csr: np.ndarray,
+    pos: np.ndarray,
+    L: int,
+    dw: int,
+    max_occ: int,
+    min_seeds: int,
+    max_loci: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C++ twin of the mapper's seeding + diagonal clustering
+    (swtpu.models.mapper.find_candidates) — bit-equal outputs, OpenMP
+    across reads. qcodes: [R, nk] int64 (-1 invalid), csr: the index's
+    direct-addressed row starts, pos: positions ordered by code.
+    Returns (read, anchor, n_seeds) int64 arrays."""
+    lib = _get_lib()
+    qcodes, qp = _i64(qcodes)
+    csr, cp = _i64(csr)
+    pos, pp = _i64(pos)
+    R, nk = qcodes.shape
+    out_anchor = np.empty(R * max_loci, np.int64)
+    out_nseeds = np.empty(R * max_loci, np.int64)
+    out_cnt = np.zeros(R, np.int32)
+    ap = out_anchor.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    np_ = out_nseeds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    ctp = out_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.seed_candidates(
+        qp, R, nk, int(L), cp, pp, int(dw), int(max_occ),
+        int(min_seeds), int(max_loci), ap, np_, ctp,
+    )
+    read = np.repeat(np.arange(R, dtype=np.int64), out_cnt)
+    keep = (
+        np.arange(max_loci)[None, :] < out_cnt[:, None]
+    ).reshape(-1)
+    return read, out_anchor[keep], out_nseeds[keep]

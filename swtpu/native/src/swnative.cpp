@@ -973,4 +973,86 @@ int64_t sw_traceback_lowmem(const uint8_t* q, int64_t n, const uint8_t* t,
   return len;
 }
 
+// -------------------------------------------------------------- seeding --
+
+// K-mer seeding + diagonal clustering for the read mapper — the C++ twin
+// of swtpu.models.mapper.find_candidates (bit-equal outputs; the numpy
+// path is the reference and the differential test anchor). Per read:
+// CSR-table lookups of every k-mer, (diag bucket, packed(qpos, diag))
+// seeds, bucket grouping, adjacent-bucket merge, min_seeds / top
+// max_loci / best-third filters. Reads are independent, so the loop
+// parallelizes with OpenMP when built with it; outputs land in fixed
+// per-read strides (deterministic regardless of thread schedule).
+//
+// qcodes: [R * nk] base-4 k-mer codes, -1 = invalid (pad-touching).
+// csr: [4^k + 1] row starts into pos (direct-addressed table).
+// out_anchor/out_nseeds: [R * max_loci]; out_cnt: [R] clusters per read.
+// Returns the total cluster count.
+int64_t seed_candidates(
+    const int64_t* qcodes, int64_t R, int64_t nk, int64_t L,
+    const int64_t* csr, const int64_t* pos, int64_t dw, int64_t max_occ,
+    int64_t min_seeds, int64_t max_loci, int64_t* out_anchor,
+    int64_t* out_nseeds, int32_t* out_cnt) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+  for (int64_t rid = 0; rid < R; ++rid) {
+    // (bucket, packed) seeds; packed = (qpos << 32) | (diag + L) with
+    // diag + L >= 1, so a min over packed is (min qpos, then min diag) —
+    // exactly the numpy path's earliest-seed anchor rule
+    std::vector<std::pair<int64_t, int64_t>> seeds;
+    const int64_t* qc = qcodes + rid * nk;
+    for (int64_t qpos = 0; qpos < nk; ++qpos) {
+      const int64_t c = qc[qpos];
+      if (c < 0) continue;
+      const int64_t lo = csr[c], hi = csr[c + 1];
+      const int64_t occ = hi - lo;
+      if (occ == 0 || occ > max_occ) continue;
+      for (int64_t s = lo; s < hi; ++s) {
+        const int64_t diag = pos[s] - qpos;
+        seeds.emplace_back((diag + L) / dw,
+                           (qpos << 32) | (diag + L));
+      }
+    }
+    std::sort(seeds.begin(), seeds.end());
+    // clusters: runs of equal buckets merged with runs of adjacent ones
+    struct Cl { int64_t count, pmin, anchor; };
+    std::vector<Cl> cls;
+    int64_t i = 0;
+    while (i < (int64_t)seeds.size()) {
+      int64_t bucket = seeds[i].first;
+      int64_t count = 0, pmin = INT64_MAX;
+      int64_t cur = bucket;
+      while (i < (int64_t)seeds.size() &&
+             (seeds[i].first == cur || seeds[i].first == cur + 1)) {
+        if (seeds[i].first == cur + 1) cur = seeds[i].first;
+        pmin = std::min(pmin, seeds[i].second);
+        ++count;
+        ++i;
+      }
+      if (count >= min_seeds)
+        cls.push_back({count, pmin, (pmin & 0xFFFFFFFFLL) - L});
+    }
+    // per-read order (count desc, anchor asc), top max_loci, best/3 cut
+    std::sort(cls.begin(), cls.end(), [](const Cl& a, const Cl& b) {
+      if (a.count != b.count) return a.count > b.count;
+      return a.anchor < b.anchor;
+    });
+    int32_t n_out = 0;
+    const int64_t best = cls.empty() ? 0 : cls[0].count;
+    const int64_t cut = std::max(min_seeds, best / 3);
+    for (const Cl& c : cls) {
+      if (n_out >= max_loci) break;
+      if (c.count < cut) continue;
+      out_anchor[rid * max_loci + n_out] = c.anchor;
+      out_nseeds[rid * max_loci + n_out] = c.count;
+      ++n_out;
+    }
+    out_cnt[rid] = n_out;
+  }
+  int64_t total = 0;
+  for (int64_t rid = 0; rid < R; ++rid) total += out_cnt[rid];
+  return total;
+}
+
 }  // extern "C"
