@@ -92,8 +92,9 @@ def bench_sw_variants(quick=False):
 def bench_semiglobal(quick=False):
     import jax
 
-    from swtpu.kernels.xla.banded_scan import banded_xdrop_batch
+    from swtpu.kernels.xla import banded_scan
     from swtpu.core.encode import mutate
+    from swtpu.utils import time_kernel
 
     rng = np.random.default_rng(10000)
     L = 512 if quick else 2048
@@ -101,93 +102,153 @@ def bench_semiglobal(quick=False):
     qs = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
 
-    # score-only mode: the band history (GBs) would otherwise dominate the
-    # host transfer; traceback workloads pay it only for selected pairs
-    engines = [("banded_xdrop_32_70_xla", banded_xdrop_batch)]
+    # Adaptive tiers, honest-timed: the wrapper runs ONCE (for the real
+    # per-pair round counts that set band-GCUPS), then the jitted forward
+    # is timed with the salted serial chain (time_kernel) — a bare
+    # wall-clock call over the axon tunnel measures dispatch, not kernels
+    # (the repo-wide timing rule; see utils/timing.py). Score-only mode:
+    # the band history (GBs) would otherwise dominate the host transfer;
+    # traceback workloads pay it only for selected pairs (the 16K e2e
+    # record below measures that split stage by stage).
+    tiers = [
+        ("banded_xdrop_32_70_xla", banded_scan.banded_xdrop_batch,
+         banded_scan.bench_forward_fn, qs, ts, {}),
+    ]
     if jax.devices()[0].platform == "tpu":
-        from swtpu.kernels.pallas.banded_batch import (
-            banded_xdrop_batch_pallas,
-        )
-        from swtpu.kernels.pallas.banded_packed import (
-            banded_xdrop_batch_packed,
-        )
-
+        from swtpu.kernels.pallas import banded_batch, banded_packed
         from swtpu.core.protein import BLOSUM62
 
-        engines.append(
-            ("banded_xdrop_32_70_pallas", banded_xdrop_batch_pallas)
+        tiers.append(
+            ("banded_xdrop_32_70_pallas",
+             banded_batch.banded_xdrop_batch_pallas,
+             banded_batch.bench_forward_fn, qs, ts, {})
         )
         # protein homology extension: ~70%-identity amino-acid pairs,
         # BLOSUM62 + BLAST-default Gotoh gaps, X=120 (the BLAST-style
-        # protein X-drop workload; general-matrix baked-table mode).
-        # The lambda pins its own pairs/scoring and ignores the harness's
-        # uniform gap args (the affine re-run below targets engines[-1]).
+        # protein X-drop workload; general-matrix baked-table mode)
         pq = rng.integers(0, 24, size=(B, L)).astype(np.uint8)
         pt = pq.copy()
         nmut = L // 3
         for b in range(B):
             idx = rng.integers(0, L, nmut)
             pt[b, idx] = rng.integers(0, 24, nmut)
-        engines.append(
-            (
-                "banded_xdrop_blosum62_affine_pallas",
-                lambda a, b, _q=pq, _t=pt, **kw: banded_xdrop_batch_pallas(
-                    _q, _t, matrix=BLOSUM62, gap_open=11, gap_extend=1,
-                    x_threshold=120,
-                    with_history=kw.get("with_history", False),
-                ),
-            )
+        tiers.append(
+            ("banded_xdrop_blosum62_affine_pallas",
+             banded_batch.banded_xdrop_batch_pallas,
+             banded_batch.bench_forward_fn, pq, pt,
+             dict(matrix=BLOSUM62, gap_open=11, gap_extend=1,
+                  x_threshold=120))
         )
-        engines.append(
-            ("banded_xdrop_32_70_packed", banded_xdrop_batch_packed)
+        tiers.append(
+            ("banded_xdrop_32_70_packed",
+             banded_packed.banded_xdrop_batch_packed,
+             banded_packed.bench_forward_fn, qs, ts, {})
         )
-    kw = dict(with_history=False)
+        # affine (Gotoh) uniform scoring on the fastest adaptive tier
+        tiers.append(
+            ("banded_affine_xdrop_32_70_packed",
+             banded_packed.banded_xdrop_batch_packed,
+             banded_packed.bench_forward_fn, qs, ts,
+             dict(gap_open=3, gap_extend=1))
+        )
+    else:
+        tiers.append(
+            ("banded_affine_xdrop_32_70_xla",
+             banded_scan.banded_xdrop_batch,
+             banded_scan.bench_forward_fn, qs, ts,
+             dict(gap_open=3, gap_extend=1))
+        )
     out = []
-    for name, fwd in engines:
-        res = fwd(qs, ts, **kw)  # compile
-        t0 = time.perf_counter()
-        res = fwd(qs, ts, **kw)
-        wall = time.perf_counter() - t0
-        # cells actually computed: bandwidth * rounds per alignment
-        cells = int(res.n_rounds.sum()) * 32
+    for name, wrapper, bench_fn, bq, bt, kw in tiers:
+        res = wrapper(bq, bt, with_history=False, **kw)
+        cells = int(res.n_rounds.astype(np.int64).sum()) * 32
+        fn, args = bench_fn(bq, bt, **kw)
+        per = time_kernel(fn, args, k=8)
         rec = dict(
             kernel=name,
             batch=B,
             seq_len=L,
-            wall_ms=round(wall * 1e3, 1),
-            band_gcups=round(cells / wall / 1e9, 3),
-            alignments_per_s=round(B / wall, 1),
+            wall_ms=round(per * 1e3, 2),
+            band_gcups=round(cells / per / 1e9, 3),
+            alignments_per_s=round(B / per, 1),
             device=str(jax.devices()[0].device_kind),
         )
-        print(f"{name}: {wall*1e3/B*1e4:.0f} ms / 10K")
+        print(f"{name}: {per*1e3/B*1e4:.0f} ms / 10K")
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
     # reference-scale geometry: 16384-mers end to end WITH traceback (the
     # SemiGlobal_111 / SpeedtestSemiGlobal shape, source.cpp:1776-1834,
-    # 2804-2860): device banded forward + history, host walker
-    from swtpu.batch import banded_align_batch
+    # 2804-2860), split into its stages: device banded forward (+8-bit
+    # offset-compressed history, the reference's own wire trick), the
+    # history fetch over the host link, and the host path walk.
+    import jax.numpy as jnp
+
+    from swtpu.batch import banded_walk_batch
+    from swtpu.kernels.xla.banded_scan import BandedBatchResult
 
     B16 = 2 if quick else 8
-    L16 = 16384
+    # reference geometry on TPU; a scaled-down stand-in on CPU (the full
+    # 32769-round scan takes minutes per rep on the CPU backend)
+    L16 = 16384 if jax.devices()[0].platform == "tpu" else 2048
     q16 = rng.integers(0, 4, size=(B16, L16)).astype(np.uint8)
     t16 = np.stack([mutate(rng, q16[b], out_len=L16) for b in range(B16)])
-    banded_align_batch(q16[:1], t16[:1], [L16], [L16])  # compile
-    t0 = time.perf_counter()
-    out16 = banded_align_batch(q16, t16, [L16] * B16, [L16] * B16)
-    wall = time.perf_counter() - t0
+
+    # stage 1: forward with history, honest-timed
+    fn16, args16 = banded_scan.bench_forward_fn(
+        q16, t16, with_history=True
+    )
+    t_fwd = time_kernel(fn16, args16, k=4)
+
+    # stage 2: history fetch (device -> host over the tunnel). Fresh
+    # buffers per rep (re-dispatch with a perturbed input) so no
+    # transfer/result cache can serve a repeat.
+    qp, tp, lq, lt = banded_scan._prep_padded(q16, t16, None, None, 32)
+    fetches, walks = [], []
+    for rep in range(2):
+        # each rep re-dispatches; the outputs are fresh device buffers,
+        # so neither jax's host-side value cache nor the tunnel result
+        # cache can serve the timed np.asarray fetch below
+        outs = banded_scan._banded_impl(
+            jnp.asarray(qp), jnp.asarray(tp), jnp.asarray(lq),
+            jnp.asarray(lt),
+            1, 1, 1, 32, 70, with_history=True, compress=True,
+        )
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        host = [np.asarray(x) for x in outs]
+        fetches.append(time.perf_counter() - t0)
+        res16 = BandedBatchResult(
+            score=host[0], max_round=host[1], n_rounds=host[2],
+            band_history=host[3], pos_y=host[4], offsets=host[5],
+        )
+        # stage 3: host walk (numpy/C++ walker)
+        t0 = time.perf_counter()
+        out16 = banded_walk_batch(q16, t16, res16)
+        walks.append(time.perf_counter() - t0)
+    t_fetch, t_walk = min(fetches), min(walks)
+    hist_mb = res16.band_history.nbytes / 2**20
+    wall = t_fwd + t_fetch + t_walk
     rec = dict(
         kernel="banded_16k_traceback_e2e",
         batch=B16,
         seq_len=L16,
         wall_ms=round(wall * 1e3, 1),
+        forward_ms=round(t_fwd * 1e3, 1),
+        history_fetch_ms=round(t_fetch * 1e3, 1),
+        history_mb=round(hist_mb, 1),
+        host_walk_ms=round(t_walk * 1e3, 1),
         alignments_per_s=round(B16 / wall, 2),
         mean_path_len=round(
             float(np.mean([len(p) for _, p in out16])), 1
         ),
         device=str(jax.devices()[0].device_kind),
     )
-    print(f"banded_16k_traceback_e2e: {wall*1e3:.0f} ms / {B16}")
+    print(
+        f"banded_16k_traceback_e2e: {wall*1e3:.0f} ms / {B16} "
+        f"(fwd {t_fwd*1e3:.0f} + fetch {t_fetch*1e3:.0f} "
+        f"+ walk {t_walk*1e3:.0f})"
+    )
     print("JSON:", json.dumps(rec))
     out.append(rec)
 
@@ -267,26 +328,6 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
-    # affine (Gotoh) banded on the best available engine
-    fwd_name, fwd = engines[-1]
-    kw = dict(with_history=False, gap_open=3, gap_extend=1)
-    fwd(qs, ts, **kw)  # compile
-    t0 = time.perf_counter()
-    res = fwd(qs, ts, **kw)
-    wall = time.perf_counter() - t0
-    cells = int(res.n_rounds.sum()) * 32
-    rec = dict(
-        kernel=fwd_name.replace("banded", "banded_affine"),
-        batch=B,
-        seq_len=L,
-        wall_ms=round(wall * 1e3, 1),
-        band_gcups=round(cells / wall / 1e9, 3),
-        alignments_per_s=round(B / wall, 1),
-        device=str(jax.devices()[0].device_kind),
-    )
-    print(f"{rec['kernel']}: {wall*1e3/B*1e4:.0f} ms / 10K")
-    print("JSON:", json.dumps(rec))
-    out.append(rec)
     return out
 
 
@@ -432,27 +473,34 @@ def bench_varlen(quick=False):
     promotion tier and a traceback-coordinate sample."""
     import jax
 
-    from swtpu.batch import sw_align_batch, sw_scores_bucketed
+    from swtpu.batch import sw_align_batch, sw_scores_varlen
     from swtpu.batch.promote import sw_scores_promoted
     from swtpu.core.scoring import DNA_111
 
     rng = np.random.default_rng(10000)
     B = 4096 if quick else 32768
     m = 320
-    lens = rng.integers(100, 301, B)
-    pairs = [
-        (
-            rng.integers(0, 4, L).astype(np.uint8),
-            rng.integers(0, 4, m).astype(np.uint8),
-        )
-        for L in lens
-    ]
-    # warm with the FULL batch: bucket occupancy determines the padded
-    # batch shapes, so a small warm-up slice compiles different shapes
-    sw_scores_bucketed(pairs, DNA_111)
-    t0 = time.perf_counter()
-    scores = sw_scores_bucketed(pairs, DNA_111)
-    wall = time.perf_counter() - t0
+
+    def read_set(seed):
+        r = np.random.default_rng(seed)
+        lens = r.integers(100, 301, B)
+        qs = r.integers(0, 4, size=(B, 300)).astype(np.uint8)
+        ts = r.integers(0, 4, size=(B, m)).astype(np.uint8)
+        return qs, ts, lens
+
+    # wall-clock over the WHOLE streaming call (host packing + sorted
+    # quantized-bucket dispatch + fetch) on a distinct read set per rep:
+    # the tunnel result-cache serves identical calls, so rep data must
+    # differ; the warmup set compiles the (quantized, recurring) shapes
+    sets = [read_set(s) for s in (10000, 10001, 10002)]
+    sw_scores_varlen(sets[0][0], sets[0][1], DNA_111, sets[0][2])
+    walls = []
+    for qs, ts, lens in sets[1:]:
+        t0 = time.perf_counter()
+        sw_scores_varlen(qs, ts, DNA_111, lens)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    lens = sets[-1][2]
     cells = int(lens.sum()) * m
     out = [
         dict(
@@ -504,7 +552,14 @@ def bench_varlen(quick=False):
 
 
 def bench_unpack(quick=False):
+    """2-bit codec (≙ the reference's unpack family + its 100M-rep
+    harness, source.cpp:1580-1774, 2889-2941): host numpy path and the
+    device kernel (one fused VPU pass), decoded GB/s."""
+    import jax
+
     from swtpu.core.encode import pack_2bit, unpack_2bit
+    from swtpu.kernels.xla.unpack import unpack_2bit_device
+    from swtpu.utils import time_kernel
 
     rng = np.random.default_rng(10000)
     seqs = rng.integers(0, 4, size=(10000, 128)).astype(np.uint8)
@@ -520,8 +575,27 @@ def bench_unpack(quick=False):
         unit="GB/s",
     )
     print(f"unpack: {wall*1e3:.2f} ms / 10K x 128")
+    out = [rec]
     print("JSON:", json.dumps(rec))
-    return [rec]
+
+    # device codec: [8192, 512] packed -> [8192, 2048] codes (16.8 MB
+    # decoded per call), honest-timed
+    dp = jax.device_put(
+        pack_2bit(rng.integers(0, 4, size=(8192, 2048)).astype(np.uint8))
+    )
+    per = time_kernel(lambda p: unpack_2bit_device(p), (dp,), k=16)
+    decoded = 8192 * 2048
+    rec = dict(
+        kernel="unpack_2bit_device",
+        wall_ms=round(per * 1e3, 3),
+        bytes_per_s=round(decoded / per / 1e9, 1),
+        unit="GB/s",
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(f"unpack_2bit_device: {per*1e3:.3f} ms / 8192 x 2048")
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
+    return out
 
 
 def bench_protein_swissprot(quick=False):
@@ -842,7 +916,44 @@ def bench_search(quick=False):
         f"parity={parity}"
     )
     print("JSON:", json.dumps(rec))
-    return [rec]
+    out = [rec]
+
+    # end-to-end wall throughput of the STREAMING loop on a >=100K-seq
+    # database (the real product workload: host streams chunks, device
+    # holds the top-k state; double-buffered uploads + windowed syncs).
+    # Wall-clocked whole-call on a distinct query set per rep (the
+    # tunnel result cache serves identical calls); warmup rep compiles.
+    Nt_e2e = 16384 if quick else 131072
+    Ce2e = 8192
+    T2 = rng.integers(0, 4, size=(Nt_e2e, L)).astype(np.uint8)
+    walls = []
+    for rep in range(3):
+        Qr = np.random.default_rng(777 + rep).integers(
+            0, 4, size=(Nq, L)
+        ).astype(np.uint8)
+        t0 = time.perf_counter()
+        all_vs_all_topk(
+            Qr, T2, DNA_111, k=k, chunk_size=Ce2e, engine=engine
+        )
+        if rep:
+            walls.append(time.perf_counter() - t0)
+    wall = min(walls)
+    pairs_e2e = Nq * Nt_e2e
+    rec = dict(
+        kernel="search_e2e_wall", queries=Nq, targets=Nt_e2e,
+        chunk=Ce2e, topk=k,
+        wall_ms=round(wall * 1e3, 1),
+        aln_per_s=round(pairs_e2e / wall),
+        gcups=round(pairs_e2e * L * L / wall / 1e9, 1),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"search_e2e_wall: {wall*1e3:.1f} ms / {pairs_e2e} pairs "
+        f"= {pairs_e2e/wall/1e6:.2f} M aln/s wall"
+    )
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
+    return out
 
 
 def bench_map(quick=False):
