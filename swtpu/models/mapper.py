@@ -54,12 +54,15 @@ class KmerIndex:
     k: int
     ref: np.ndarray  # [N] uint8 concatenated reference (REF_PAD separators)
     codes: np.ndarray  # [P] int64 k-mer codes, sorted
-    pos: np.ndarray  # [P] int64 positions, ordered by code
+    #: [P] positions ordered by code — int32 (half the random-access
+    #: footprint; seeding is DRAM-latency bound) unless the reference
+    #: exceeds int32 range
+    pos: np.ndarray
     contig_starts: np.ndarray  # [C] int64 offset of each contig in ref
     contig_names: List[str]
     contig_lens: np.ndarray  # [C] int64
-    #: direct-addressed CSR row starts ([4^k + 1]) when 4^k is small
-    #: (k <= 11, <= 32 MB): O(1) lookups instead of binary search
+    #: direct-addressed int32 CSR row starts ([4^k + 1]) when 4^k is
+    #: small (k <= 11): O(1) lookups instead of binary search
     starts: Optional[np.ndarray] = None
 
     def locate(self, ref_pos: np.ndarray):
@@ -117,14 +120,18 @@ def build_index(
     order = valid[np.argsort(codes[valid], kind="stable")]
     sorted_codes = codes[order]
     csr = None
-    if k <= 11:  # 4^11 + 1 entries = 32 MB of int64
+    small = len(ref) < 2**31 - 1 and len(order) < 2**31 - 1
+    if k <= 11:  # 4^11 + 1 entries = 16 MB of int32
         counts = np.bincount(sorted_codes, minlength=4**k)
-        csr = np.concatenate([[0], np.cumsum(counts)])
+        csr = np.concatenate(
+            [[0], np.cumsum(counts, dtype=np.int64)]
+        )
+        csr = csr.astype(np.int32) if small else csr
     return KmerIndex(
         k=k,
         ref=ref,
         codes=sorted_codes,
-        pos=order.astype(np.int64),
+        pos=order.astype(np.int32 if small else np.int64),
         contig_starts=np.asarray(starts, dtype=np.int64),
         contig_names=names,
         contig_lens=np.asarray(clens, dtype=np.int64),
@@ -177,7 +184,13 @@ def find_candidates(
         qpos_grid = np.arange(n)[None, :]
         in_len = qpos_grid <= (lens[:, None] - index.k)
         qcodes = np.where(in_len, qcodes, -1)
-    if index.starts is not None and native.available() and n > 0:
+    if (
+        index.starts is not None
+        and native.available()
+        and n > 0
+        and index.pos.dtype == np.int32
+        and index.starts.dtype == np.int32
+    ):
         # C++ seeding twin (bit-equal, OpenMP across reads): the numpy
         # path below is the reference implementation and stays the
         # differential-test anchor (test_mapper.py)
@@ -201,7 +214,7 @@ def find_candidates(
         return Candidates(read=z, tstart=z.copy(), n_seeds=z.copy())
     total = int(occ.sum())
     # expand [lo, lo+occ) ranges without a Python loop
-    ends = np.cumsum(occ)
+    ends = np.cumsum(occ, dtype=np.int64)
     within = np.arange(total) - np.repeat(ends - occ, occ)
     tpos = index.pos[np.repeat(lo, occ) + within]
     h_rid = np.repeat(rid, occ)
@@ -279,6 +292,64 @@ def _banded_scores(qs, ts, lens_q, lens_t, **kw):
     return np.asarray(res.score)
 
 
+def _fixed_scores(
+    qs, ts, lens_q, lens_t, match, mismatch, gap, gap_open, gap_extend,
+    bandwidth, matrix,
+):
+    """Fixed-corridor (|i - j| <= W) local scores for the extension stage.
+
+    The candidate windows are origin-anchored static corridors — exactly
+    the fixed-band kernel's contract — and that kernel is issue-bound
+    (~220+ band GCUPS) where the adaptive tier is permute-bound, so the
+    screening stage runs ~10x faster here. Scores follow
+    swtpu.oracle.banded_static (local, zero-floored), not the X-drop
+    glocal contract; winners that need paths are re-scored through the
+    adaptive engine (map_reads' traceback branch), which keeps reported
+    hit+path scores on the X-drop contract."""
+    import jax
+
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+
+    go = int(gap_open) if gap_open is not None else int(gap)
+    ge = int(gap_extend) if gap_open is not None else int(gap)
+    if matrix is None:
+        params = ScoringParams(dna_matrix(match, -mismatch), go, ge)
+    else:
+        params = ScoringParams(np.asarray(matrix), go, ge)
+    if jax.devices()[0].platform == "tpu":
+        from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+        from swtpu.kernels.pallas.sw_banded import (
+            sw_banded_profile_pallas,
+            sw_banded_static_pallas,
+        )
+
+        fwd = (
+            sw_banded_static_pallas
+            if _uniform_match_mismatch(params) is not None
+            else sw_banded_profile_pallas
+        )
+        return np.asarray(
+            fwd(qs, ts, params, bandwidth, lens_q=lens_q, lens_t=lens_t)
+        )
+    # CPU: the exact scalar oracle on a pad-extended matrix (window
+    # separators carry code A+1; pads can only lose)
+    from swtpu.oracle.banded_static import sw_banded_static_score
+
+    A = params.alphabet_size
+    ext = np.full((A + 2, A + 2), int(params.matrix.min()), np.int32)
+    ext[:A, :A] = params.matrix
+    pe = ScoringParams(ext, go, ge)
+    return np.array(
+        [
+            sw_banded_static_score(
+                qs[b, : lens_q[b]], ts[b, : lens_t[b]], pe, bandwidth
+            )
+            for b in range(len(qs))
+        ],
+        np.int64,
+    )
+
+
 @dataclasses.dataclass
 class MapHit:
     read: int
@@ -316,34 +387,41 @@ def extend_candidates(
     bandwidth: int = 32,
     x_threshold: int = 70,
     matrix: Optional[np.ndarray] = None,
+    extend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Score every candidate locus in ONE batched device call.
 
+    ``extend`` picks the screening engine: "fixed" = the issue-bound
+    fixed-corridor kernel (scores per swtpu.oracle.banded_static),
+    "adaptive" = the banded X-drop tier (scores per the X-drop oracle),
+    "auto" = fixed on TPU, adaptive elsewhere (the fixed path's exact
+    CPU fallback is the scalar oracle — fine for tests, slow at scale).
+
     Returns (scores [C], tstart [C]) — tstart is the margin-adjusted
     window origin the path coordinates are relative to."""
+    import jax
+
     reads = np.asarray(reads, dtype=np.uint8)
     R, L = reads.shape
     margin, Lw = _window_geometry(L, bandwidth)
     tstart = np.clip(cands.tstart - margin, 0, max(len(index.ref) - 1, 0))
     idx = tstart[:, None] + np.arange(Lw)[None, :]
-    windows = index.ref[np.clip(idx, 0, len(index.ref) - 1)]
+    # mode='clip' clamps inside the take (no materialized clipped copy)
+    windows = np.take(index.ref, idx, mode="clip")
     lens_t = np.minimum(Lw, len(index.ref) - tstart)
-    kw = dict(bandwidth=bandwidth, x_threshold=x_threshold)
-    if matrix is not None:
-        kw["matrix"] = matrix
-    else:
-        kw.update(match=match, mismatch=mismatch, gap=gap)
-    if gap_open is not None and gap_open != gap_extend:
-        kw.update(gap_open=gap_open, gap_extend=gap_extend)
-    elif gap_open is not None:
-        kw["gap"] = gap_open
-    # pad the batch to a 512 multiple (the packed kernel's grid step):
-    # candidate counts vary run to run, and a stable shape keeps ONE
-    # compiled extension executable per configuration
+    if extend == "auto":
+        extend = (
+            "fixed" if jax.devices()[0].platform == "tpu" else "adaptive"
+        )
+    # pad the batch to the kernel grid step (512 for the packed adaptive
+    # kernel, 1024 pairs/tile for the fixed-band kernel): candidate
+    # counts vary run to run, and a stable shape keeps ONE compiled
+    # extension executable per configuration
     C = len(cands.read)
     if C == 0:
         return np.zeros(0, np.int32), tstart
-    Cp = max(512, -(-C // 512) * 512)
+    step = 1024 if extend == "fixed" else 512
+    Cp = max(step, -(-C // step) * step)
     qsel = reads[cands.read]
     lq = np.asarray(lens)[cands.read]
     if Cp > C:
@@ -353,6 +431,21 @@ def extend_candidates(
         qsel, windows = padrow(qsel), padrow(windows)
         lq = np.concatenate([lq, np.zeros(Cp - C, lq.dtype)])
         lens_t = np.concatenate([lens_t, np.zeros(Cp - C, lens_t.dtype)])
+    if extend == "fixed":
+        scores = _fixed_scores(
+            qsel, windows, lq, lens_t, match, mismatch, gap, gap_open,
+            gap_extend, bandwidth, matrix,
+        )[:C]
+        return scores, tstart
+    kw = dict(bandwidth=bandwidth, x_threshold=x_threshold)
+    if matrix is not None:
+        kw["matrix"] = matrix
+    else:
+        kw.update(match=match, mismatch=mismatch, gap=gap)
+    if gap_open is not None and gap_open != gap_extend:
+        kw.update(gap_open=gap_open, gap_extend=gap_extend)
+    elif gap_open is not None:
+        kw["gap"] = gap_open
     scores = _banded_scores(qsel, windows, lq, lens_t, **kw)[:C]
     return scores, tstart
 
@@ -381,11 +474,19 @@ def map_reads(
     min_score: int = 1,
     both_strands: bool = False,
     traceback: bool = False,
+    extend: str = "auto",
 ) -> List[Optional[MapHit]]:
     """Map every read to its best reference locus; None = unmapped.
 
     Deterministic winner selection: per read the best (score desc,
-    tstart asc, '+' before '-') candidate above min_score wins."""
+    tstart asc, '+' before '-') candidate above min_score wins.
+
+    ``extend`` (see extend_candidates) picks the screening engine: the
+    default "auto" runs the fixed-corridor kernel on TPU (hit scores
+    then follow the fixed-band local oracle) and the adaptive X-drop
+    tier elsewhere. With ``traceback=True`` the winners re-run through
+    the adaptive banded engine either way, so hits with paths always
+    carry X-drop-contract scores."""
     reads = np.asarray(reads, dtype=np.uint8)
     R, L = reads.shape
     lens = (
@@ -418,7 +519,7 @@ def map_reads(
         scores, tstart = extend_candidates(
             index, q, ql, cands, match=match, mismatch=mismatch, gap=gap,
             gap_open=gap_open, gap_extend=gap_extend, bandwidth=bandwidth,
-            x_threshold=x_threshold,
+            x_threshold=x_threshold, extend=extend,
         )
         all_read.append(cands.read)
         all_tstart.append(tstart)
@@ -477,14 +578,17 @@ def map_reads(
             gap=gap,
             **kw,
         )
-        # same engine, same window: the traceback score IS the stored one
+        # winners carry the adaptive X-drop score (same window): equal to
+        # the screening score in adaptive mode, a rescore in fixed mode
         scores = scores.copy()
         for w, (s, _) in zip(win, out):
             scores[w] = s
         paths = [p for _, p in out]
-    for w, rd, path in zip(win, win_reads, paths):
-        cid, local = index.locate(np.array([tstart[w]]))
-        cid, local = int(cid[0]), int(local[0])
+    if win:
+        w_arr = np.asarray(win)
+        cids, locals_ = index.locate(tstart[w_arr])
+    for k, (w, rd, path) in enumerate(zip(win, win_reads, paths)):
+        cid, local = int(cids[k]), int(locals_[k])
         pos = local
         rel_path = None
         if path:

@@ -109,7 +109,7 @@ def _get_lib():
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.seed_candidates.restype = i64
         lib.seed_candidates.argtypes = [
-            i64p, i64, i64, i64, i64p, i64p, i64, i64, i64, i64,
+            i64p, i64, i64, i64, i32p, i32p, i64, i64, i64, i64,
             i64p, i64p, i32p,
         ]
         _lib = lib
@@ -445,12 +445,12 @@ def seed_candidates(
     """C++ twin of the mapper's seeding + diagonal clustering
     (swtpu.models.mapper.find_candidates) — bit-equal outputs, OpenMP
     across reads. qcodes: [R, nk] int64 (-1 invalid), csr: the index's
-    direct-addressed row starts, pos: positions ordered by code.
-    Returns (read, anchor, n_seeds) int64 arrays."""
+    direct-addressed int32 row starts, pos: int32 positions ordered by
+    code. Returns (read, anchor, n_seeds) int64 arrays."""
     lib = _get_lib()
     qcodes, qp = _i64(qcodes)
-    csr, cp = _i64(csr)
-    pos, pp = _i64(pos)
+    csr, cp = _i32(csr)
+    pos, pp = _i32(pos)
     R, nk = qcodes.shape
     out_anchor = np.empty(R * max_loci, np.int64)
     out_nseeds = np.empty(R * max_loci, np.int64)

@@ -985,14 +985,18 @@ int64_t sw_traceback_lowmem(const uint8_t* q, int64_t n, const uint8_t* t,
 // per-read strides (deterministic regardless of thread schedule).
 //
 // qcodes: [R * nk] base-4 k-mer codes, -1 = invalid (pad-touching).
-// csr: [4^k + 1] row starts into pos (direct-addressed table).
+// csr: [4^k + 1] int32 row starts into pos (direct-addressed table);
+// pos: [P] int32 positions ordered by code. The loop is DRAM-latency
+// bound (random accesses into csr/pos), so both tables are int32 and the
+// lookups run ahead of consumption with software prefetch.
 // out_anchor/out_nseeds: [R * max_loci]; out_cnt: [R] clusters per read.
 // Returns the total cluster count.
 int64_t seed_candidates(
     const int64_t* qcodes, int64_t R, int64_t nk, int64_t L,
-    const int64_t* csr, const int64_t* pos, int64_t dw, int64_t max_occ,
+    const int32_t* csr, const int32_t* pos, int64_t dw, int64_t max_occ,
     int64_t min_seeds, int64_t max_loci, int64_t* out_anchor,
     int64_t* out_nseeds, int32_t* out_cnt) {
+  const int64_t PF = 8;  // prefetch distance (k-mers ahead)
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
@@ -1001,15 +1005,20 @@ int64_t seed_candidates(
     // diag + L >= 1, so a min over packed is (min qpos, then min diag) —
     // exactly the numpy path's earliest-seed anchor rule
     std::vector<std::pair<int64_t, int64_t>> seeds;
+    seeds.reserve(1024);
     const int64_t* qc = qcodes + rid * nk;
     for (int64_t qpos = 0; qpos < nk; ++qpos) {
+      if (qpos + PF < nk && qc[qpos + PF] >= 0)
+        __builtin_prefetch(&csr[qc[qpos + PF]]);
+      if (qpos + PF / 2 < nk && qc[qpos + PF / 2] >= 0)
+        __builtin_prefetch(&pos[csr[qc[qpos + PF / 2]]]);
       const int64_t c = qc[qpos];
       if (c < 0) continue;
       const int64_t lo = csr[c], hi = csr[c + 1];
       const int64_t occ = hi - lo;
       if (occ == 0 || occ > max_occ) continue;
       for (int64_t s = lo; s < hi; ++s) {
-        const int64_t diag = pos[s] - qpos;
+        const int64_t diag = (int64_t)pos[s] - qpos;
         seeds.emplace_back((diag + L) / dw,
                            (qpos << 32) | (diag + L));
       }

@@ -192,3 +192,98 @@ def test_cli_map_random_demo():
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["reads"] == 30
     assert rec["correct_locus"] >= 26
+
+
+def test_native_seeding_matches_numpy(rng, genome):
+    """The C++ seeding kernel is bit-equal to the numpy reference path
+    (candidates, anchors, seed counts) on mutation-model reads with
+    variable lengths."""
+    from swtpu import native
+    from swtpu.models.mapper import Candidates
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    L = 152
+    R = 64
+    starts = rng.integers(0, len(genome) - L, size=R)
+    reads = np.stack(
+        [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+    )
+    lens = rng.integers(100, L + 1, R)
+    idx = build_index([genome], k=9)
+    assert idx.starts is not None and idx.starts.dtype == np.int32
+    got = find_candidates(idx, reads, lens, min_seeds=2, max_occ=64,
+                          max_loci=8, diag_window=32)
+    # force the numpy reference path by dropping the CSR table
+    import dataclasses
+
+    idx_np = dataclasses.replace(idx, starts=None)
+    want = find_candidates(idx_np, reads, lens, min_seeds=2, max_occ=64,
+                           max_loci=8, diag_window=32)
+    assert np.array_equal(got.read, want.read)
+    assert np.array_equal(got.tstart, want.tstart)
+    assert np.array_equal(got.n_seeds, want.n_seeds)
+
+
+def test_fixed_extension_mode(rng, genome):
+    """extend='fixed' screens through the fixed-corridor engine: hit
+    scores match the static-band oracle on the hit window (pad-extended
+    matrix), and locus recovery stays at the adaptive level."""
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.oracle.banded_static import sw_banded_static_score
+
+    L = 120
+    starts = rng.integers(0, len(genome) - L, size=16)
+    reads = np.stack(
+        [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+    )
+    idx = build_index([genome], k=9)
+    hits = map_reads(reads, index=idx, min_score=10, extend="fixed")
+    hits_a = map_reads(reads, index=idx, min_score=10, extend="adaptive")
+    margin, Lw = _window_geometry(L, 32)
+    ext = np.full((6, 6), -1, np.int32)
+    ext[:4, :4] = np.where(np.eye(4, dtype=bool), 1, -1)
+    pe = ScoringParams(ext, 1, 1)
+    n_checked = 0
+    for i, h in enumerate(hits):
+        if h is None:
+            continue
+        w = idx.ref[h.window_start : h.window_start + Lw]
+        assert h.score == sw_banded_static_score(reads[i], w, pe, 32)
+        n_checked += 1
+    assert n_checked >= 12
+    rec_f = sum(
+        1 for i, h in enumerate(hits)
+        if h is not None and abs(h.pos - int(starts[i])) <= 32
+    )
+    rec_a = sum(
+        1 for i, h in enumerate(hits_a)
+        if h is not None and abs(h.pos - int(starts[i])) <= 32
+    )
+    assert rec_f >= rec_a - 1  # recovery preserved (ties may differ)
+
+
+def test_fixed_extension_traceback_rescores(rng, genome):
+    """With traceback=True the winners re-run through the adaptive
+    engine, so hit+path scores follow the X-drop oracle even in fixed
+    screening mode."""
+    L = 120
+    starts = rng.integers(0, len(genome) - L, size=8)
+    reads = np.stack(
+        [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+    )
+    idx = build_index([genome], k=9)
+    hits = map_reads(
+        reads, index=idx, min_score=10, extend="fixed", traceback=True
+    )
+    margin, Lw = _window_geometry(L, 32)
+    n_checked = 0
+    for i, h in enumerate(hits):
+        if h is None:
+            continue
+        w = idx.ref[h.window_start : h.window_start + Lw]
+        want, _ = banded_xdrop(reads[i], w)
+        assert h.score == want
+        assert h.path and h.path[0][0] == 0
+        n_checked += 1
+    assert n_checked >= 6
