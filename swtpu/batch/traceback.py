@@ -747,6 +747,26 @@ def banded_align_batch(
     kernels on TPU, the XLA table engine elsewhere). Composition of
     banded_forward_batch (device) + banded_walk_batch (host).
     """
+    import jax
+
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None
+    # reference-scale geometry, linear gaps: walk ON DEVICE — the
+    # device->host link runs ~25 MB/s, so fetching a 16K-geometry band
+    # history costs ~4x the whole forward; the device walker ships only
+    # move strings (see banded_scan._banded_fwd_walk_impl). Affine keeps
+    # the host walk (E/F reconstruction lives there).
+    if (
+        gap_open is None
+        and qs.shape[1] + ts.shape[1] + 1 > 6000
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from swtpu.kernels.xla.banded_scan import banded_xdrop_align_device
+
+        return banded_xdrop_align_device(
+            qs, ts, lens_q, lens_t, match, mismatch, gap, bandwidth,
+            x_threshold, matrix=matrix,
+        )
     res = banded_forward_batch(
         qs, ts, lens_q, lens_t, match, mismatch, gap, bandwidth,
         x_threshold, compress_history=compress_history, gap_open=gap_open,

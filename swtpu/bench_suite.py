@@ -179,13 +179,13 @@ def bench_semiglobal(quick=False):
 
     # reference-scale geometry: 16384-mers end to end WITH traceback (the
     # SemiGlobal_111 / SpeedtestSemiGlobal shape, source.cpp:1776-1834,
-    # 2804-2860), split into its stages: device banded forward (+8-bit
-    # offset-compressed history, the reference's own wire trick), the
-    # history fetch over the host link, and the host path walk.
+    # 2804-2860), split into its stages. The e2e path walks ON DEVICE
+    # (banded_xdrop_align_device): the tunnel's device->host link runs
+    # ~25 MB/s, so fetching even the 8-bit-compressed band history (8 MB
+    # at batch 8) costs ~4x the forward — the device walker ships only
+    # per-pair move strings. Stages: fused device forward+walk
+    # (honest-timed), moves fetch, host path decode.
     import jax.numpy as jnp
-
-    from swtpu.batch import banded_walk_batch
-    from swtpu.kernels.xla.banded_scan import BandedBatchResult
 
     B16 = 2 if quick else 8
     # reference geometry on TPU; a scaled-down stand-in on CPU (the full
@@ -194,50 +194,45 @@ def bench_semiglobal(quick=False):
     q16 = rng.integers(0, 4, size=(B16, L16)).astype(np.uint8)
     t16 = np.stack([mutate(rng, q16[b], out_len=L16) for b in range(B16)])
 
-    # stage 1: forward with history, honest-timed
-    fn16, args16 = banded_scan.bench_forward_fn(
-        q16, t16, with_history=True
-    )
-    t_fwd = time_kernel(fn16, args16, k=4)
-
-    # stage 2: history fetch (device -> host over the tunnel). Fresh
-    # buffers per rep (re-dispatch with a perturbed input) so no
-    # transfer/result cache can serve a repeat.
+    # stage 1: fused device forward + walk, honest-timed
     qp, tp, lq, lt = banded_scan._prep_padded(q16, t16, None, None, 32)
-    fetches, walks = [], []
+    max_steps = 2 * L16 + 1
+    dev_args = (jnp.asarray(qp), jnp.asarray(tp))
+    lq_d, lt_d = jnp.asarray(lq), jnp.asarray(lt)
+
+    def fwd_walk(qp_d, tp_d):
+        wire = banded_scan._banded_fwd_walk_impl(
+            qp_d, tp_d, lq_d, lt_d, 1, 1, 1, 32, 70, max_steps
+        )
+        return wire.astype(jnp.int32).sum()
+
+    t_dev = time_kernel(fwd_walk, dev_args, k=4)
+
+    # stages 2+3: wire fetch + host decode, from fresh dispatches (no
+    # transfer/result cache can serve the timed fetch)
+    fetches, decodes = [], []
     for rep in range(2):
-        # each rep re-dispatches; the outputs are fresh device buffers,
-        # so neither jax's host-side value cache nor the tunnel result
-        # cache can serve the timed np.asarray fetch below
-        outs = banded_scan._banded_impl(
-            jnp.asarray(qp), jnp.asarray(tp), jnp.asarray(lq),
-            jnp.asarray(lt),
-            1, 1, 1, 32, 70, with_history=True, compress=True,
+        wire = banded_scan._banded_fwd_walk_impl(
+            *dev_args, lq_d, lt_d, 1, 1, 1, 32, 70, max_steps
         )
-        jax.block_until_ready(outs)
+        jax.block_until_ready(wire)
         t0 = time.perf_counter()
-        host = [np.asarray(x) for x in outs]
+        wire16 = np.asarray(wire)
         fetches.append(time.perf_counter() - t0)
-        res16 = BandedBatchResult(
-            score=host[0], max_round=host[1], n_rounds=host[2],
-            band_history=host[3], pos_y=host[4], offsets=host[5],
-        )
-        # stage 3: host walk (numpy/C++ walker)
         t0 = time.perf_counter()
-        out16 = banded_walk_batch(q16, t16, res16)
-        walks.append(time.perf_counter() - t0)
-    t_fetch, t_walk = min(fetches), min(walks)
-    hist_mb = res16.band_history.nbytes / 2**20
-    wall = t_fwd + t_fetch + t_walk
+        out16 = banded_scan.decode_device_walk(wire16)
+        decodes.append(time.perf_counter() - t0)
+    t_fetch, t_decode = min(fetches), min(decodes)
+    wall = t_dev + t_fetch + t_decode
     rec = dict(
         kernel="banded_16k_traceback_e2e",
         batch=B16,
         seq_len=L16,
         wall_ms=round(wall * 1e3, 1),
-        forward_ms=round(t_fwd * 1e3, 1),
-        history_fetch_ms=round(t_fetch * 1e3, 1),
-        history_mb=round(hist_mb, 1),
-        host_walk_ms=round(t_walk * 1e3, 1),
+        device_fwd_walk_ms=round(t_dev * 1e3, 1),
+        moves_fetch_ms=round(t_fetch * 1e3, 1),
+        moves_kb=round(wire16.nbytes / 1024, 1),
+        host_decode_ms=round(t_decode * 1e3, 1),
         alignments_per_s=round(B16 / wall, 2),
         mean_path_len=round(
             float(np.mean([len(p) for _, p in out16])), 1
@@ -246,8 +241,8 @@ def bench_semiglobal(quick=False):
     )
     print(
         f"banded_16k_traceback_e2e: {wall*1e3:.0f} ms / {B16} "
-        f"(fwd {t_fwd*1e3:.0f} + fetch {t_fetch*1e3:.0f} "
-        f"+ walk {t_walk*1e3:.0f})"
+        f"(device fwd+walk {t_dev*1e3:.0f} + fetch {t_fetch*1e3:.0f} "
+        f"+ decode {t_decode*1e3:.0f})"
     )
     print("JSON:", json.dumps(rec))
     out.append(rec)
@@ -650,6 +645,28 @@ def bench_protein_swissprot(quick=False):
         -1, db.shape[1]
     )
     real_cells = int(Nq * lens[:nt].sum() * Lq)
+
+    # Length-sorted target buckets (the sw_scores_varlen policy applied
+    # to an all-vs-all search batch): the raw broadcast pads EVERY pair
+    # to the longest protein (2.5x cell waste on this subset); sorting
+    # pairs by target length and dispatching a few own-max-padded groups
+    # cuts the waste to ~1.3x. Each bucket's arrays are pre-staged on
+    # device and the timed unit runs all buckets in one jit — exactly
+    # what a production DB-search driver keeps resident.
+    tl = np.broadcast_to(
+        lens[None, :nt], (Nq, Nt)
+    ).reshape(-1).astype(np.int64)
+    order = np.argsort(tl, kind="stable")
+    nb = 2 if quick else 6
+    splits = [len(order) * i // nb for i in range(nb + 1)]
+    bucket_idx = [order[lo:hi] for lo, hi in zip(splits[:-1], splits[1:])]
+    bucket_dev = []
+    for idxs in bucket_idx:
+        bm = int(-(-int(tl[idxs].max()) // 16) * 16)
+        bucket_dev.append(
+            (jax.device_put(qq[idxs]), jax.device_put(tt[idxs, :bm]))
+        )
+
     results = []
     engines = [("colscan", sw_batch_colscan)]
     if jax.devices()[0].platform == "tpu":
@@ -674,16 +691,25 @@ def bench_protein_swissprot(quick=False):
             np.int32,
         )
         for ename, fn in engines:
-            dq, dt_ = jax.device_put(qq), jax.device_put(tt)
-            got = np.asarray(fn(dq, dt_, params))
+            got = np.zeros(Nq * Nt, np.int32)
+            for idxs, (dq, dt_) in zip(bucket_idx, bucket_dev):
+                got[idxs] = np.asarray(fn(dq, dt_, params))
             parity = bool(np.array_equal(got[:32], want))
-            per_call = time_kernel(
-                lambda a, b: fn(a, b, params), (dq, dt_), k=4
-            )
+
+            def run_all(b0q, b0t):
+                # all buckets in one jitted unit; bucket 0 rides the
+                # timing chain's salt, the rest are closed-over constants
+                tot = fn(b0q, b0t, params).sum()
+                for dq2, dt2 in bucket_dev[1:]:
+                    tot = tot + fn(dq2, dt2, params).sum()
+                return tot
+
+            per_call = time_kernel(run_all, bucket_dev[0], k=4)
             rec = dict(
                 kernel=f"protein_swissprot_{ename}_{gname}",
                 queries=Nq, targets=Nt,
                 pairs=Nq * Nt,
+                buckets=nb,
                 wall_ms=round(per_call * 1e3, 1),
                 gcups=round(real_cells / per_call / 1e9, 2),
                 parity=parity,

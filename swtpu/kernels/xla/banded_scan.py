@@ -270,6 +270,265 @@ def _banded_impl(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "match", "mismatch", "gap", "bandwidth", "x_threshold",
+        "max_steps",
+    ),
+)
+def _banded_fwd_walk_impl(
+    qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold,
+    max_steps, table=None,
+):
+    """Forward pass + DEVICE traceback walk (linear gaps).
+
+    The reference (and the host walkers here) traceback on the CPU from
+    a fetched band history — but the tunnel's device->host link runs at
+    ~25 MB/s, so at 16K-mer geometry the history fetch alone costs more
+    than the whole forward. This walker replays the traceback on device
+    over the HBM-resident history and returns only the per-pair move
+    string (1 byte/step) + start cell: the host link carries KBs, not
+    MBs. Moves: 0=diag, 1=up, 2=left, 3=done, 4=inconsistency (the host
+    raises, mirroring the walkers' assertion). Tie-break order is the
+    reference's diag -> up -> left (source.cpp:2149-2158), bit-equal to
+    banded_traceback / the C++ walker.
+    """
+    W = bandwidth
+    X = x_threshold
+    MINF = jnp.int32(-(2**30))
+    score, max_round, n_rounds, hist, posy, _ = _banded_impl(
+        qp, tp, n, m, match, mismatch, gap, bandwidth, x_threshold,
+        with_history=True, compress=False, table=table,
+    )
+    R, B, _ = hist.shape
+    flat = hist.reshape(-1)
+    posy_f = posy.reshape(-1)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    # start cell: host slides (y+1, x-1) from k = W-1 until the band
+    # value hits the max — i.e. the LARGEST valid k holding the target
+    target = score + X
+    r0 = max_round
+    kk = jnp.arange(W, dtype=jnp.int32)[None, :]
+    py0 = posy_f[jnp.clip(r0, 0, R - 1) * B + bidx]
+    y_k = py0[:, None] + (W - 1 - kk)
+    x_k = r0[:, None] - y_k
+    v_k = flat[
+        jnp.clip(r0, 0, R - 1)[:, None] * (B * W)
+        + bidx[:, None] * W
+        + kk
+    ]
+    hit = (
+        (v_k == target[:, None])
+        & (y_k >= 0) & (y_k <= n[:, None])
+        & (x_k >= 0) & (x_k <= m[:, None])
+        & (v_k != 0)
+    )
+    k_star = jnp.max(jnp.where(hit, kk, -1), axis=1)
+    start_ok = k_star >= 0
+    sy = py0 + (W - 1 - jnp.maximum(k_star, 0))
+    sx = r0 - sy
+
+    qp_f = qp.reshape(-1)
+    tp_f = tp.reshape(-1)
+    qlen = qp.shape[1]
+    tlen = tp.shape[1]
+
+    # Gather-count discipline (the walk is gather-bound at ~[B]-vector
+    # scale): the current cell's value rides the carry (it IS last
+    # step's chosen neighbor), up+left share round r-1 at adjacent band
+    # slots (one 2-wide gather), posy for r-1/r-2 is one 2-wide gather —
+    # 5 takes per step total (posy pair, up+left pair, diag, q char,
+    # t char).
+    def step(carry, _):
+        i, j, v, done, ok, nsteps = carry
+        r = i + j
+        rr = jnp.stack(
+            [jnp.clip(r - 1, 0, R - 1), jnp.clip(r - 2, 0, R - 1)],
+            axis=-1,
+        )
+        pys = posy_f[rr * B + bidx[:, None]]
+        py1, py2 = pys[:, 0], pys[:, 1]
+        k_up = (W - 1) - ((i - 1) - py1)
+        k_left = k_up - 1  # same round, one slot down
+        k_diag = (W - 1) - ((i - 1) - py2)
+        base1 = jnp.clip(r - 1, 0, R - 1) * (B * W) + bidx * W
+        ul = flat[
+            jnp.stack(
+                [
+                    base1 + jnp.clip(k_up, 0, W - 1),
+                    base1 + jnp.clip(k_left, 0, W - 1),
+                ],
+                axis=-1,
+            )
+        ]
+        dg = flat[
+            jnp.clip(r - 2, 0, R - 1) * (B * W)
+            + bidx * W
+            + jnp.clip(k_diag, 0, W - 1)
+        ]
+
+        def val(raw, y, x, k, rnd):
+            valid = (
+                (y >= 0) & (y <= n) & (x >= 0) & (x <= m)
+                & (rnd >= 0) & (rnd < n_rounds) & (k >= 0) & (k < W)
+            )
+            return jnp.where(valid & (raw != 0), raw, MINF)
+
+        up_v = val(ul[:, 0], i - 1, j, k_up, r - 1)
+        left_v = val(ul[:, 1], i, j - 1, k_left, r - 1)
+        diag_v = val(dg, i - 1, j - 1, k_diag, r - 2)
+
+        yc = qp_f[bidx * qlen + jnp.clip(i, 0, qlen - 1)]
+        xc = tp_f[bidx * tlen + jnp.clip(W + j - 1, 0, tlen - 1)]
+        if table is None:
+            s = jnp.where(
+                (yc >= 0) & (xc >= 0) & (yc == xc), match, -mismatch
+            )
+        else:
+            stride = table.shape[0]
+            qi = jnp.where(yc >= 0, yc, stride - 2)
+            ti = jnp.where(xc >= 0, xc, stride - 1)
+            s = jnp.take(table.reshape(-1), qi * stride + ti, axis=0)
+        can_d = (i > 0) & (j > 0) & (diag_v + s == v)
+        can_u = (i > 0) & (up_v - gap == v)
+        can_l = (j > 0) & (left_v - gap == v)
+        at0 = (i == 0) & (j == 0)
+        bad = ~(done | at0 | can_d | can_u | can_l)
+        # bad emits 3 (keeps moves 2-bit-packable); ok records the fault
+        move = jnp.where(
+            done | at0 | bad,
+            3,
+            jnp.where(can_d, 0, jnp.where(can_u, 1, 2)),
+        ).astype(jnp.uint8)
+        ok = ok & ~bad
+        stepped = move < 3
+        ni = i - (stepped & ((move == 0) | (move == 1))).astype(jnp.int32)
+        nj = j - (stepped & ((move == 0) | (move == 2))).astype(jnp.int32)
+        nv = jnp.where(
+            move == 0,
+            diag_v,
+            jnp.where(move == 1, up_v, jnp.where(move == 2, left_v, v)),
+        )
+        return (
+            ni, nj, nv, done | at0 | bad, ok,
+            nsteps + stepped.astype(jnp.int32),
+        ), move
+
+    # chunked early-exit walk: a while_loop over 512-step scanned chunks
+    # stops once every pair reached the origin (typical paths use ~55%
+    # of the worst-case step budget); moves pack 4 steps/byte on device
+    CH = 512
+    S = -(-max_steps // CH) * CH
+    shifts = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    buf0 = jnp.full((B, S // 4), 255, jnp.uint8)  # 0xFF = four 'done's
+
+    def chunk_body(state):
+        carry, buf, c = state
+        carry, mv = jax.lax.scan(step, carry, None, length=CH, unroll=8)
+        packed = (
+            (mv.T.reshape(B, CH // 4, 4) << shifts).sum(
+                axis=-1, dtype=jnp.uint8
+            )
+        )
+        buf = jax.lax.dynamic_update_slice(buf, packed, (0, c * (CH // 4)))
+        return carry, buf, c + 1
+
+    def chunk_cond(state):
+        carry, _, c = state
+        return (c < S // CH) & jnp.any(~carry[3])
+
+    carry0 = (
+        sy, sx, jnp.where(start_ok, target, MINF), ~start_ok, start_ok,
+        jnp.zeros(B, jnp.int32),
+    )
+    (fi, fj, _, _, ok, nsteps), buf, _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (carry0, buf0, jnp.int32(0))
+    )
+    ok = ok & (fi == 0) & (fj == 0) & start_ok
+    # single wire buffer: per-pair meta (5 int32, little-endian bytes)
+    # prepended to the packed moves — ONE host fetch (each fetch pays
+    # ~25 ms fixed on the tunnel)
+    meta = jnp.stack(
+        [score, sy, sx, nsteps, ok.astype(jnp.int32)], axis=1
+    )
+    meta8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(B, 20)
+    return jnp.concatenate([meta8, buf], axis=1)
+
+
+def banded_xdrop_align_device(
+    qs,
+    ts,
+    lens_q=None,
+    lens_t=None,
+    match=1,
+    mismatch=1,
+    gap=1,
+    bandwidth=32,
+    x_threshold=70,
+    matrix=None,
+):
+    """Batched adaptive-banded X-drop alignment, forward AND traceback on
+    device (linear gaps). Bit-equal output to banded_align_batch's host
+    walk; only scores + move strings cross the host link (the win at
+    reference-scale 16K geometry, where fetching the band history
+    dominates end-to-end time ~4:1). Returns [(score, path)] per pair.
+    """
+    qp, tp, lq, lt = _prep_padded(qs, ts, lens_q, lens_t, int(bandwidth))
+    n_max = qs.shape[1]
+    m_max = ts.shape[1]
+    max_steps = n_max + m_max + 1
+    wire = _banded_fwd_walk_impl(
+        jnp.asarray(qp),
+        jnp.asarray(tp),
+        jnp.asarray(lq),
+        jnp.asarray(lt),
+        int(match),
+        int(mismatch),
+        int(gap),
+        int(bandwidth),
+        int(x_threshold),
+        max_steps,
+        table=(
+            None if matrix is None
+            else jnp.asarray(_banded_ext_table(matrix))
+        ),
+    )
+    return decode_device_walk(np.asarray(wire))
+
+
+def decode_device_walk(wire):
+    """Host decode of the device walker's wire format: per pair 20 bytes
+    of meta (score, start_y, start_x, n_steps, ok — little-endian int32)
+    followed by 2-bit packed moves. Returns [(score, path)] with the
+    host walkers' exact path convention."""
+    meta = (
+        np.ascontiguousarray(wire[:, :20]).view(np.int32).T
+    )  # [5, B]
+    packed = wire[:, 20:]
+    score, sy, sx, nsteps, ok = meta
+    # unpack 2 bits/move, vectorized over the whole batch
+    moves = (
+        packed[:, :, None] >> (np.arange(4, dtype=np.uint8) * 2)[None, None]
+    ) & 3
+    moves = moves.reshape(packed.shape[0], -1)
+    out = []
+    for b in range(packed.shape[0]):
+        if not ok[b]:
+            raise AssertionError(
+                f"inconsistent device banded traceback at pair {b}"
+            )
+        mv = moves[b, : nsteps[b]].astype(np.int64)
+        di = np.cumsum((mv == 0) | (mv == 1))
+        dj = np.cumsum((mv == 0) | (mv == 2))
+        ys = np.concatenate([[sy[b]], sy[b] - di])
+        xs = np.concatenate([[sx[b]], sx[b] - dj])
+        path = list(zip(ys[::-1].tolist(), xs[::-1].tolist()))
+        out.append((int(score[b]), path))
+    return out
+
+
 def _banded_ext_table(matrix) -> np.ndarray:
     """Extended substitution table for the banded family: any pad index
     scores matrix.min() (the banded oracles' pad contract — the uniform

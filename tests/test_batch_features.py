@@ -150,3 +150,38 @@ def test_fuzz_short_all_families():
         log=None,
     )
     assert stats.rounds == 10 and stats.mismatches == 0
+
+
+def test_device_walker_matches_host_walk(rng):
+    """banded_xdrop_align_device (device forward + device traceback,
+    move-string wire format) is bit-equal to the host-walk path —
+    uniform and general-matrix scoring, varlen, non-homologous early
+    X-drop deaths included."""
+    from swtpu.kernels.xla.banded_scan import banded_xdrop_align_device
+
+    B, L = 4, 260
+    qs = random_dna(rng, (B, L))
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    lens_q = [L, 200, L, 90]
+    lens_t = [L, L, 230, 90]
+    dev = banded_xdrop_align_device(qs, ts, lens_q, lens_t)
+    host = banded_align_batch(qs, ts, lens_q, lens_t)
+    assert dev == host
+
+    M = np.array(
+        [[2, -3, -3, -1], [-3, 2, -1, -3], [-3, -1, 2, -3],
+         [-1, -3, -3, 2]],
+        np.int32,
+    )
+    dev = banded_xdrop_align_device(
+        qs, ts, lens_q, lens_t, matrix=M, gap=2, x_threshold=60
+    )
+    host = banded_align_batch(
+        qs, ts, lens_q, lens_t, matrix=M, gap=2, x_threshold=60
+    )
+    assert dev == host
+
+    ts2 = random_dna(rng, (B, L))  # non-homologous: early dead bands
+    assert banded_xdrop_align_device(qs, ts2) == banded_align_batch(
+        qs, ts2
+    )
