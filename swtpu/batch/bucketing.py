@@ -43,6 +43,50 @@ def bucket_edges(max_len: int, min_edge: int = 32, factor: float = 1.5):
     return edges
 
 
+_FUSED_MASK_CACHE: dict = {}
+
+
+def _fused_masked_engine(engine, engine_key, n, m, q_pad, t_pad,
+                         packed=False):
+    """Jitted (unpack + mask pads + engine) — decode and pad application
+    run on DEVICE, so the host ships raw (optionally 2-bit packed) bytes
+    and per-pair lengths, nothing else. Cached per (engine, shape):
+    re-jitting per call would re-trace.
+
+    ``packed`` expects 2-bit wire inputs ([B, ceil(len/4)] uint8, the
+    reference's storage format, source.cpp:1580): the tunnel's ingress
+    drops to ~55 MB/s once device traffic starts, so a 4x smaller wire
+    is a direct e2e win; the device decode is one fused VPU pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from swtpu.ops.variants import cached_build
+
+    key = ("varlen_mask", engine_key, n, m, q_pad, t_pad, packed)
+
+    def build():
+        @jax.jit
+        def run(qs, ts, lq, lt):
+            if packed:
+                from swtpu.kernels.xla.unpack import unpack_2bit_device
+
+                qs = unpack_2bit_device(qs)[:, :n]
+                ts = unpack_2bit_device(ts)[:, :m]
+            qm = jnp.where(
+                jnp.arange(n)[None, :] < lq[:, None], qs,
+                jnp.uint8(q_pad),
+            )
+            tm = jnp.where(
+                jnp.arange(m)[None, :] < lt[:, None], ts,
+                jnp.uint8(t_pad),
+            )
+            return engine(qm, tm)
+
+        return run
+
+    return cached_build(_FUSED_MASK_CACHE, key, build)
+
+
 def sw_scores_varlen(
     qs: np.ndarray,
     ts: np.ndarray,
@@ -53,51 +97,94 @@ def sw_scores_varlen(
     max_buckets: int = 4,
     q_pad: int = Q_PAD,
     t_pad: int = T_PAD,
+    packed: bool = False,
 ) -> np.ndarray:
     """Scores for a padded variable-length batch.
 
     qs: [B, n_max] uint8, ts: [B, m_max] uint8 with per-pair lengths
-    (defaults: full width). Positions past each length are overwritten
-    with pad codes (vectorized), pairs are sorted by query length and
-    dispatched in at most ``max_buckets`` quantized-shape groups.
+    (defaults: full width). Pad codes are applied ON DEVICE (the host
+    ships raw bytes + lengths — the upload link runs ~50x faster than
+    host-side packing + fetch round-trips). When the quantized length
+    spread is wide (>2x), pairs are sorted by query length and
+    dispatched in at most ``max_buckets`` contiguous quantized-shape
+    groups; otherwise ONE dispatch handles everything — at 400+ GCUPS
+    padded cells cost ~2 ms/Gcell while every extra dispatch costs a
+    ~30 ms fetch round-trip, so bucketing only pays at large spreads.
     Returns [B] int32 scores in input order.
+
+    ``packed=True`` takes DNA in the 2-bit wire format instead
+    ([B, ceil(n/4)] uint8, e.g. straight from a `swtpu pack` .npz): the
+    device decodes it (kernels/xla/unpack.py), so 4x fewer bytes cross
+    the ingress link — the e2e bottleneck for streamed read batches.
     """
     qs = np.asarray(qs, dtype=np.uint8)
     ts = np.asarray(ts, dtype=np.uint8)
-    B, n = qs.shape
-    m = ts.shape[1]
-    lq = np.full(B, n, np.int64) if lens_q is None else np.asarray(
-        lens_q, np.int64
+    B = qs.shape[0]
+    n = qs.shape[1] * 4 if packed else qs.shape[1]
+    m = ts.shape[1] * 4 if packed else ts.shape[1]
+    lq = np.full(B, n, np.int32) if lens_q is None else np.asarray(
+        lens_q, np.int32
     )
-    lt = np.full(B, m, np.int64) if lens_t is None else np.asarray(
-        lens_t, np.int64
+    lt = np.full(B, m, np.int32) if lens_t is None else np.asarray(
+        lens_t, np.int32
     )
-    qs = np.where(np.arange(n)[None, :] < lq[:, None], qs, np.uint8(q_pad))
-    ts = np.where(np.arange(m)[None, :] < lt[:, None], ts, np.uint8(t_pad))
-    if engine is None:
-        from swtpu.ops.variants import best_engine
+    from swtpu.ops.variants import resolve_engine
 
-        engine = best_engine(params)
+    engine, engine_key = resolve_engine(params, engine)
 
     def quant(x, q):
         return int(-(-int(x) // q) * q)
 
-    out = np.zeros(B, np.int32)
-    order = np.argsort(lq, kind="stable")
-    # contiguous equal-count splits of the sorted batch; tiny batches or
-    # tight length mixes collapse to one group (the padded-cell saving
-    # cannot beat the extra dispatch)
+    nq_max = quant(max(int(lq.max()), 1), Q_QUANT)
+    nq_med = quant(max(int(np.median(lq)), 1), Q_QUANT)
     nb = max(1, min(max_buckets, B // 4096))
-    if quant(lq.max(), Q_QUANT) == quant(max(lq.min(), 1), Q_QUANT):
+    if nq_max <= 2 * nq_med:
         nb = 1
+    div = 4 if packed else 1
+    if nb == 1:
+        bn = min(n, nq_max)
+        bm = min(m, quant(max(int(lt.max()), 1), T_QUANT))
+        fn = _fused_masked_engine(
+            engine, engine_key, bn, bm, q_pad, t_pad, packed
+        )
+        return np.asarray(
+            fn(
+                np.ascontiguousarray(qs[:, : bn // div]),
+                np.ascontiguousarray(ts[:, : bm // div]),
+                lq, lt,
+            )
+        ).astype(np.int32)
+
+    # wide spread: sort by query length ONCE (contiguous buckets =
+    # zero-copy uploads), dispatch every bucket without syncing, fetch
+    # all scores at the end (fetches pay a fixed ~25 ms round-trip)
+    order = np.argsort(lq, kind="stable")
+    qs_s = np.ascontiguousarray(qs[order])
+    ts_s = np.ascontiguousarray(ts[order])
+    lq_s, lt_s = lq[order], lt[order]
     splits = [B * i // nb for i in range(nb + 1)]
+    pending = []
     for lo, hi in zip(splits[:-1], splits[1:]):
         if lo == hi:
             continue
-        idxs = order[lo:hi]
-        bn = min(n, quant(max(int(lq[idxs].max()), 1), Q_QUANT))
-        bm = min(m, quant(max(int(lt[idxs].max()), 1), T_QUANT))
-        out[idxs] = np.asarray(engine(qs[idxs, :bn], ts[idxs, :bm]))
+        bn = min(n, quant(max(int(lq_s[hi - 1]), 1), Q_QUANT))
+        bm = min(m, quant(max(int(lt_s[lo:hi].max()), 1), T_QUANT))
+        fn = _fused_masked_engine(
+            engine, engine_key, bn, bm, q_pad, t_pad, packed
+        )
+        pending.append(
+            (
+                lo, hi,
+                fn(
+                    np.ascontiguousarray(qs_s[lo:hi, : bn // div]),
+                    np.ascontiguousarray(ts_s[lo:hi, : bm // div]),
+                    lq_s[lo:hi], lt_s[lo:hi],
+                ),
+            )
+        )
+    out = np.zeros(B, np.int32)
+    for lo, hi, dev in pending:
+        out[order[lo:hi]] = np.asarray(dev)
     return out
 
 
