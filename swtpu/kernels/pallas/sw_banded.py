@@ -271,16 +271,24 @@ def _prepare_banded(qs, tp, n, TL):
 def _apply_lens(qs, ts, lens_q, lens_t, q_pad, t_pad):
     """Overwrite positions past each pair's length with pad codes
     (pads only lose, so variable-length batches need nothing else).
-    Vectorized: a per-row Python loop dominated wall time at
-    mapper-extension batch sizes (25K+ rows)."""
+    Vectorized jnp (a per-row Python loop dominated wall time at
+    mapper-extension batch sizes, and jnp keeps the wrapper traceable
+    so callers can fuse it under their own jit — e.g. the mapper's
+    packed-wire extension)."""
     if lens_q is not None:
-        qs = np.asarray(qs)
-        mask = np.arange(qs.shape[1])[None, :] < np.asarray(lens_q)[:, None]
-        qs = np.where(mask, qs, qs.dtype.type(q_pad))
+        qs = jnp.asarray(qs)
+        mask = (
+            jnp.arange(qs.shape[1])[None, :]
+            < jnp.asarray(lens_q)[:, None]
+        )
+        qs = jnp.where(mask, qs, qs.dtype.type(q_pad))
     if lens_t is not None:
-        ts = np.asarray(ts)
-        mask = np.arange(ts.shape[1])[None, :] < np.asarray(lens_t)[:, None]
-        ts = np.where(mask, ts, ts.dtype.type(t_pad))
+        ts = jnp.asarray(ts)
+        mask = (
+            jnp.arange(ts.shape[1])[None, :]
+            < jnp.asarray(lens_t)[:, None]
+        )
+        ts = jnp.where(mask, ts, ts.dtype.type(t_pad))
     return qs, ts
 
 

@@ -64,6 +64,15 @@ class KmerIndex:
     #: direct-addressed int32 CSR row starts ([4^k + 1]) when 4^k is
     #: small (k <= 11): O(1) lookups instead of binary search
     starts: Optional[np.ndarray] = None
+    #: 2-bit packed ref (len rounded to %4; separators/pads pack as base
+    #: 0 — see ref_sepmask): the extension stage gathers packed window
+    #: BYTES and decodes on device, 4x less ingress traffic
+    ref_packed: Optional[np.ndarray] = None
+    #: 1 bit per char (little-endian), set where ref holds a separator/
+    #: pad (> 3): the device restores T_PAD at masked positions so
+    #: packed windows keep the exact "pads can only lose" semantics
+    #: across contig boundaries
+    ref_sepmask: Optional[np.ndarray] = None
 
     def locate(self, ref_pos: np.ndarray):
         """Map concatenated positions -> (contig_id, local_pos)."""
@@ -127,6 +136,10 @@ def build_index(
             [[0], np.cumsum(counts, dtype=np.int64)]
         )
         csr = csr.astype(np.int32) if small else csr
+    from swtpu.core.encode import pack_2bit
+
+    pad8 = (-len(ref)) % 8
+    ref8 = np.pad(ref, (0, pad8), constant_values=REF_PAD)
     return KmerIndex(
         k=k,
         ref=ref,
@@ -136,6 +149,8 @@ def build_index(
         contig_names=names,
         contig_lens=np.asarray(clens, dtype=np.int64),
         starts=csr,
+        ref_packed=pack_2bit(np.where(ref8 > 3, 0, ref8)),
+        ref_sepmask=np.packbits(ref8 > 3, bitorder="little"),
     )
 
 
@@ -350,6 +365,61 @@ def _fixed_scores(
     )
 
 
+_FIXED_PACKED_CACHE: dict = {}
+
+
+def _fixed_scores_packed(
+    qbytes, wbytes, mbytes, lens_q, lens_t, params, bandwidth, n, m
+):
+    """Fixed-corridor scores from the 2-bit wire: the host ships packed
+    read bytes, packed window bytes, and the windows' separator bitmask;
+    the device decodes, restores T_PAD at separator positions, applies
+    lengths and runs the fixed-band kernel — all in one jit. The wire is
+    ~4x smaller than raw codes (the tunnel ingress is the extension
+    stage's bottleneck at mapper batch sizes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from swtpu.kernels.pallas.sw_banded import (
+        sw_banded_profile_pallas,
+        sw_banded_static_pallas,
+    )
+    from swtpu.kernels.pallas.sw_batch import _uniform_match_mismatch
+    from swtpu.kernels.xla.unpack import unpack_2bit_device
+    from swtpu.ops.variants import cached_build
+
+    fwd = (
+        sw_banded_static_pallas
+        if _uniform_match_mismatch(params) is not None
+        else sw_banded_profile_pallas
+    )
+    t_pad = params.alphabet_size + 1
+    key = (
+        params.matrix.tobytes(), params.gap_open, params.gap_extend,
+        int(bandwidth), n, m, fwd.__name__,
+    )
+
+    def build():
+        @jax.jit
+        def run(qb, wb, mb, lq, lt):
+            qs = unpack_2bit_device(qb)[:, :n]
+            ts = unpack_2bit_device(wb)[:, :m]
+            bits = (
+                mb[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)
+            ) & 1
+            sep = bits.reshape(mb.shape[0], -1)[:, :m]
+            ts = jnp.where(sep == 1, jnp.uint8(t_pad), ts)
+            return fwd(
+                qs, ts, params, bandwidth, lens_q=lq, lens_t=lt
+            )
+
+        return run
+
+    return cached_build(_FIXED_PACKED_CACHE, key, build)(
+        qbytes, wbytes, mbytes, lens_q, lens_t
+    )
+
+
 @dataclasses.dataclass
 class MapHit:
     read: int
@@ -392,38 +462,112 @@ def extend_candidates(
     """Score every candidate locus in ONE batched device call.
 
     ``extend`` picks the screening engine: "fixed" = the issue-bound
-    fixed-corridor kernel (scores per swtpu.oracle.banded_static),
-    "adaptive" = the banded X-drop tier (scores per the X-drop oracle),
-    "auto" = fixed on TPU, adaptive elsewhere (the fixed path's exact
-    CPU fallback is the scalar oracle — fine for tests, slow at scale).
+    fixed-corridor kernel (scores per swtpu.oracle.banded_static; on
+    TPU it auto-upgrades to the 2-bit packed wire for pure-ACGT reads,
+    with the index's separator bitmask restoring exact pad semantics),
+    "fixed-packed" = force the packed wire (tests), "adaptive" = the
+    banded X-drop tier (scores per the X-drop oracle), "auto" = fixed
+    on TPU, adaptive elsewhere (the fixed path's exact CPU fallback is
+    the scalar oracle — fine for tests, slow at scale).
 
-    Returns (scores [C], tstart [C]) — tstart is the margin-adjusted
-    window origin the path coordinates are relative to."""
+    Returns (scores [C], tstart [C]) — tstart is the window origin the
+    path coordinates are relative to (8-aligned on the packed wire)."""
     import jax
 
     reads = np.asarray(reads, dtype=np.uint8)
     R, L = reads.shape
     margin, Lw = _window_geometry(L, bandwidth)
     tstart = np.clip(cands.tstart - margin, 0, max(len(index.ref) - 1, 0))
-    idx = tstart[:, None] + np.arange(Lw)[None, :]
-    # mode='clip' clamps inside the take (no materialized clipped copy)
-    windows = np.take(index.ref, idx, mode="clip")
-    lens_t = np.minimum(Lw, len(index.ref) - tstart)
     if extend == "auto":
         extend = (
             "fixed" if jax.devices()[0].platform == "tpu" else "adaptive"
         )
+    C = len(cands.read)
+    if C == 0:
+        return np.zeros(0, np.int32), tstart
+    lq = np.asarray(lens)[cands.read]
+    # 2-bit wire only carries A/C/G/T: reads with in-length ambiguity
+    # codes route through the raw wire (they score as mismatches there)
+    ambig = bool(
+        (
+            (reads > 3)
+            & (np.arange(L)[None, :] < np.asarray(lens)[:, None])
+        ).any()
+    )
+    use_packed_wire = extend == "fixed-packed" or (
+        extend == "fixed"
+        and not ambig
+        and index.ref_packed is not None
+        and jax.devices()[0].platform == "tpu"
+    )
+    if use_packed_wire:
+        # 2-bit wire: align window origins to 8 (clean byte slices in
+        # both the packed chars and the separator bitmask), widen the
+        # window to keep the original right edge covered (the band has
+        # W columns of slack past the read, so the <=7-char origin
+        # shift never clips a reachable cell)
+        tstart = tstart & ~np.int64(7)
+        Lwp = -(-(Lw + 8) // 8) * 8
+        cols, mcols = Lwp // 4, Lwp // 8
+        wbytes = np.take(
+            index.ref_packed,
+            (tstart // 4)[:, None] + np.arange(cols)[None, :],
+            mode="clip",
+        )
+        mbytes = np.take(
+            index.ref_sepmask,
+            (tstart // 8)[:, None] + np.arange(mcols)[None, :],
+            mode="clip",
+        )
+        lens_t = np.minimum(Lwp, len(index.ref) - tstart)
+        from swtpu.core.encode import pack_2bit
+        from swtpu.core.scoring import ScoringParams, dna_matrix
+
+        L4 = -(-L // 4) * 4
+        reads4 = (
+            reads if L4 == L
+            else np.pad(reads, ((0, 0), (0, L4 - L)))
+        )
+        reads_b = pack_2bit(np.where(reads4 > 3, 0, reads4))
+        qbytes = reads_b[cands.read]
+        # reads can carry pad codes past their length; lens masks them
+        Cp = max(1024, -(-C // 1024) * 1024)
+        if Cp > C:
+            padrow = lambda a: np.concatenate(
+                [a, np.repeat(a[:1] * 0, Cp - C, axis=0)], axis=0
+            )
+            qbytes, wbytes, mbytes = (
+                padrow(qbytes), padrow(wbytes), padrow(mbytes),
+            )
+            lq = np.concatenate([lq, np.zeros(Cp - C, lq.dtype)])
+            lens_t = np.concatenate(
+                [lens_t, np.zeros(Cp - C, lens_t.dtype)]
+            )
+        go = int(gap_open) if gap_open is not None else int(gap)
+        ge = int(gap_extend) if gap_open is not None else int(gap)
+        params = ScoringParams(
+            dna_matrix(match, -mismatch) if matrix is None
+            else np.asarray(matrix),
+            go, ge,
+        )
+        scores = np.asarray(
+            _fixed_scores_packed(
+                qbytes, wbytes, mbytes, lq.astype(np.int32),
+                lens_t.astype(np.int32), params, bandwidth, L4, Lwp,
+            )
+        )[:C]
+        return scores, tstart
+    idx = tstart[:, None] + np.arange(Lw)[None, :]
+    # mode='clip' clamps inside the take (no materialized clipped copy)
+    windows = np.take(index.ref, idx, mode="clip")
+    lens_t = np.minimum(Lw, len(index.ref) - tstart)
     # pad the batch to the kernel grid step (512 for the packed adaptive
     # kernel, 1024 pairs/tile for the fixed-band kernel): candidate
     # counts vary run to run, and a stable shape keeps ONE compiled
     # extension executable per configuration
-    C = len(cands.read)
-    if C == 0:
-        return np.zeros(0, np.int32), tstart
-    step = 1024 if extend == "fixed" else 512
+    step = 512 if extend == "adaptive" else 1024
     Cp = max(step, -(-C // step) * step)
     qsel = reads[cands.read]
-    lq = np.asarray(lens)[cands.read]
     if Cp > C:
         padrow = lambda a: np.concatenate(
             [a, np.repeat(a[:1] * 0, Cp - C, axis=0)], axis=0
@@ -431,7 +575,7 @@ def extend_candidates(
         qsel, windows = padrow(qsel), padrow(windows)
         lq = np.concatenate([lq, np.zeros(Cp - C, lq.dtype)])
         lens_t = np.concatenate([lens_t, np.zeros(Cp - C, lens_t.dtype)])
-    if extend == "fixed":
+    if extend != "adaptive":
         scores = _fixed_scores(
             qsel, windows, lq, lens_t, match, mismatch, gap, gap_open,
             gap_extend, bandwidth, matrix,

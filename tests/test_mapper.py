@@ -287,3 +287,42 @@ def test_fixed_extension_traceback_rescores(rng, genome):
         assert h.path and h.path[0][0] == 0
         n_checked += 1
     assert n_checked >= 6
+
+
+def test_packed_wire_extension_matches_unpacked(rng):
+    """The 2-bit packed extension wire (device decode + separator-mask
+    restore) scores bit-equal to the raw fixed-corridor path on the
+    same (8-aligned) windows — multi-contig boundaries included."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    c1 = rng.integers(0, 4, size=900).astype(np.uint8)
+    c2 = rng.integers(0, 4, size=1100).astype(np.uint8)
+    idx = build_index([c1, c2], k=9)
+    L = 120
+    reads = []
+    starts = []
+    for s in [10, 700, 780, 200, 950]:  # incl. windows near boundaries
+        src = c1 if s < 900 else c2
+        p = min(s, len(src) - L)
+        reads.append(mutate(rng, src[p : p + L], out_len=L))
+        starts.append(p)
+    reads = np.stack(reads)
+    lens = np.full(len(reads), L)
+    cands = find_candidates(idx, reads, lens, min_seeds=2, max_occ=64,
+                            max_loci=8, diag_window=32)
+    assert len(cands.read) >= 4
+    with pltpu.force_tpu_interpret_mode():
+        sp, tp = extend_candidates(
+            idx, reads, lens, cands, extend="fixed-packed"
+        )
+    # raw path on the SAME aligned windows: align the anchors first
+    aligned = Candidates(
+        read=cands.read,
+        tstart=np.maximum(cands.tstart, 0) & ~np.int64(7),
+        n_seeds=cands.n_seeds,
+    )
+    su, tu = extend_candidates(
+        idx, reads, lens, aligned, extend="fixed"
+    )
+    assert np.array_equal(tp, tu)
+    assert np.array_equal(sp, su), (sp, su)
