@@ -90,9 +90,25 @@ def _banded_impl(
 
     result0 = jnp.zeros((B, W), jnp.int32).at[:, W - 1].set(X)
 
+    # flat-index char fetches: a [B,1] take_along_axis from the [B, L]
+    # sequence array lowers ~6x slower than a flat jnp.take with
+    # precomputed row bases (measured 0.9 vs 0.15 us per gather at 16K
+    # geometry — the two per-round fetches were 78% of the forward)
+    qp_flat = qp.reshape(-1)
+    tp_flat = tp.reshape(-1)
+    qrow_base = jnp.arange(B, dtype=jnp.int32) * qp.shape[1]
+    trow_base = jnp.arange(B, dtype=jnp.int32) * tp.shape[1]
+
     # band-aligned character windows, maintained by shift+insert instead of
     # per-round 32-wide gathers (which are pathologically slow on TPU):
-    # q_win[k] = qp[now_y + W-1-k], t_win[k] = tp[now_x - W+1+k]
+    # q_win[k] = qp[now_y + W-1-k], t_win[k] = tp[now_x - W+1+k].
+    # The inserted chars come from [B, BLK] prefetch queues refilled once
+    # per BLK-round block: each sequence's cursor advances <= 1/round, so
+    # the next BLK consumed chars are exactly the BLK chars after the
+    # block-entry cursor — one gather per sequence per BLOCK instead of
+    # per round (a dynamically-indexed gather costs ~0.9 us inside the
+    # scan; the two per-round fetches were 78% of the 16K forward)
+    BLK = 8
     state0 = dict(
         result=result0,
         horizontal=jnp.zeros((B, W), jnp.int32),
@@ -101,6 +117,8 @@ def _banded_impl(
         now_x=jnp.full((B,), W - 1, jnp.int32),
         q_win=qp[:, :W][:, ::-1],
         t_win=tp[:, :W],
+        q_next=jnp.zeros((B, BLK), jnp.int32),
+        t_next=jnp.zeros((B, BLK), jnp.int32),
         max_score=jnp.full((B,), X, jnp.int32),
         max_round=jnp.zeros((B,), jnp.int32),
         n_rounds=jnp.ones((B,), jnp.int32),
@@ -132,13 +150,10 @@ def _banded_impl(
         done_pre = state["done"] | overrun | (r >= rcap)
         active = ~done_pre
 
-        # slide char windows: one [B,1] gather per sequence per round
-        iq = jnp.take_along_axis(
-            qp, jnp.minimum(now_y + W - 1, qp_last)[:, None], axis=1
-        )
-        it = jnp.take_along_axis(
-            tp, jnp.minimum(now_x, tp_last)[:, None], axis=1
-        )
+        # slide char windows: the next char pops off the block's
+        # prefetch queue (cheap [B, BLK] lane shifts, zero gathers)
+        iq = state["q_next"][:, :1]
+        it = state["t_next"][:, :1]
         q_win = jnp.where(
             right[:, None],
             state["q_win"],
@@ -148,6 +163,17 @@ def _banded_impl(
             right[:, None],
             jnp.concatenate([state["t_win"][:, 1:], it], axis=1),
             state["t_win"],
+        )
+        # pop exactly when the cursor persists its advance (active pairs
+        # only — frozen pairs must not drift off their refill base)
+        pop = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        q_next = jnp.where(
+            (active & ~right)[:, None], pop(state["q_next"]),
+            state["q_next"],
+        )
+        t_next = jnp.where(
+            (active & right)[:, None], pop(state["t_next"]),
+            state["t_next"],
         )
         yc, xc = q_win, t_win
         valid = (yc >= 0) & (xc >= 0)
@@ -222,6 +248,8 @@ def _banded_impl(
             now_x=keep1(now_x, state["now_x"]),
             q_win=keep(q_win, state["q_win"]),
             t_win=keep(t_win, state["t_win"]),
+            q_next=q_next,
+            t_next=t_next,
             max_score=max_score,
             max_round=max_round,
             n_rounds=keep1(
@@ -241,12 +269,38 @@ def _banded_impl(
         offs = max_score - X
         return state, (hist, posy, offs)
 
-    rounds = jnp.arange(1, R_cap)
-    # unroll: the per-round tensors are small, so XLA loop overhead
-    # dominates; unrolling amortizes it
+    # blocked scan: refill both prefetch queues at block entry (the only
+    # dynamic gathers), then BLK unrolled rounds; the last block's
+    # overhang rounds run past every pair's cap (done, frozen) and are
+    # sliced off below so output shapes match the per-round form exactly
+    n_blocks = -(-(R_cap - 1) // BLK)
+    off = jnp.arange(BLK, dtype=jnp.int32)[None, :]
+
+    def block(state, blk):
+        state = dict(state)
+        state["q_next"] = qp_flat[
+            qrow_base[:, None]
+            + jnp.minimum(state["now_y"][:, None] + W + off, qp_last)
+        ]
+        state["t_next"] = tp_flat[
+            trow_base[:, None]
+            + jnp.minimum(state["now_x"][:, None] + 1 + off, tp_last)
+        ]
+        r0 = 1 + blk * BLK
+        ys = []
+        for i in range(BLK):
+            state, y = step(state, r0 + i)
+            ys.append(y)
+        return state, tuple(
+            jnp.stack([y[k] for y in ys]) for k in range(3)
+        )
+
     state, (hist, posy, offs) = jax.lax.scan(
-        step, state0, rounds, unroll=8
+        block, state0, jnp.arange(n_blocks, dtype=jnp.int32)
     )
+    hist = hist.reshape(n_blocks * BLK, B, W)[: R_cap - 1]
+    posy = posy.reshape(n_blocks * BLK, B)[: R_cap - 1]
+    offs = offs.reshape(n_blocks * BLK, B)[: R_cap - 1]
     # prepend round 0
     hist = jnp.concatenate([result0[None], hist], axis=0)  # [R_cap, B, W]
     posy = jnp.concatenate([jnp.zeros((1, B), jnp.int32), posy], axis=0)
