@@ -151,6 +151,17 @@ def bench_semiglobal(quick=False):
              banded_packed.bench_forward_fn, qs, ts,
              dict(gap_open=3, gap_extend=1))
         )
+        # early exit on non-homologous pairs under harsh scoring: the
+        # bands die within ~X/gap rounds and whole blocks are skipped
+        nt = np.stack(
+            [rng.integers(0, 4, L).astype(np.uint8) for _ in range(B)]
+        )
+        tiers.append(
+            ("banded_xdrop_early_exit_packed",
+             banded_packed.banded_xdrop_batch_packed,
+             banded_packed.bench_forward_fn, qs, nt,
+             dict(early_exit=True, mismatch=3, gap=2, x_threshold=40))
+        )
     else:
         tiers.append(
             ("banded_affine_xdrop_32_70_xla",
