@@ -132,11 +132,16 @@ def test_semiglobal_paths_reconstruct(rng):
 
 
 def test_cli_emits_cigar():
+    # force the CPU backend in the subprocess: a bare `-m swtpu` child
+    # grabs the TPU tunnel and can starve behind concurrent device jobs
+    # (observed: TimeoutExpired while a fuzz soak held the chip)
     out = subprocess.run(
         [
-            sys.executable, "-m", "swtpu", "align",
-            "--random", "4x48x48", "--scoring", "2,-1", "--gap", "1",
-            "--cigar",
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.argv=['swtpu','align','--random','4x48x48',"
+            "'--scoring','2,-1','--gap','1','--cigar'];"
+            "from swtpu.cli import main; main()",
         ],
         capture_output=True, text=True, timeout=600,
     )

@@ -141,8 +141,15 @@ def test_center_override_and_single():
 def test_cli_msa(tmp_path):
     fa = tmp_path / "in.fa"
     fa.write_text(">a\nACGT\n>b\nAGT\n>c\nACT\n")
+    # force the CPU backend (a bare `-m swtpu` child would contend for
+    # the TPU tunnel with any concurrent device job)
     out = subprocess.run(
-        [sys.executable, "-m", "swtpu", "msa", "--queries", str(fa)],
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            f"import sys; sys.argv=['swtpu','msa','--queries',{str(fa)!r}];"
+            "from swtpu.cli import main; main()",
+        ],
         capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr
