@@ -392,11 +392,12 @@ def _banded_fwd_walk_impl(
     # Gather-count discipline (the walk is gather-bound at ~[B]-vector
     # scale): the current cell's value rides the carry (it IS last
     # step's chosen neighbor), up+left share round r-1 at adjacent band
-    # slots (one 2-wide gather), posy for r-1/r-2 is one 2-wide gather —
-    # 5 takes per step total (posy pair, up+left pair, diag, q char,
-    # t char).
+    # slots (one 2-wide gather), posy for r-1/r-2 is one 2-wide gather,
+    # and the q/t chars pop off per-chunk backward prefetch windows
+    # (i and j decrease <= 1 per step, so the chunk's CH chars cover it;
+    # same trick as the forward's queues) — 3 takes per step total.
     def step(carry, _):
-        i, j, v, done, ok, nsteps = carry
+        i, j, v, qwin, twin, done, ok, nsteps = carry
         r = i + j
         rr = jnp.stack(
             [jnp.clip(r - 1, 0, R - 1), jnp.clip(r - 2, 0, R - 1)],
@@ -434,8 +435,8 @@ def _banded_fwd_walk_impl(
         left_v = val(ul[:, 1], i, j - 1, k_left, r - 1)
         diag_v = val(dg, i - 1, j - 1, k_diag, r - 2)
 
-        yc = qp_f[bidx * qlen + jnp.clip(i, 0, qlen - 1)]
-        xc = tp_f[bidx * tlen + jnp.clip(W + j - 1, 0, tlen - 1)]
+        yc = qwin[:, 0]
+        xc = twin[:, 0]
         if table is None:
             s = jnp.where(
                 (yc >= 0) & (xc >= 0) & (yc == xc), match, -mismatch
@@ -458,28 +459,46 @@ def _banded_fwd_walk_impl(
         ).astype(jnp.uint8)
         ok = ok & ~bad
         stepped = move < 3
-        ni = i - (stepped & ((move == 0) | (move == 1))).astype(jnp.int32)
-        nj = j - (stepped & ((move == 0) | (move == 2))).astype(jnp.int32)
+        dec_i = stepped & ((move == 0) | (move == 1))
+        dec_j = stepped & ((move == 0) | (move == 2))
+        ni = i - dec_i.astype(jnp.int32)
+        nj = j - dec_j.astype(jnp.int32)
         nv = jnp.where(
             move == 0,
             diag_v,
             jnp.where(move == 1, up_v, jnp.where(move == 2, left_v, v)),
         )
+        pop = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        qwin = jnp.where(dec_i[:, None], pop(qwin), qwin)
+        twin = jnp.where(dec_j[:, None], pop(twin), twin)
         return (
-            ni, nj, nv, done | at0 | bad, ok,
+            ni, nj, nv, qwin, twin, done | at0 | bad, ok,
             nsteps + stepped.astype(jnp.int32),
         ), move
 
-    # chunked early-exit walk: a while_loop over 512-step scanned chunks
+    # chunked early-exit walk: a while_loop over CH-step scanned chunks
     # stops once every pair reached the origin (typical paths use ~55%
-    # of the worst-case step budget); moves pack 4 steps/byte on device
-    CH = 512
+    # of the worst-case step budget); moves pack 4 steps/byte on device.
+    # Each chunk refills the backward char windows from (i, j) — the
+    # only per-chunk gathers; i/j decrease <= 1 per step so CH chars
+    # cover the whole chunk.
+    CH = 64
     S = -(-max_steps // CH) * CH
     shifts = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
     buf0 = jnp.full((B, S // 4), 255, jnp.uint8)  # 0xFF = four 'done's
+    koff = jnp.arange(CH, dtype=jnp.int32)[None, :]
 
     def chunk_body(state):
         carry, buf, c = state
+        i, j, v, _, _, done, ok, nsteps = carry
+        qwin = qp_f[
+            bidx[:, None] * qlen + jnp.clip(i[:, None] - koff, 0, qlen - 1)
+        ]
+        twin = tp_f[
+            bidx[:, None] * tlen
+            + jnp.clip(W + j[:, None] - 1 - koff, 0, tlen - 1)
+        ]
+        carry = (i, j, v, qwin, twin, done, ok, nsteps)
         carry, mv = jax.lax.scan(step, carry, None, length=CH, unroll=8)
         packed = (
             (mv.T.reshape(B, CH // 4, 4) << shifts).sum(
@@ -491,13 +510,14 @@ def _banded_fwd_walk_impl(
 
     def chunk_cond(state):
         carry, _, c = state
-        return (c < S // CH) & jnp.any(~carry[3])
+        return (c < S // CH) & jnp.any(~carry[5])
 
     carry0 = (
-        sy, sx, jnp.where(start_ok, target, MINF), ~start_ok, start_ok,
-        jnp.zeros(B, jnp.int32),
+        sy, sx, jnp.where(start_ok, target, MINF),
+        jnp.zeros((B, CH), jnp.int32), jnp.zeros((B, CH), jnp.int32),
+        ~start_ok, start_ok, jnp.zeros(B, jnp.int32),
     )
-    (fi, fj, _, _, ok, nsteps), buf, _ = jax.lax.while_loop(
+    (fi, fj, _, _, _, _, ok, nsteps), buf, _ = jax.lax.while_loop(
         chunk_cond, chunk_body, (carry0, buf0, jnp.int32(0))
     )
     ok = ok & (fi == 0) & (fj == 0) & start_ok
