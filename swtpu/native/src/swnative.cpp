@@ -996,7 +996,7 @@ int64_t seed_candidates(
     const int32_t* csr, const int32_t* pos, int64_t dw, int64_t max_occ,
     int64_t min_seeds, int64_t max_loci, int64_t* out_anchor,
     int64_t* out_nseeds, int32_t* out_cnt) {
-  const int64_t PF = 8;  // prefetch distance (k-mers ahead)
+  const int64_t PF = 16;  // prefetch distance (k-mers ahead)
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
