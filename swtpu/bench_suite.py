@@ -188,82 +188,11 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
-    # reference-scale geometry: 16384-mers end to end WITH traceback (the
-    # SemiGlobal_111 / SpeedtestSemiGlobal shape, source.cpp:1776-1834,
-    # 2804-2860), split into its stages. The e2e path walks ON DEVICE
-    # (banded_xdrop_align_device): the tunnel's device->host link runs
-    # ~25 MB/s, so fetching even the 8-bit-compressed band history (8 MB
-    # at batch 8) costs ~4x the forward — the device walker ships only
-    # per-pair move strings. Stages: fused device forward+walk
-    # (honest-timed), moves fetch, host path decode.
-    import jax.numpy as jnp
-
-    B16 = 2 if quick else 8
-    # reference geometry on TPU; a scaled-down stand-in on CPU (the full
-    # 32769-round scan takes minutes per rep on the CPU backend)
-    L16 = 16384 if jax.devices()[0].platform == "tpu" else 2048
-    q16 = rng.integers(0, 4, size=(B16, L16)).astype(np.uint8)
-    t16 = np.stack([mutate(rng, q16[b], out_len=L16) for b in range(B16)])
-
-    # stage 1: fused device forward + walk, honest-timed
-    qp, tp, lq, lt = banded_scan._prep_padded(q16, t16, None, None, 32)
-    max_steps = 2 * L16 + 1
-    dev_args = (jnp.asarray(qp), jnp.asarray(tp))
-    lq_d, lt_d = jnp.asarray(lq), jnp.asarray(lt)
-
-    def fwd_walk(qp_d, tp_d):
-        wire = banded_scan._banded_fwd_walk_impl(
-            qp_d, tp_d, lq_d, lt_d, 1, 1, 1, 32, 70, max_steps
-        )
-        return wire.astype(jnp.int32).sum()
-
-    t_dev = time_kernel(fwd_walk, dev_args, k=4)
-
-    # stages 2+3: wire fetch + host decode, from fresh dispatches (no
-    # transfer/result cache can serve the timed fetch)
-    fetches, decodes = [], []
-    for rep in range(2):
-        wire = banded_scan._banded_fwd_walk_impl(
-            *dev_args, lq_d, lt_d, 1, 1, 1, 32, 70, max_steps
-        )
-        jax.block_until_ready(wire)
-        t0 = time.perf_counter()
-        wire16 = np.asarray(wire)
-        fetches.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        out16 = banded_scan.decode_device_walk(wire16)
-        decodes.append(time.perf_counter() - t0)
-    t_fetch, t_decode = min(fetches), min(decodes)
-    wall = t_dev + t_fetch + t_decode
-    rec = dict(
-        kernel="banded_16k_traceback_e2e",
-        batch=B16,
-        seq_len=L16,
-        wall_ms=round(wall * 1e3, 1),
-        device_fwd_walk_ms=round(t_dev * 1e3, 1),
-        moves_fetch_ms=round(t_fetch * 1e3, 1),
-        moves_kb=round(wire16.nbytes / 1024, 1),
-        host_decode_ms=round(t_decode * 1e3, 1),
-        alignments_per_s=round(B16 / wall, 2),
-        mean_path_len=round(
-            float(np.mean([len(p) for _, p in out16])), 1
-        ),
-        device=str(jax.devices()[0].device_kind),
-    )
-    print(
-        f"banded_16k_traceback_e2e: {wall*1e3:.0f} ms / {B16} "
-        f"(device fwd+walk {t_dev*1e3:.0f} + fetch {t_fetch*1e3:.0f} "
-        f"+ decode {t_decode*1e3:.0f})"
-    )
-    print("JSON:", json.dumps(rec))
-    out.append(rec)
-
     # fixed-band rowscan (the issue-bound banded tier, BASELINE configs
     # 1-2 geometry): band cells at full-rowscan efficiency
     if jax.devices()[0].platform == "tpu":
         from swtpu.core.scoring import DNA_111
         from swtpu.kernels.pallas.sw_banded import sw_banded_static_pallas
-        from swtpu.utils import time_kernel
 
         Bf = 512 if quick else 2048
         qf = rng.integers(0, 4, size=(Bf, L)).astype(np.uint8)
@@ -334,6 +263,108 @@ def bench_semiglobal(quick=False):
         print("JSON:", json.dumps(rec))
         out.append(rec)
 
+    # reference-scale geometry runs in a FRESH SUBPROCESS (the dist
+    # suite's isolation pattern): the fused fwd+walk executable measures
+    # 58 ms in a fresh process but ~117 ms inside this long-lived bench
+    # process after the tier sections ran (reproducible; process-state
+    # effect on the tunnel) — the record should reflect what a dedicated
+    # 16K-traceback job actually costs.
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "swtpu.bench_suite", "--suite",
+         "semiglobal16k"] + (["--quick"] if quick else []),
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode:
+        print("semiglobal16k subprocess failed:", proc.stderr[-2000:])
+    else:
+        for line in proc.stdout.splitlines():
+            if line.startswith("JSON: "):
+                out.append(json.loads(line[len("JSON: "):]))
+            if not line.startswith("WARNING"):
+                print(line)
+    return out
+
+
+def bench_semiglobal_16k(quick=False):
+    """Reference-scale geometry: 16384-mers end to end WITH traceback
+    (the SemiGlobal_111 / SpeedtestSemiGlobal shape, source.cpp:1776-1834,
+    2804-2860), split into its stages. The e2e path walks ON DEVICE
+    (banded_xdrop_align_device): the tunnel's device->host link runs
+    ~25 MB/s, so fetching even the 8-bit-compressed band history (8 MB
+    at batch 8) costs ~4x the forward — the device walker ships only
+    per-pair move strings. Stages: fused device forward+walk
+    (honest-timed), moves fetch, host path decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from swtpu.core.encode import mutate
+    from swtpu.kernels.xla import banded_scan
+    from swtpu.utils import time_kernel
+
+    rng = np.random.default_rng(10000)
+    out = []
+
+    B16 = 2 if quick else 8
+    # reference geometry on TPU; a scaled-down stand-in on CPU (the full
+    # 32769-round scan takes minutes per rep on the CPU backend)
+    L16 = 16384 if jax.devices()[0].platform == "tpu" else 2048
+    q16 = rng.integers(0, 4, size=(B16, L16)).astype(np.uint8)
+    t16 = np.stack([mutate(rng, q16[b], out_len=L16) for b in range(B16)])
+
+    # stage 1: fused device forward + walk, honest-timed
+    qp, tp, lq, lt = banded_scan._prep_padded(q16, t16, None, None, 32)
+    max_steps = 2 * L16 + 1
+    dev_args = (jnp.asarray(qp), jnp.asarray(tp))
+    lq_d, lt_d = jnp.asarray(lq), jnp.asarray(lt)
+
+    def fwd_walk(qp_d, tp_d):
+        wire = banded_scan._banded_fwd_walk_impl(
+            qp_d, tp_d, lq_d, lt_d, 1, 1, 1, 32, 70, max_steps
+        )
+        return wire.astype(jnp.int32).sum()
+
+    t_dev = time_kernel(fwd_walk, dev_args, k=4)
+
+    # stages 2+3: wire fetch + host decode, from fresh dispatches (no
+    # transfer/result cache can serve the timed fetch)
+    fetches, decodes = [], []
+    for rep in range(2):
+        wire = banded_scan._banded_fwd_walk_impl(
+            *dev_args, lq_d, lt_d, 1, 1, 1, 32, 70, max_steps
+        )
+        jax.block_until_ready(wire)
+        t0 = time.perf_counter()
+        wire16 = np.asarray(wire)
+        fetches.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out16 = banded_scan.decode_device_walk(wire16)
+        decodes.append(time.perf_counter() - t0)
+    t_fetch, t_decode = min(fetches), min(decodes)
+    wall = t_dev + t_fetch + t_decode
+    rec = dict(
+        kernel="banded_16k_traceback_e2e",
+        batch=B16,
+        seq_len=L16,
+        wall_ms=round(wall * 1e3, 1),
+        device_fwd_walk_ms=round(t_dev * 1e3, 1),
+        moves_fetch_ms=round(t_fetch * 1e3, 1),
+        moves_kb=round(wire16.nbytes / 1024, 1),
+        host_decode_ms=round(t_decode * 1e3, 1),
+        alignments_per_s=round(B16 / wall, 2),
+        mean_path_len=round(
+            float(np.mean([len(p) for _, p in out16])), 1
+        ),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"banded_16k_traceback_e2e: {wall*1e3:.0f} ms / {B16} "
+        f"(device fwd+walk {t_dev*1e3:.0f} + fetch {t_fetch*1e3:.0f} "
+        f"+ decode {t_decode*1e3:.0f})"
+    )
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
     return out
 
 
@@ -1185,9 +1216,9 @@ def main():
         "--suite",
         default="all",
         choices=[
-            "all", "sw", "semiglobal", "semiglobal_full", "affine",
-            "protein", "swissprot", "unpack", "varlen", "dist", "search",
-            "map", "msa",
+            "all", "sw", "semiglobal", "semiglobal16k", "semiglobal_full",
+            "affine", "protein", "swissprot", "unpack", "varlen", "dist",
+            "search", "map", "msa",
         ],
     )
     ap.add_argument(
@@ -1215,6 +1246,8 @@ def main():
         results += bench_sw_variants(args.quick)
     if args.suite in ("all", "semiglobal"):
         results += bench_semiglobal(args.quick)
+    if args.suite == "semiglobal16k":  # the fresh-process 16K section
+        results += bench_semiglobal_16k(args.quick)
     if args.suite in ("all", "semiglobal_full"):
         results += bench_semiglobal_full(args.quick)
     if args.suite in ("all", "affine"):
