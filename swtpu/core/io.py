@@ -85,8 +85,12 @@ def save_packed_batch(
     """Write a DNA batch as a 2-bit-packed .npz container (the reference's
     packed wire format, source.cpp:1580-1583, as a batch file).
 
-    batch: [N, L] uint8 codes (pads allowed — anything >3 is stored as 0
-    and re-padded on load from ``lens``). L is padded to a multiple of 4.
+    batch: [N, L] uint8 codes (pads allowed). L is padded to a multiple
+    of 4. Codes >3 *within* lens (ambiguity codes like N) are recorded in
+    a packed ``ambig`` bitmask so load restores them as pad codes instead
+    of silently scoring as 'A' (advisor r03: ACGTN must not round-trip to
+    ACGTA); the mask is only written when any in-length ambiguity exists,
+    so clean files are unchanged.
     """
     from swtpu.core.encode import pack_2bit
 
@@ -96,9 +100,14 @@ def save_packed_batch(
     if L != batch.shape[1]:
         batch = np.pad(batch, ((0, 0), (0, L - batch.shape[1])))
     packed = pack_2bit(np.where(batch > 3, 0, batch))
-    np.savez_compressed(
-        path, packed=packed, lens=lens, names=np.asarray(names, dtype=object)
+    in_len = np.arange(batch.shape[1])[None, :] < lens[:, None]
+    ambig = (batch > 3) & in_len
+    arrays = dict(
+        packed=packed, lens=lens, names=np.asarray(names, dtype=object)
     )
+    if ambig.any():
+        arrays["ambig"] = np.packbits(ambig, axis=1)
+    np.savez_compressed(path, **arrays)
 
 
 def load_packed_batch(
@@ -114,6 +123,9 @@ def load_packed_batch(
     z = np.load(path, allow_pickle=True)
     packed, lens = z["packed"], z["lens"].astype(np.int64)
     names = [str(n) for n in z["names"]]
+    ambig = None
+    if "ambig" in z.files:  # in-length ambiguity codes (see save)
+        ambig = np.unpackbits(z["ambig"], axis=1).astype(bool)
     if device:
         import jax.numpy as jnp
 
@@ -127,6 +139,8 @@ def load_packed_batch(
     L = batch.shape[1]
     Lp = -(-L // pad_to) * pad_to if pad_to else L
     mask = np.arange(L)[None, :] < lens[:, None]
+    if ambig is not None:
+        mask &= ~ambig[:, :L]
     if device:
         import jax.numpy as jnp
 

@@ -44,6 +44,19 @@ def make_reads(
     return reads
 
 
+def _ambig_safe(params: ScoringParams) -> ScoringParams:
+    """Extend the matrix with one never-matching row/col for ambiguity
+    codes (encode_dna maps N to 4, one past the 4x4 DNA matrix; the exact
+    walkers index matrix[code] directly, so unextended codes read out of
+    bounds). The extra code scores the matrix's worst mismatch against
+    everything, including itself."""
+    A = params.alphabet_size
+    worst = int(params.matrix.min())
+    m = np.full((A + 1, A + 1), worst, dtype=np.int32)
+    m[:A, :A] = params.matrix
+    return ScoringParams(m, params.gap_open, params.gap_extend)
+
+
 def _overlap_coords(
     a: np.ndarray,
     b: np.ndarray,
@@ -71,7 +84,13 @@ def _overlap_coords(
     (i0, j0), (i1, j1) = path[0], path[-1]
     # suffix-prefix (± slack): alignment reaches A's end, starts at B's start
     if i1 >= len(a) - slack and j0 <= slack and (i1 - i0) >= min_overlap:
-        offset = i0 - j0  # B's coordinate 0 sits here in A coordinates
+        # Anchor the placement at the alignment END (i1, j1): B's last
+        # aligned char B[j1-1] sits at A position i1-1, so B's origin is
+        # i1 - j1 in A coordinates. Anchoring at the start (i0 - j0) is
+        # only equal for gapless paths — an indel inside the overlap
+        # shifts the appended suffix by the indel drift (advisor r03).
+        # At slack=0 this is exactly len(a) - j1: the exact splice.
+        offset = i1 - j1
         return offset if 0 < offset < len(a) else 0
     return 0
 
@@ -125,7 +144,12 @@ def assemble_greedy(
     thresh = (min_overlap - 2 * slack) * int(np.diag(params.matrix).min())
     best_next: dict = {}
     has_pred: set = set()
-    # exact verification of promising pairs, best overlap per source read
+    # exact verification of promising pairs, best overlap per source read.
+    # Verification walks matrix[code] directly, so clip ambiguity codes to
+    # the extended never-match row (N stays N, it just can't overflow).
+    vparams = _ambig_safe(params)
+    A = params.alphabet_size
+    vreads = [np.minimum(np.asarray(r), A).astype(np.uint8) for r in reads]
     order = np.argsort(-scores)
     for idx in order:
         if scores[idx] < thresh:
@@ -133,7 +157,7 @@ def assemble_greedy(
         i, j = pairs[idx]
         if i in best_next:
             continue
-        off = _overlap_coords(reads[i], reads[j], params, min_overlap,
+        off = _overlap_coords(vreads[i], vreads[j], vparams, min_overlap,
                               slack)
         if off > 0:
             best_next[i] = (j, off)
@@ -155,17 +179,25 @@ def assemble_greedy(
         cur = nxt
 
     # consensus: first covering read's base, replaced only when strictly
-    # outvoted by the per-column majority over all chained reads
+    # outvoted by the per-column majority over all chained reads.
+    # Ambiguity codes (>3, e.g. N from encode_dna) never vote — they keep
+    # the first covering read's base and are outvoted by ANY real base.
     total = max(off + len(reads[r]) for r, off in chain)
     base = np.full(total, 255, np.uint8)
     counts = np.zeros((total, 4), np.int32)
     for r, off in chain:
         seg = np.asarray(reads[r], np.uint8)
         cols = np.arange(off, off + len(seg))
-        np.add.at(counts, (cols, seg.astype(np.int64)), 1)
+        real = seg <= 3
+        np.add.at(counts, (cols[real], seg[real].astype(np.int64)), 1)
         unwritten = base[cols] == 255
         base[cols[unwritten]] = seg[unwritten]
     maj = counts.argmax(axis=1).astype(np.uint8)
     maj_cnt = counts.max(axis=1)
-    base_cnt = counts[np.arange(total), base.astype(np.int64)]
+    base_real = base <= 3
+    base_cnt = np.where(
+        base_real,
+        counts[np.arange(total), np.minimum(base, 3).astype(np.int64)],
+        0,
+    )
     return np.where(maj_cnt > base_cnt, maj, base).astype(np.uint8)

@@ -60,6 +60,25 @@ def test_mutated_reads_higher_error(rng):
     assert float(np.mean(contig == genome)) >= 0.97
 
 
+def test_assembles_reads_with_ambiguity_codes(rng):
+    """Reads containing N (encode_dna code 4) must assemble without
+    crashing (advisor r03: the majority-vote counts array indexed code 4
+    out of bounds); Ns never vote and are outvoted by any covering real
+    base, so 3x-covered positions still reconstruct exactly."""
+    genome = random_dna(rng, (900,))
+    reads = []
+    for r in make_reads(rng, genome, read_len=150, step=50):
+        r = r.copy()
+        # sprinkle N into every read, including read ends
+        idx = rng.integers(0, len(r), 3)
+        r[idx] = 4
+        reads.append(r)
+    contig = assemble_greedy(reads, min_overlap=30, slack=4)
+    assert len(contig) == len(genome)
+    identity = float(np.mean(contig == genome))
+    assert identity >= 0.995, f"consensus identity {identity:.4f}"
+
+
 def test_misjoin_negative(rng):
     """Reads from two unrelated genomes must assemble into ONE genome's
     contig, never a chimera spanning both."""

@@ -250,6 +250,39 @@ def test_cli_longpair(tmp_path):
     assert len(recs) == 1 and recs[0]["path"]
 
 
+def test_packed_batch_preserves_ambiguity_codes(tmp_path):
+    """ACGTNACGT must NOT round-trip to ACGTAACGT (advisor r03):
+    save_packed_batch records in-length codes >3 in an ambig bitmask and
+    load restores them as pad codes, so Ns never score as 'A'."""
+    from swtpu.core.io import (
+        decode_dna,
+        encode_dna,
+        load_packed_batch,
+        save_packed_batch,
+    )
+
+    seqs = ["ACGTNACGT", "NNACGT", "ACGT"]
+    batch = np.full((3, 9), 4, np.uint8)
+    lens = np.array([len(s) for s in seqs])
+    for i, s in enumerate(seqs):
+        batch[i, : len(s)] = encode_dna(s)
+    npz = tmp_path / "amb.npz"
+    save_packed_batch(str(npz), ["a", "b", "c"], batch, lens)
+    _, got, got_lens = load_packed_batch(str(npz))
+    for i, s in enumerate(seqs):
+        assert decode_dna(got[i, : got_lens[i]]) == s
+        assert (got[i, got_lens[i] :] == 4).all()
+    # device decode path applies the same mask
+    _, got_d, _ = load_packed_batch(str(npz), device=True)
+    assert np.array_equal(np.asarray(got_d), got)
+    # clean batches don't grow an ambig array (format unchanged)
+    npz2 = tmp_path / "clean.npz"
+    save_packed_batch(
+        str(npz2), ["c"], batch[2:3, :4], np.array([4])
+    )
+    assert "ambig" not in np.load(str(npz2), allow_pickle=True).files
+
+
 def test_cli_pack_roundtrip_and_2bit_inputs(rng, tmp_path):
     """2-bit container e2e: pack -> packed .npz accepted by align/search
     directly (≙ the reference's unpack family feeding its kernels,
