@@ -339,10 +339,17 @@ def bench_semiglobal_16k(quick=False):
         wire16 = np.asarray(wire)
         fetches.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        out16 = banded_scan.decode_device_walk(wire16)
+        # array decode: scores + [B, L, 2] path buffers (the reference's
+        # vector<pair> product) via the C++ decoder; the tuple-list form
+        # is a convenience view built on demand, not part of the e2e path
+        s16, plen16, paths16 = banded_scan.decode_device_walk(
+            wire16, as_arrays=True
+        )
         decodes.append(time.perf_counter() - t0)
     t_fetch, t_decode = min(fetches), min(decodes)
     wall = t_dev + t_fetch + t_decode
+    from swtpu import native
+
     rec = dict(
         kernel="banded_16k_traceback_e2e",
         batch=B16,
@@ -351,11 +358,10 @@ def bench_semiglobal_16k(quick=False):
         device_fwd_walk_ms=round(t_dev * 1e3, 1),
         moves_fetch_ms=round(t_fetch * 1e3, 1),
         moves_kb=round(wire16.nbytes / 1024, 1),
-        host_decode_ms=round(t_decode * 1e3, 1),
+        host_decode_ms=round(t_decode * 1e3, 2),
+        decode_mode="native" if native.available() else "numpy",
         alignments_per_s=round(B16 / wall, 2),
-        mean_path_len=round(
-            float(np.mean([len(p) for _, p in out16])), 1
-        ),
+        mean_path_len=round(float(np.mean(plen16)), 1),
         device=str(jax.devices()[0].device_kind),
     )
     print(

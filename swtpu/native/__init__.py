@@ -112,6 +112,10 @@ def _get_lib():
             i64p, i64, i64, i64, i32p, i32p, i64, i64, i64, i64,
             i64p, i64p, i32p,
         ]
+        lib.decode_move_wire.restype = i64
+        lib.decode_move_wire.argtypes = [
+            i8p, i64, i64, i32p, i32p, i32p, i64,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc.
         _load_error = str(e)
@@ -425,6 +429,39 @@ def banded_affine_traceback(
         raise AssertionError("inconsistent native affine banded traceback")
     pairs = path[: 2 * ln].reshape(-1, 2)
     return [tuple(map(int, p)) for p in pairs]
+
+
+def decode_move_wire(
+    wire: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the device banded walker's 2-bit move wire (C++ twin of the
+    numpy path in kernels/xla/banded_scan.decode_device_walk; ≙ the
+    reference's scalar band traceback, source.cpp:2130-2162).
+
+    wire: [B, row_bytes] uint8 — 20-byte meta + packed moves per pair.
+    Returns (scores int32 [B], path_len int32 [B], paths int32
+    [B, max_points, 2]) with paths stored start -> end; row b's valid
+    points are paths[b, :path_len[b]]. Raises on an unset ok flag.
+    """
+    lib = _get_lib()
+    wire, wp = _u8(wire)
+    B, row_bytes = wire.shape
+    stride = 4 * (row_bytes - 20) + 1  # max path points
+    scores = np.empty(B, np.int32)
+    plen = np.empty(B, np.int32)
+    paths = np.empty((B, stride, 2), np.int32)
+    rc = lib.decode_move_wire(
+        wp, B, row_bytes,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        plen.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        stride,
+    )
+    if rc < 0:
+        raise AssertionError(
+            f"inconsistent device banded traceback at pair {-rc - 1}"
+        )
+    return scores, plen, paths
 
 
 def _i64(a):

@@ -1064,4 +1064,59 @@ int64_t seed_candidates(
   return total;
 }
 
+// ---------------------------------------------------- move-wire decode --
+
+// Decode the device banded walker's wire format (the TPU-side analog of
+// the reference's scalar band traceback, source.cpp:2130-2162): per pair
+// 20 bytes of little-endian int32 meta (score, start_y, start_x, n_steps,
+// ok) followed by 2-bit packed moves, 4 per byte, low bits first
+// (0 = diag, 1 = up, 2 = left), stored end -> start. Writes each path
+// FORWARD (start -> end, the host walkers' convention) as interleaved
+// (y, x) int32 pairs into out_path + b * path_stride * 2 and the path
+// length (n_steps + 1 points) into out_len[b]; scores into out_scores.
+// Returns 0, or -(b + 1) for the first pair whose ok flag is unset.
+// Pairs are independent -> OpenMP across the batch.
+int64_t decode_move_wire(const uint8_t* wire, int64_t B, int64_t row_bytes,
+                         int32_t* out_scores, int32_t* out_len,
+                         int32_t* out_path, int64_t path_stride) {
+  int64_t bad = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* row = wire + b * row_bytes;
+    int32_t meta[5];
+    std::memcpy(meta, row, 20);
+    const int32_t score = meta[0], sy = meta[1], sx = meta[2];
+    const int32_t nsteps = meta[3], ok = meta[4];
+    if (!ok || nsteps + 1 > path_stride ||
+        (int64_t)20 + (nsteps + 3) / 4 > row_bytes) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      if (bad == 0 || -(b + 1) > bad) bad = -(b + 1);
+      out_scores[b] = score;
+      out_len[b] = 0;
+      continue;
+    }
+    out_scores[b] = score;
+    out_len[b] = nsteps + 1;
+    const uint8_t* packed = row + 20;
+    int32_t* path = out_path + b * path_stride * 2;
+    int64_t p = nsteps;  // fill backward: moves run end -> start
+    int32_t y = sy, x = sx;
+    path[2 * p] = y;
+    path[2 * p + 1] = x;
+    for (int32_t k = 0; k < nsteps; ++k) {
+      const int32_t mv = (packed[k >> 2] >> ((k & 3) * 2)) & 3;
+      y -= (mv == 0) | (mv == 1);
+      x -= (mv == 0) | (mv == 2);
+      --p;
+      path[2 * p] = y;
+      path[2 * p + 1] = x;
+    }
+  }
+  return bad;
+}
+
 }  // extern "C"

@@ -140,3 +140,57 @@ def test_native_sw_traceback_protein():
     t = rng2.integers(0, 24, 70).astype(np.uint8)
     p = ScoringParams.linear(BLOSUM62, 8)
     assert native.sw_traceback(q, t, BLOSUM62, 8) == sw_traceback(q, t, p)
+
+
+def test_native_decode_move_wire(rng):
+    """C++ move-wire decoder vs the numpy decode path: identical tuple
+    lists AND identical array form on randomized synthetic wires (meta +
+    2-bit packed moves, the device banded walker's format)."""
+    from swtpu.kernels.xla import banded_scan
+
+    B, move_bytes = 7, 64
+    wire = np.zeros((B, 20 + move_bytes), np.uint8)
+    metas = []
+    for b in range(B):
+        nsteps = int(rng.integers(0, 4 * move_bytes + 1))
+        sy = int(rng.integers(nsteps, nsteps + 50))
+        sx = int(rng.integers(nsteps, nsteps + 50))
+        score = int(rng.integers(-5, 200))
+        moves = rng.integers(0, 3, nsteps)  # 0/1/2 only, like the walker
+        packed = np.zeros(move_bytes, np.uint8)
+        for k, mv in enumerate(moves):
+            packed[k >> 2] |= np.uint8(mv) << ((k & 3) * 2)
+        wire[b, :20] = np.frombuffer(
+            np.array([score, sy, sx, nsteps, 1], np.int32).tobytes(),
+            np.uint8,
+        )
+        wire[b, 20:] = packed
+        metas.append(nsteps)
+
+    from swtpu import native
+
+    assert native.available()
+    scores_c, len_c, paths_c = native.decode_move_wire(wire)
+
+    # numpy twin (force the fallback branch)
+    import unittest.mock as mock
+
+    with mock.patch.object(native, "available", lambda: False):
+        tuples_np = banded_scan.decode_device_walk(wire)
+        s_np, l_np, p_np = banded_scan.decode_device_walk(
+            wire, as_arrays=True
+        )
+    assert np.array_equal(scores_c, s_np)
+    assert np.array_equal(len_c, l_np)
+    for b in range(B):
+        assert np.array_equal(paths_c[b, : len_c[b]], p_np[b, : l_np[b]])
+        got = [tuple(p) for p in paths_c[b, : len_c[b]].tolist()]
+        assert (int(scores_c[b]), got) == tuples_np[b]
+        assert len_c[b] == metas[b] + 1
+
+    # an unset ok flag must raise, naming the first bad pair
+    wire[3, 16:20] = 0
+    import pytest
+
+    with pytest.raises(AssertionError, match="pair 3"):
+        native.decode_move_wire(wire)
