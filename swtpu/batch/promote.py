@@ -112,6 +112,8 @@ def _promoted_device_impl_factory():
         exceeds ``cap`` keep their bf16 score — the caller must check
         n_promoted <= cap before trusting the split (the only host
         fetch besides the results themselves)."""
+        from swtpu.kernels.pallas.sw_batch import Q_PAD, T_PAD, TILE_PAIRS
+
         Bp = qs.shape[0]
         qsT16, tsT16 = _prepare_bf16(qs, ts, n, m)
         low = _sw_bf16_impl(
@@ -126,10 +128,18 @@ def _promoted_device_impl_factory():
         safe = jnp.minimum(idx, Bp - 1)
         qg = qs[safe]
         tg = ts[safe]
+        capp = -(-cap // TILE_PAIRS) * TILE_PAIRS  # flagship tile multiple
+        if capp != cap:
+            qg = jnp.concatenate(
+                [qg, jnp.full((capp - cap, n), Q_PAD, qg.dtype)]
+            )
+            tg = jnp.concatenate(
+                [tg, jnp.full((capp - cap, m), T_PAD, tg.dtype)]
+            )
         qsT, tsT = _prepare(qg, tg, n, m)
         hi = _sw_batch_pallas_impl(
             qsT, tsT, n, m, match, mismatch, gap
-        ).reshape(cap)
+        ).reshape(capp)[:cap]
         scores = low.at[idx].set(hi, mode="drop")
         return scores, promoted, nprom
 
@@ -164,13 +174,7 @@ def sw_scores_promoted_device(
     """
     import jax.numpy as jnp
 
-    from swtpu.kernels.pallas.sw_batch import (
-        CHUNK,
-        Q_PAD,
-        ROWS,
-        T_PAD,
-        TILE_PAIRS,
-    )
+    from swtpu.kernels.pallas.sw_batch import CHUNK, Q_PAD, ROWS, T_PAD
     from swtpu.kernels.pallas.sw_bf16 import TILE_PAIRS_16
 
     match, mismatch, g = _check_promotion_scoring(params)
@@ -193,8 +197,7 @@ def sw_scores_promoted_device(
     if Bp != B:
         qs = jnp.concatenate([qs, jnp.full((Bp - B, n), Q_PAD, qs.dtype)])
         ts = jnp.concatenate([ts, jnp.full((Bp - B, m), T_PAD, ts.dtype)])
-    cap = -(-int(Bp * cap_frac) // TILE_PAIRS) * TILE_PAIRS
-    cap = min(cap, Bp)
+    cap = min(max(1, int(Bp * cap_frac)), Bp)
 
     global _PROMOTED_IMPL
     if _PROMOTED_IMPL is None:

@@ -519,7 +519,6 @@ def bench_varlen(quick=False):
 
     from swtpu.batch import sw_align_batch, sw_scores_varlen
     from swtpu.batch.bucketing import _fused_masked_engine
-    from swtpu.batch.promote import sw_scores_promoted
     from swtpu.core.encode import pack_2bit
     from swtpu.core.scoring import DNA_111
     from swtpu.ops.variants import resolve_engine
@@ -593,7 +592,16 @@ def bench_varlen(quick=False):
     # of the pairs are near-identical 300-mers (scores ~300 cross the
     # bf16 exact bound of 255), the rest random (scores far below) — the
     # committed record must demonstrate the split doing real work, not
-    # promoted_frac=0.0 (the round-2 record's flaw)
+    # promoted_frac=0.0 (the round-2 record's flaw). Since round 4 the
+    # split runs in ONE device dispatch (sw_scores_promoted_device:
+    # bf16 pass + mask + capped gather + int32 re-run + scatter); the
+    # r03 host-orchestrated version paid two tunnel round-trips and ran
+    # at 4.5K aln/s.
+    from swtpu.batch.promote import (
+        _check_promotion_scoring,
+        _promoted_device_impl_factory,
+        sw_scores_promoted_device,
+    )
     from swtpu.core.encode import mutate as _mutate
 
     qs = rng.integers(0, 4, size=(B, 300)).astype(np.uint8)
@@ -603,9 +611,13 @@ def bench_varlen(quick=False):
         ts[b, :300] = _mutate(
             rng, qs[b], p_mismatch=0.02, p_insert=0, p_delete=0
         )
-    sw_scores_promoted(qs[:1024], ts[:1024], DNA_111)
+    # e2e wall: upload + fused device split + score fetch. Warmup runs
+    # the FULL shape on distinct data (same-shape compile, no result
+    # cache hit)
+    qs_w = rng.integers(0, 4, size=(B, 300)).astype(np.uint8)
+    sw_scores_promoted_device(qs_w, ts, DNA_111)
     t0 = time.perf_counter()
-    _, promoted = sw_scores_promoted(qs, ts, DNA_111)
+    _, promoted = sw_scores_promoted_device(qs, ts, DNA_111)
     wall = time.perf_counter() - t0
     out.append(
         dict(
@@ -614,6 +626,37 @@ def bench_varlen(quick=False):
             wall_ms=round(wall * 1e3, 1),
             promoted_frac=round(float(promoted.mean()), 4),
             alignments_per_s=round(B / wall, 1),
+            mode="device_fused_e2e",
+            device=str(jax.devices()[0].device_kind),
+        )
+    )
+    # device-resident rate of the fused split itself (honest-timed):
+    # what promotion costs when the batch is already on device
+    match_, mismatch_, g_ = _check_promotion_scoring(DNA_111)
+    import swtpu.batch.promote as _promote_mod
+
+    if _promote_mod._PROMOTED_IMPL is None:
+        _promote_mod._PROMOTED_IMPL = _promoted_device_impl_factory()
+    impl = _promote_mod._PROMOTED_IMPL
+    npad = -(-300 // 8) * 8
+    qs_p = np.full((B, npad), 4, np.uint8)
+    qs_p[:, :300] = qs
+    cap_ = max(1, B // 4)
+    dqs, dts = jnp.asarray(qs_p), jnp.asarray(ts)
+    per = time_kernel(
+        lambda a, b: impl(
+            a, b, npad, m, match_, mismatch_, 1, g_, cap_
+        )[0],
+        (dqs, dts),
+        k=8,
+    )
+    out.append(
+        dict(
+            kernel="varlen_promoted_device_resident",
+            batch=B,
+            wall_ms=round(per * 1e3, 2),
+            cap_frac=0.25,
+            alignments_per_s=round(B / per, 1),
             device=str(jax.devices()[0].device_kind),
         )
     )

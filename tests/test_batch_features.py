@@ -116,6 +116,43 @@ def test_overflow_promotion(rng):
     assert (scores[~promoted] < 255).all()
 
 
+def test_overflow_promotion_device_fused(rng):
+    """sw_scores_promoted_device (one-dispatch bf16 + mask + capped
+    gather + int32 re-run + scatter) == sw_scores_promoted == oracle,
+    including the cap-overflow fallback (cap smaller than the promoted
+    count must still return exact scores via the host remainder path)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.batch.promote import sw_scores_promoted_device
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+    from swtpu.oracle import sw_score_batch
+
+    params = ScoringParams.linear(dna_matrix(7, -1), gap=1)
+    B, n = 24, 64
+    qs = random_dna(rng, (B, n))
+    ts = np.empty_like(qs)
+    ts[: B // 2] = np.stack(
+        [mutate(rng, qs[b], out_len=n) for b in range(B // 2)]
+    )
+    ts[B // 2 :] = random_dna(rng, (B - B // 2, n))
+    want = sw_score_batch(qs, ts, params)
+    with pltpu.force_tpu_interpret_mode():
+        scores, promoted = sw_scores_promoted_device(qs, ts, params)
+    assert np.array_equal(scores, want)
+    assert promoted.any() and not promoted.all()
+    assert (scores[~promoted] < 255).all()
+    # cap smaller than the promoted count: the device pass fixes only
+    # `cap` pairs, the host remainder path must restore exactness
+    n_prom = int(promoted.sum())
+    assert n_prom > 1
+    with pltpu.force_tpu_interpret_mode():
+        scores2, promoted2 = sw_scores_promoted_device(
+            qs, ts, params, cap_frac=1 / 2048
+        )
+    assert np.array_equal(scores2, want)
+    assert np.array_equal(promoted2, promoted)
+
+
 def test_banded_static_align_batch(rng):
     """Fixed-band device scores + host corridor walk; path rescans to
     its own score."""
