@@ -1,0 +1,635 @@
+"""Pallas block-adaptive banded X-drop engine — the zero-lane-motion
+banded tier (round 4).
+
+Contract: bit-exact against ``swtpu.oracle.banded_block.banded_xdrop_block``
+(scores, endpoints, band history, per-block bases/deltas). The tier exists
+because the per-round adaptive kernels (banded_batch/banded_packed ≙
+source.cpp:1978-2725) are permute-bound: ~15 lane-motion ops per 32-cell
+round at ~11x ALU cost (README "Hardware notes"). This tier amortizes ALL
+adaptive work — re-centering, X-drop, dead-band test, endpoint reduce —
+over a block of K rows, and the inner loop is the flagship's layout:
+
+- pairs fill the (8,128) int32 tile (batch on sublanes x lanes, S = B/128
+  sublane rows), band slots are the UNROLLED leading axis — so diag is
+  ``prev[k]`` (the corridor slides +1 column/row: same slot), up is
+  ``prev[k+1]`` (static slot re-index), and left rides the flagship's
+  serial chain. Zero lane permutes in the inner loop.
+- the per-pair data-dependent part — each pair's corridor base — is
+  solved OUTSIDE the kernel: a ``lax.while_loop`` over blocks gathers
+  each block's target window (``take_along_axis`` on [B, m], an XLA
+  gather) and hands the kernel a corridor-aligned [K+W-1, S, L] char
+  slab; inside a block every access is static. This is the TPU-native
+  split: XLA owns data motion, Pallas owns the recurrence.
+- block end (all in-kernel, ALU only): per-slot block max + first-row
+  tracking reduce to the row-major-first endpoint; X-drop zeroes the
+  carried row against the updated global max; first-argmax re-centers
+  the corridor (delta clipped to ±dmax); the realign
+  ``carried[k] = zeroed[k+delta]`` is a chunked barrel shifter over the
+  slot axis (log2(2*dmax) select passes) — no gathers.
+
+Band history (optional) is written row-by-row to HBM via async copy, the
+last row of each block overwritten with its X-dropped version (the
+oracle's ``hist[n_rows-1]`` contract). The host walk is
+``oracle.banded_block.walk_block_history`` on the fetched rows.
+
+Scope v1: uniform scoring or general matrix (baked packed table, the
+banded family's ALU select-tree lookup), linear gaps, uniform lengths
+per batch (per-pair lens change the final-row X-drop position — see the
+oracle's termination contract — so they are not offered here; varlen
+long-pair workloads bucket by length like the other batch engines).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.kernels.pallas.banded_batch import _packed_banded_table, _table_lookup
+from swtpu.kernels.pallas.sw_batch import LANE, _at
+
+CHUNK = 16  # band slots per unrolled inner group
+
+
+@dataclasses.dataclass
+class BandedBlockBatchResult:
+    """Batched block-tier forward results (layout mirrors the oracle's
+    :class:`~swtpu.oracle.banded_block.BandedBlockResult`, batched).
+
+    band_history/bases/deltas rows past a pair's ``n_rows`` (its death
+    block) are unspecified — all consumers walk ``< n_rows``.
+    """
+
+    score: np.ndarray  # [B] int32, max - X
+    end_y: np.ndarray  # [B] int32 (0 = all-dead start)
+    end_j: np.ndarray  # [B]
+    n_rows: np.ndarray  # [B] rows computed (block-granular, <= n)
+    bases: Optional[np.ndarray] = None  # [NB, B] block base
+    deltas: Optional[np.ndarray] = None  # [NB, B]
+    band_history: Optional[np.ndarray] = None  # [n, W, B] int32
+
+
+def _block_kernel(
+    y0_ref,
+    q_ref,
+    t_ref,
+    carried_ref,
+    state_ref,
+    carried_out,
+    state_out,
+    *rest,
+    W,
+    K,
+    X,
+    match,
+    mismatch,
+    gap,
+    D,
+    table,
+    with_history,
+):
+    """One K-row block for all pairs: rows y0+1 .. y0+K.
+
+    state rows in: 0 base, 1 max, 2 end_y, 3 end_j;
+    state rows out: + 4 alive, 5 delta.
+    """
+    if with_history:
+        hist_ref, hrow_ref, sem, prev_ref, bv_ref, rb_ref, ra_ref = rest
+    else:
+        prev_ref, bv_ref, rb_ref, ra_ref = rest
+    S = q_ref.shape[1]
+    zero = jnp.zeros((S, LANE), jnp.int32)
+    zrow = jnp.zeros((1, S, LANE), jnp.int32)
+    m32 = jnp.int32(match)
+    mm32 = jnp.int32(-mismatch)
+    g32 = jnp.int32(gap)
+    X32 = jnp.int32(X)
+    n_chunks = W // CHUNK
+
+    base = state_ref[0]
+    y0 = y0_ref[0]
+
+    prev_ref[pl.ds(0, W)] = carried_ref[:]
+    prev_ref[pl.ds(W, 1)] = zrow  # slot W: dead up-neighbor of slot W-1
+    bv_ref[:] = jnp.zeros((W, S, LANE), jnp.int32)
+    rb_ref[:] = jnp.zeros((W, S, LANE), jnp.int32)
+
+    def row_body(r, _):
+        y = y0 + r + 1
+        pin = jnp.maximum(X32 - y * g32, 0)  # column-0 gap chain value
+        bpr = base + r
+        # left of slot 0 is column base+r-1: the chain when that is
+        # column 0, else out-of-corridor (dead)
+        h = jnp.where(bpr == 1, pin, zero)
+        qrow = q_ref[pl.ds(r, 1)][0]
+        for jc in range(n_chunks):
+            j0 = jc * CHUNK
+            tw = t_ref[pl.ds(r + j0, CHUNK)]
+            prev_a = prev_ref[pl.ds(j0, CHUNK)]
+            prev_b = prev_ref[pl.ds(j0 + 1, CHUNK)]
+            if table is None:
+                s = jnp.where((qrow[None] == tw) & (tw >= 0), m32, mm32)
+            else:
+                s = _table_lookup(qrow[None], tw, table)
+            # dead diag never resurrects; relu folds the oracle's 0 floor
+            # (up/left negatives lose to pre2 >= 0 in the chain maxes)
+            pre2 = jnp.maximum(jnp.where(prev_a > 0, prev_a + s, 0), 0)
+            kio = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, S, LANE), 0)
+            pin_mask = (bpr[None] + (kio + j0)) == 0  # slot holds column 0
+            hs = []
+            for k in range(CHUNK):
+                h = jnp.maximum(
+                    _at(pre2, k), jnp.maximum(_at(prev_b, k), h) - g32
+                )
+                # column-0 pin INSIDE the chain: the pinned value is the
+                # left neighbor of the next slot (oracle sets left = v
+                # after pinning)
+                h = jnp.where(_at(pin_mask, k), pin, h)
+                hs.append(h)
+            Hc = jnp.stack(hs)
+            # per-slot block max with first-row tie-break (strict >)
+            bv = bv_ref[pl.ds(j0, CHUNK)]
+            upd = Hc > bv
+            bv_ref[pl.ds(j0, CHUNK)] = jnp.where(upd, Hc, bv)
+            rb_ref[pl.ds(j0, CHUNK)] = jnp.where(
+                upd, r, rb_ref[pl.ds(j0, CHUNK)]
+            )
+            prev_ref[pl.ds(j0, CHUNK)] = Hc
+            if with_history:
+                hrow_ref[0, pl.ds(j0, CHUNK)] = Hc
+        if with_history:
+            # rows 0..K-2 go out as computed; row K-1 is DMA'd after the
+            # block-end X-drop zeroing (the oracle's hist[n_rows-1])
+            @pl.when(r < K - 1)
+            def _():
+                copy = pltpu.make_async_copy(
+                    hrow_ref, hist_ref.at[pl.ds(r, 1)], sem
+                )
+                copy.start()
+                copy.wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, K, row_body, 0)
+
+    # --- block end: endpoint reduce (row-major first max) ---
+    best_v, best_r, best_k = zero, zero, zero
+    for jc in range(n_chunks):
+        bvc = bv_ref[pl.ds(jc * CHUNK, CHUNK)]
+        rbc = rb_ref[pl.ds(jc * CHUNK, CHUNK)]
+        for k in range(CHUNK):
+            bk = _at(bvc, k)
+            rk = _at(rbc, k)
+            better = (bk > best_v) | ((bk == best_v) & (rk < best_r))
+            best_v = jnp.where(better, bk, best_v)
+            best_r = jnp.where(better, rk, best_r)
+            best_k = jnp.where(better, jnp.int32(jc * CHUNK + k), best_k)
+    upd = best_v > state_ref[1]
+    maxg = jnp.where(upd, best_v, state_ref[1])
+    end_y = jnp.where(upd, y0 + best_r + 1, state_ref[2])
+    end_j = jnp.where(upd, base + best_r + best_k, state_ref[3])
+    cutoff = maxg - X32
+
+    # --- X-drop zeroing + dead test + first-argmax of the carried row ---
+    ra_ref[pl.ds(0, D)] = jnp.zeros((D, S, LANE), jnp.int32)
+    ra_ref[pl.ds(D + W, D)] = jnp.zeros((D, S, LANE), jnp.int32)
+    am_v, am_k = zero, zero
+    for jc in range(n_chunks):
+        j0 = jc * CHUNK
+        c = prev_ref[pl.ds(j0, CHUNK)]
+        z = jnp.where(c < cutoff[None], 0, c)
+        ra_ref[pl.ds(D + j0, CHUNK)] = z
+        if with_history:
+            hrow_ref[0, pl.ds(j0, CHUNK)] = z
+        for k in range(CHUNK):
+            zk = _at(z, k)
+            am_upd = zk > am_v
+            am_v = jnp.where(am_upd, zk, am_v)
+            am_k = jnp.where(am_upd, jnp.int32(j0 + k), am_k)
+    if with_history:
+        copy = pltpu.make_async_copy(
+            hrow_ref, hist_ref.at[pl.ds(K - 1, 1)], sem
+        )
+        copy.start()
+        copy.wait()
+    alive = (am_v > 0).astype(jnp.int32)
+    delta = jnp.clip(am_k - W // 2, -D, D) * alive  # dead: delta 0
+
+    # --- realign: carried[k] = zeroed[k + delta], chunked barrel shift
+    # over the slot axis. ra holds ext[p] = zeroed[p - D]; shifting by
+    # u = delta + D in binary passes leaves carried[k] = ext[k + u].
+    # In-place ascending is safe: reads sit at p + 2^i > p writes.
+    u = delta + D  # dead pairs: delta 0 -> u = D keeps the row unshifted
+    nbits = max(1, (2 * D).bit_length())
+    span = W + 2 * D
+    for i in range(nbits):
+        sh = 1 << i
+        bit = ((u >> i) & 1) > 0
+        for p0 in range(0, span - sh, CHUNK):
+            cw = min(CHUNK, span - sh - p0)
+            a = ra_ref[pl.ds(p0, cw)]
+            b = ra_ref[pl.ds(p0 + sh, cw)]
+            ra_ref[pl.ds(p0, cw)] = jnp.where(bit[None], b, a)
+    carried_out[:] = ra_ref[pl.ds(0, W)]
+
+    st = jnp.stack(
+        [
+            base + (jnp.int32(K) + delta) * alive,  # dead: base frozen
+            maxg,
+            end_y,
+            end_j,
+            alive,
+            delta,
+        ]
+    )
+    state_out[:] = st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "W", "K", "X", "match", "mismatch", "gap", "D", "table",
+        "with_history",
+    ),
+)
+def _block_call(
+    y0, qb, twin, carried, state4, W, K, X, match, mismatch, gap, D,
+    table, with_history,
+):
+    S = qb.shape[1]
+    out_shape = [
+        jax.ShapeDtypeStruct((W, S, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((6, S, LANE), jnp.int32),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = [vmem, vmem]
+    scratch = []
+    if with_history:
+        out_shape.append(jax.ShapeDtypeStruct((K, W, S, LANE), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch += [
+            pltpu.VMEM((1, W, S, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    scratch += [
+        pltpu.VMEM((W + 1, S, LANE), jnp.int32),  # prev row
+        pltpu.VMEM((W, S, LANE), jnp.int32),  # per-slot block max
+        pltpu.VMEM((W, S, LANE), jnp.int32),  # its first row
+        pltpu.VMEM((W + 2 * D, S, LANE), jnp.int32),  # realign barrel
+    ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _block_kernel,
+            W=W, K=K, X=X, match=match, mismatch=mismatch, gap=gap, D=D,
+            table=table, with_history=with_history,
+        ),
+        out_shape=tuple(out_shape),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vmem, vmem, vmem, vmem,
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+    )(y0, qb, twin, carried, state4)
+    return outs
+
+
+#: front guard of the padded target rows — covers the most negative
+#: corridor base (1 - W/2 >= -63 for W <= 128)
+T_GUARD = 64
+
+
+def _gather_kernel(base_ref, trows_ref, out_ref, *, ppg, rpp, Lp):
+    """Per-pair 128-char corridor window via the two-row funnel shift
+    (the probed refill pattern, see banded_batch.py:169-186): each
+    pair's window [off, off+128) is assembled from the two aligned
+    128-char rows around ``off`` with dynamic pltpu.roll — Mosaic cannot
+    dynamic-slice along lanes. XLA's own per-pair gathers lower to a
+    ~10 ns/element scalar loop (measured: 1.3 ms for what this kernel
+    does in ~15 us), which is why this kernel exists."""
+    g = pl.program_id(0)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    for p in range(ppg):
+        off = base_ref[g * ppg + p] - 1 + T_GUARD
+        off = jnp.clip(off, 0, Lp - 2 * LANE)
+        rowi = p * rpp + (off >> 7)
+        rem = off & (LANE - 1)
+        sh = (LANE - rem) & (LANE - 1)
+        r0 = pltpu.roll(trows_ref[pl.ds(rowi, 1)], sh, axis=1)
+        r1 = pltpu.roll(trows_ref[pl.ds(rowi + 1, 1)], sh, axis=1)
+        out_ref[pl.ds(p, 1)] = jnp.where(lane1 < (LANE - rem), r0, r1)
+
+
+@functools.partial(jax.jit, static_argnames=("ppg", "rpp", "Lp"))
+def _gather_call(base_flat, trows, ppg, rpp, Lp):
+    Bp = base_flat.shape[0]
+    grid = Bp // ppg
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, ppg=ppg, rpp=rpp, Lp=Lp),
+        out_shape=jax.ShapeDtypeStruct((Bp, LANE), jnp.int32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (ppg * rpp, LANE), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (ppg, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(base_flat, trows)
+
+
+def _gather_twin(trows, base_flat, C, m, ppg, rpp, Lp):
+    """[B, C] corridor char window: twin[:, c] = t[base + c - 1] with
+    out-of-sequence positions -1 (pads always mismatch). The padded rows
+    carry the -1s; the only inexact case is the high clamp in the
+    kernel, which can fire only when base >= m + 2 — i.e. when every
+    window position is out of sequence — masked here."""
+    win = _gather_call(base_flat, trows, ppg, rpp, Lp)
+    win = jnp.where(base_flat[:, None] >= m + 2, -1, win)
+    return win[:, :C]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "m", "W", "K", "X", "match", "mismatch", "gap", "D",
+        "table", "with_history", "ppg", "rpp", "Lp", "early_exit",
+    ),
+)
+def _banded_block_impl(
+    qT, trows, n, m, W, K, X, match, mismatch, gap, D, table,
+    with_history, ppg, rpp, Lp, early_exit=True,
+):
+    """Full forward: lax.while_loop over blocks, early exit when every
+    pair is done. Carries are frozen per pair via the done mask — the
+    batched equivalent of the oracle's per-pair break."""
+    nS, S, L = qT.shape
+    C = K + W - 1
+    NBf, K_tail = n // K, n % K
+    NB = NBf + (1 if K_tail else 0)
+    base0 = 1 - W // 2
+    j0s = base0 - 1 + np.arange(W)
+    carried0 = np.where(j0s >= 0, X - j0s * gap, 0)
+    carried0 = np.maximum(carried0, 0).astype(np.int32)
+    carried = jnp.broadcast_to(
+        jnp.asarray(carried0)[:, None, None], (W, S, L)
+    ).astype(jnp.int32)
+    state = jnp.stack(
+        [
+            jnp.full((S, L), base0, jnp.int32),
+            jnp.full((S, L), X, jnp.int32),
+            jnp.zeros((S, L), jnp.int32),
+            jnp.zeros((S, L), jnp.int32),
+        ]
+    )
+    done = jnp.zeros((S, L), jnp.int32)
+    n_rows = jnp.zeros((S, L), jnp.int32)
+    bases = jnp.zeros((max(NB, 1), S, L), jnp.int32)
+    deltas = jnp.zeros((max(NB, 1), S, L), jnp.int32)
+    hist = (
+        jnp.zeros((n, W, S, L), jnp.int32) if with_history else jnp.zeros(
+            (1, 1, 1, 1), jnp.int32
+        )
+    )
+
+    def run_block(b, Kb, carried, state, done, n_rows, bases, deltas, hist):
+        y0 = (b * K).astype(jnp.int32).reshape(1)
+        qb = jax.lax.dynamic_slice(qT, (b * K, 0, 0), (Kb, S, L))
+        twin = _gather_twin(
+            trows, state[0].reshape(-1), Kb + W - 1, m, ppg, rpp, Lp
+        )
+        twin = twin.T.reshape(Kb + W - 1, S, L)
+        outs = _block_call(
+            y0, qb, twin, carried, state, W, Kb, X, match, mismatch,
+            gap, D, table, with_history,
+        )
+        c_new, st_new = outs[0], outs[1]
+        dmask = done > 0
+        bases = jax.lax.dynamic_update_slice(
+            bases, state[0][None], (b, 0, 0)
+        )
+        # the oracle zeroes delta whenever the pair is done after this
+        # block — dead band OR the final block (n_rows >= n)
+        last = b * K + Kb >= n
+        deltas = jax.lax.dynamic_update_slice(
+            deltas,
+            jnp.where(dmask | last | (st_new[4] == 0), 0, st_new[5])[None],
+            (b, 0, 0),
+        )
+        carried = jnp.where(dmask[None], carried, c_new)
+        state = jnp.where(dmask[None], state, st_new[:4])
+        n_rows = jnp.where(dmask, n_rows, b * K + Kb)
+        done = done | (st_new[4] == 0).astype(jnp.int32)
+        if with_history:
+            hist = jax.lax.dynamic_update_slice(
+                hist,
+                jnp.where(dmask[None, None], 0, outs[2]),
+                (b * K, 0, 0, 0),
+            )
+        return carried, state, done, n_rows, bases, deltas, hist
+
+    def cond(c):
+        b = c[0]
+        if not early_exit:
+            # timing mode: the salted bench chain mutates chars, which
+            # would X-drop the batch and dishonestly skip blocks — run
+            # every block; on live workloads this equals production work
+            return b < NBf
+        return (b < NBf) & jnp.any(c[3] == 0)
+
+    def body(c):
+        b, carried, state, done, n_rows, bases, deltas, hist = c
+        out = run_block(
+            b, K, carried, state, done, n_rows, bases, deltas, hist
+        )
+        return (b + 1,) + out
+
+    if NBf:
+        c = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.int32(0), carried, state, done, n_rows, bases, deltas, hist),
+        )
+        _, carried, state, done, n_rows, bases, deltas, hist = c
+    if K_tail:
+        carried, state, done, n_rows, bases, deltas, hist = run_block(
+            jnp.int32(NBf), K_tail, carried, state, done, n_rows, bases,
+            deltas, hist,
+        )
+    score = state[1] - X
+    return score, state[2], state[3], n_rows, bases, deltas, hist
+
+
+def _prep(qs, ts, q_fill=0):
+    """Pad the batch to a whole number of 128-lane rows and stage the
+    device layouts: the transposed query (pair p = s * 128 + lane) and
+    the guarded 128-char target rows the gather kernel funnels from
+    (pair p's char j at row p*rpp + (j + T_GUARD)//128; -1 outside
+    [0, m))."""
+    qs = np.ascontiguousarray(np.asarray(qs, dtype=np.int32))
+    ts = np.ascontiguousarray(np.asarray(ts, dtype=np.int32))
+    B, n = qs.shape
+    m = ts.shape[1]
+    Bp = -(-B // LANE) * LANE
+    if Bp != B:
+        # pad pairs: valid q chars vs all-invalid t chars -> the pad
+        # pairs' bands decay and die within ~X/gap rows (early exit)
+        qs = np.concatenate(
+            [qs, np.full((Bp - B, n), q_fill, np.int32)]
+        )
+        ts = np.concatenate([ts, np.full((Bp - B, m), -1, np.int32)])
+    S = Bp // LANE
+    qT = qs.T.reshape(n, S, LANE)
+    # guarded rows: the high clamp in the gather kernel must only fire
+    # when base >= m + 2 (every window char out of sequence), which
+    # needs Lp >= T_GUARD + m + 2*128
+    rpp = -(-(T_GUARD + m + 2 * LANE) // LANE)
+    Lp = rpp * LANE
+    trows = np.full((Bp, Lp), -1, dtype=np.int32)
+    trows[:, T_GUARD : T_GUARD + m] = ts
+    trows = trows.reshape(Bp * rpp, LANE)
+    # pairs per gather grid step: largest tile whose target rows fit a
+    # ~2 MB VMEM slice (long targets get more, smaller steps)
+    ppg = 128
+    while ppg > 8 and ppg * rpp * LANE * 4 > 2 * 1024 * 1024:
+        ppg //= 2
+    return jnp.asarray(qT), jnp.asarray(trows), B, S, n, m, ppg, rpp, Lp
+
+
+def banded_block_batch_pallas(
+    qs,
+    ts,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    width: int = 64,
+    block: int = 32,
+    x_threshold: int = 70,
+    dmax: Optional[int] = None,
+    matrix=None,
+    with_history: bool = False,
+    with_meta: bool = False,
+) -> BandedBlockBatchResult:
+    """Batched block-adaptive banded X-drop forward pass.
+
+    qs [B, n] / ts [B, m] int codes (uniform lengths; any alphabet with
+    ``matrix``, 0-3 DNA without). Bit-exact per pair against
+    ``oracle.banded_block.banded_xdrop_block`` with the same
+    (width, block, x_threshold, dmax). ``with_meta`` also returns the
+    per-block bases/deltas; ``with_history`` the int32 band history
+    [n, W, B] for the host walker.
+    """
+    W, K, X = int(width), int(block), int(x_threshold)
+    if W % CHUNK:
+        raise ValueError(f"width must be a multiple of {CHUNK}")
+    D = (min(K, W // 2) if dmax is None else int(dmax))
+    if D < 1:
+        raise ValueError("dmax must be >= 1")
+    if K + W > LANE + 1:
+        raise ValueError(
+            f"block + width must be <= {LANE + 1} (the gather window)"
+        )
+    table = None if matrix is None else _packed_banded_table(matrix)
+    qT, trows, B, S, n, m, ppg, rpp, Lp = _prep(qs, ts)
+    score, end_y, end_j, n_rows, bases, deltas, hist = _banded_block_impl(
+        qT, trows, n, m, W, K, X, int(match), int(mismatch), int(gap), D,
+        table, bool(with_history), ppg, rpp, Lp,
+    )
+    sl = lambda a: np.asarray(a).reshape(a.shape[:-2] + (-1,))[..., :B]
+    return BandedBlockBatchResult(
+        score=sl(score),
+        end_y=sl(end_y),
+        end_j=sl(end_j),
+        n_rows=sl(n_rows),
+        bases=sl(bases) if with_meta else None,
+        deltas=sl(deltas) if with_meta else None,
+        band_history=(
+            np.asarray(hist).reshape(n, W, -1)[..., :B]
+            if with_history
+            else None
+        ),
+    )
+
+
+def banded_block_traceback_host(
+    res: BandedBlockBatchResult,
+    qs,
+    ts,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    block: int = 32,
+    x_threshold: int = 70,
+    matrix=None,
+) -> List[List[Tuple[int, int]]]:
+    """Host walk over a with_history+with_meta forward result: the
+    oracle's shared walker per pair (paths bit-equal to the oracle)."""
+    from swtpu.oracle.banded_block import walk_block_history
+
+    qs = np.asarray(qs)
+    ts = np.asarray(ts)
+    K = int(block)
+    paths = []
+    for p in range(len(res.score)):
+        nr = int(res.n_rows[p])
+        rb = (
+            res.bases[(np.arange(nr)) // K, p]
+            + (np.arange(nr) % K)
+        )
+        paths.append(
+            walk_block_history(
+                res.band_history[:nr, :, p],
+                rb,
+                (int(res.end_y[p]), int(res.end_j[p])),
+                qs[p],
+                ts[p],
+                match=match,
+                mismatch=mismatch,
+                gap=gap,
+                x_threshold=x_threshold,
+                matrix=matrix,
+            )
+        )
+    return paths
+
+
+def bench_forward_fn(
+    qs,
+    ts,
+    match=1,
+    mismatch=1,
+    gap=1,
+    width=64,
+    block=32,
+    x_threshold=70,
+    dmax=None,
+    matrix=None,
+    with_history=False,
+):
+    """(fn, devargs) for honest timing via swtpu.utils.time_kernel.
+
+    fn(qT, t_dev) runs the full jitted forward (while_loop glue + per-
+    block kernels) on pre-staged device arrays and returns [Bp] scores.
+    """
+    W, K, X = int(width), int(block), int(x_threshold)
+    D = (min(K, W // 2) if dmax is None else int(dmax))
+    table = None if matrix is None else _packed_banded_table(matrix)
+    qT, trows, B, S, n, m, ppg, rpp, Lp = _prep(qs, ts)
+
+    def fn(qT_d, t_d):
+        return _banded_block_impl(
+            qT_d, t_d, n, m, W, K, X, int(match), int(mismatch),
+            int(gap), D, table, bool(with_history), ppg, rpp, Lp,
+            early_exit=False,
+        )[0]
+
+    return fn, (qT, trows)

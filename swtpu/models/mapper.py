@@ -598,6 +598,104 @@ def extend_candidates(
 # 4. The pipeline
 
 
+def _seed_rows(
+    reads, lens, index, both_strands, min_seeds, max_occ, max_loci,
+    bandwidth,
+):
+    """Host seeding stage: per strand (reads, lens, strand, candidates).
+
+    Pure host work (revcomp + k-mer seeding) split out so
+    :func:`map_reads_pipelined` can run it for chunk i+1 while the
+    device extends chunk i."""
+    rows = [(reads, lens, "+")]
+    if both_strands:
+        from swtpu.core.encode import revcomp
+
+        rc = np.stack(
+            [revcomp(reads[i], int(lens[i])) for i in range(len(reads))]
+        )
+        rows.append((rc, lens, "-"))
+    return [
+        (
+            q,
+            ql,
+            strand,
+            find_candidates(
+                index, q, ql, min_seeds=min_seeds, max_occ=max_occ,
+                max_loci=max_loci, diag_window=bandwidth,
+            ),
+        )
+        for q, ql, strand in rows
+    ]
+
+
+def map_reads_pipelined(
+    reads: np.ndarray,
+    lens: Optional[Sequence[int]] = None,
+    index: Optional[KmerIndex] = None,
+    chunk_reads: int = 1024,
+    **kw,
+) -> List[Optional[MapHit]]:
+    """map_reads with a two-stage software pipeline over read chunks.
+
+    A one-worker thread seeds chunk i+1 (k-mer lookups + clustering —
+    pure host work; the C++ seeder releases the GIL) while the main
+    thread waits on chunk i's device extension, so seeding leaves the
+    device's critical path. Hit-for-hit identical to ``map_reads``
+    (chunks only partition reads; per-read results are independent) —
+    asserted by test_mapper.py.
+    """
+    reads = np.asarray(reads, dtype=np.uint8)
+    R, L = reads.shape
+    lens = (
+        np.full(R, L, dtype=np.int64)
+        if lens is None
+        else np.asarray(lens, dtype=np.int64)
+    )
+    if index is None:
+        index = build_index(
+            kw.pop("contigs"), kw.pop("contig_names", None),
+            k=kw.get("k", 13),
+        )
+    if R <= chunk_reads:
+        return map_reads(reads, lens, index=index, **kw)
+    import concurrent.futures as cf
+
+    seed_kw = dict(
+        both_strands=kw.get("both_strands", False),
+        min_seeds=kw.get("min_seeds", 2),
+        max_occ=kw.get("max_occ", 64),
+        max_loci=kw.get("max_loci", 8),
+        bandwidth=kw.get("bandwidth", 32),
+    )
+    bounds = list(range(0, R, chunk_reads))
+    hits: List[Optional[MapHit]] = []
+    with cf.ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(
+            _seed_rows, reads[: chunk_reads], lens[: chunk_reads],
+            index, **seed_kw,
+        )
+        for ci, lo in enumerate(bounds):
+            hi = min(lo + chunk_reads, R)
+            seeded = fut.result()
+            if ci + 1 < len(bounds):
+                lo2 = bounds[ci + 1]
+                hi2 = min(lo2 + chunk_reads, R)
+                fut = ex.submit(
+                    _seed_rows, reads[lo2:hi2], lens[lo2:hi2], index,
+                    **seed_kw,
+                )
+            chunk_hits = map_reads(
+                reads[lo:hi], lens[lo:hi], index=index, _seeded=seeded,
+                **kw,
+            )
+            hits.extend(
+                h if h is None else dataclasses.replace(h, read=h.read + lo)
+                for h in chunk_hits
+            )
+    return hits
+
+
 def map_reads(
     reads: np.ndarray,
     lens: Optional[Sequence[int]] = None,
@@ -619,6 +717,7 @@ def map_reads(
     both_strands: bool = False,
     traceback: bool = False,
     extend: str = "auto",
+    _seeded: Optional[list] = None,
 ) -> List[Optional[MapHit]]:
     """Map every read to its best reference locus; None = unmapped.
 
@@ -630,7 +729,11 @@ def map_reads(
     then follow the fixed-band local oracle) and the adaptive X-drop
     tier elsewhere. With ``traceback=True`` the winners re-run through
     the adaptive banded engine either way, so hits with paths always
-    carry X-drop-contract scores."""
+    carry X-drop-contract scores.
+
+    ``_seeded`` (internal, used by :func:`map_reads_pipelined`) injects
+    precomputed ``_seed_rows`` output so the host seeding stage can run
+    ahead of the device extension."""
     reads = np.asarray(reads, dtype=np.uint8)
     R, L = reads.shape
     lens = (
@@ -642,22 +745,20 @@ def map_reads(
         if contigs is None:
             raise ValueError("need index= or contigs=")
         index = build_index(contigs, contig_names, k=k)
-    rows = [(reads, lens, "+")]
-    if both_strands:
-        from swtpu.core.encode import revcomp
-
-        rc = np.stack([revcomp(reads[i], int(lens[i])) for i in range(R)])
-        rows.append((rc, lens, "-"))
+    seeded = (
+        _seed_rows(
+            reads, lens, index, both_strands, min_seeds, max_occ,
+            max_loci, bandwidth,
+        )
+        if _seeded is None
+        else _seeded
+    )
     all_read, all_tstart, all_scores, all_seeds, all_strand = (
         [], [], [], [], [],
     )
     strand_rows = {}
-    for q, ql, strand in rows:
+    for q, ql, strand, cands in seeded:
         strand_rows[strand] = q
-        cands = find_candidates(
-            index, q, ql, min_seeds=min_seeds, max_occ=max_occ,
-            max_loci=max_loci, diag_window=bandwidth,
-        )
         if len(cands.read) == 0:
             continue
         scores, tstart = extend_candidates(

@@ -997,15 +997,26 @@ int64_t seed_candidates(
     int64_t min_seeds, int64_t max_loci, int64_t* out_anchor,
     int64_t* out_nseeds, int32_t* out_cnt) {
   const int64_t PF = 16;  // prefetch distance (k-mers ahead)
+  // per-bucket accumulator: count + first-arrival packed(qpos, diag).
+  // Seeds are generated qpos-ascending, and within one qpos the pos
+  // table is position-sorted per code (build_index argsorts stably), so
+  // diag ascends too: the FIRST seed of a bucket is its min packed —
+  // the numpy path's earliest-seed anchor rule without any per-seed
+  // sort (the old pair sort was ~2/3 of seeding wall at k=9).
+  struct Acc { int64_t bucket, pmin, count; };
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 16)
 #endif
   for (int64_t rid = 0; rid < R; ++rid) {
-    // (bucket, packed) seeds; packed = (qpos << 32) | (diag + L) with
-    // diag + L >= 1, so a min over packed is (min qpos, then min diag) —
-    // exactly the numpy path's earliest-seed anchor rule
-    std::vector<std::pair<int64_t, int64_t>> seeds;
-    seeds.reserve(1024);
+    // thread-local scratch reused across reads (no per-read mallocs)
+    static thread_local std::vector<Acc> accs, accs2;
+    static thread_local std::vector<int32_t> htab;  // open addressing
+    accs.clear();
+    int64_t hbits = 12;  // 4096 slots; grown if a read overflows half
+    if ((int64_t)htab.size() < (1LL << hbits))
+      htab.assign(1LL << hbits, 0);
+    else
+      std::fill(htab.begin(), htab.begin() + (1LL << hbits), 0);
     const int64_t* qc = qcodes + rid * nk;
     for (int64_t qpos = 0; qpos < nk; ++qpos) {
       if (qpos + PF < nk && qc[qpos + PF] >= 0)
@@ -1019,24 +1030,69 @@ int64_t seed_candidates(
       if (occ == 0 || occ > max_occ) continue;
       for (int64_t s = lo; s < hi; ++s) {
         const int64_t diag = (int64_t)pos[s] - qpos;
-        seeds.emplace_back((diag + L) / dw,
-                           (qpos << 32) | (diag + L));
+        const int64_t bucket = (diag + L) / dw;
+        // multiplicative hash + linear probe
+        uint64_t h =
+            ((uint64_t)bucket * 0x9E3779B97F4A7C15ULL) >> (64 - hbits);
+        const uint64_t mask = (1ULL << hbits) - 1;
+        while (true) {
+          int32_t slot = htab[h];
+          if (slot == 0) {
+            htab[h] = (int32_t)accs.size() + 1;
+            accs.push_back({bucket, (qpos << 32) | (diag + L), 1});
+            break;
+          }
+          if (accs[slot - 1].bucket == bucket) {
+            ++accs[slot - 1].count;
+            break;
+          }
+          h = (h + 1) & mask;
+        }
+        if ((int64_t)accs.size() * 2 > (1LL << hbits)) {
+          // grow + rehash (rare: needs > 2048 distinct buckets/read)
+          ++hbits;
+          htab.assign(1LL << hbits, 0);
+          const uint64_t m2 = (1ULL << hbits) - 1;
+          for (int64_t a = 0; a < (int64_t)accs.size(); ++a) {
+            uint64_t h2 = ((uint64_t)accs[a].bucket *
+                           0x9E3779B97F4A7C15ULL) >> (64 - hbits);
+            while (htab[h2] != 0) h2 = (h2 + 1) & m2;
+            htab[h2] = (int32_t)a + 1;
+          }
+        }
       }
     }
-    std::sort(seeds.begin(), seeds.end());
+    // order the unique buckets for the adjacent merge: LSD byte radix
+    // (buckets are small non-negative ints; 2 passes for a 1 Mbp
+    // reference vs the old O(n log n) pair sort over every seed)
+    int64_t maxb = 0;
+    for (const Acc& a : accs) maxb = std::max(maxb, a.bucket);
+    accs2.resize(accs.size());
+    int64_t cnt256[256];
+    for (int shift = 0; (maxb >> shift) != 0; shift += 8) {
+      std::fill(cnt256, cnt256 + 256, 0);
+      for (const Acc& a : accs) ++cnt256[(a.bucket >> shift) & 255];
+      int64_t run = 0;
+      for (int b = 0; b < 256; ++b) {
+        int64_t c0 = cnt256[b];
+        cnt256[b] = run;
+        run += c0;
+      }
+      for (const Acc& a : accs) accs2[cnt256[(a.bucket >> shift) & 255]++] = a;
+      std::swap(accs, accs2);
+    }
     // clusters: runs of equal buckets merged with runs of adjacent ones
     struct Cl { int64_t count, pmin, anchor; };
     std::vector<Cl> cls;
     int64_t i = 0;
-    while (i < (int64_t)seeds.size()) {
-      int64_t bucket = seeds[i].first;
+    while (i < (int64_t)accs.size()) {
       int64_t count = 0, pmin = INT64_MAX;
-      int64_t cur = bucket;
-      while (i < (int64_t)seeds.size() &&
-             (seeds[i].first == cur || seeds[i].first == cur + 1)) {
-        if (seeds[i].first == cur + 1) cur = seeds[i].first;
-        pmin = std::min(pmin, seeds[i].second);
-        ++count;
+      int64_t cur = accs[i].bucket;
+      while (i < (int64_t)accs.size() &&
+             (accs[i].bucket == cur || accs[i].bucket == cur + 1)) {
+        if (accs[i].bucket == cur + 1) cur = accs[i].bucket;
+        pmin = std::min(pmin, accs[i].pmin);
+        count += accs[i].count;
         ++i;
       }
       if (count >= min_seeds)

@@ -86,6 +86,87 @@ class BandedBlockResult:
     deltas: np.ndarray  # [n_blocks] int64 delta_b
 
 
+def walk_block_history(
+    hist: np.ndarray,
+    row_base: np.ndarray,
+    end: Tuple[int, int],
+    q: np.ndarray,
+    t: np.ndarray,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    x_threshold: int = 70,
+    matrix: Optional[np.ndarray] = None,
+) -> List[Tuple[int, int]]:
+    """Traceback over a stored block-tier band history.
+
+    Shared by the scalar oracle and the batch engines (the engines' host
+    walk fetches ``hist[:n_rows]`` / ``row_base[:n_rows]`` and calls
+    this). ``end`` is the 1-based (y, j) endpoint; values in ``hist``
+    carry the +x_threshold offset with 0 = dead. Walk order is the family
+    tie-break diag -> up -> left (source.cpp:1558-1567). Returns the
+    1-based (y, j) path origin -> endpoint; an all-dead endpoint (0, 0)
+    returns [(0, 0)].
+    """
+    q = np.asarray(q, dtype=np.int64)
+    t = np.asarray(t, dtype=np.int64)
+    n_rows = len(hist)
+    W = hist.shape[1] if n_rows else 0
+    m = len(t)
+    X = int(x_threshold)
+    g = int(gap)
+    mat = None if matrix is None else np.asarray(matrix, dtype=np.int64)
+    pad_sc = -int(mismatch) if mat is None else int(mat.min())
+    max_y, max_j = end
+
+    def get(y: int, j: int) -> int:
+        if y == 0:
+            v = X - j * g if j >= 0 else MINUS_INF
+            return int(v) if v > 0 or (j == 0) else MINUS_INF
+        if y < 1 or y > n_rows:
+            return MINUS_INF
+        if j == 0:
+            v = X - y * g
+            # the pinned column-0 chain is only reachable while stored
+            k = j - row_base[y - 1]
+            if 0 <= k < W:
+                vv = hist[y - 1, k]
+                return MINUS_INF if vv == 0 else int(vv)
+            return int(v) if v > 0 else MINUS_INF
+        k = j - row_base[y - 1]
+        if k < 0 or k >= W:
+            return MINUS_INF
+        v = hist[y - 1, k]
+        return MINUS_INF if v == 0 else int(v)
+
+    def sub(y: int, j: int) -> int:
+        if j < 1 or j > m:
+            return pad_sc
+        if mat is not None:
+            return int(mat[q[y - 1], t[j - 1]])
+        return match if q[y - 1] == t[j - 1] else pad_sc
+
+    if max_y == 0 and max_j == 0:
+        return [(0, 0)]
+    path = [(max_y, max_j)]
+    i, j = max_y, max_j
+    while i or j:
+        v = get(i, j)
+        if i and j and get(i - 1, j - 1) > MINUS_INF and v == get(
+            i - 1, j - 1
+        ) + sub(i, j):
+            i, j = i - 1, j - 1
+        elif i and get(i - 1, j) > MINUS_INF and v == get(i - 1, j) - g:
+            i = i - 1
+        elif j and get(i, j - 1) > MINUS_INF and v == get(i, j - 1) - g:
+            j = j - 1
+        else:  # pragma: no cover
+            raise AssertionError("inconsistent block-banded traceback")
+        path.append((i, j))
+    path.reverse()
+    return path
+
+
 def banded_xdrop_block(
     q: np.ndarray,
     t: np.ndarray,
@@ -209,53 +290,18 @@ def banded_xdrop_block(
 
     score = max_score - X
 
-    # --- traceback over the stored history ---
-    def get(y: int, j: int) -> int:
-        if y == 0:
-            v = X - j * g if j >= 0 else MINUS_INF
-            return int(v) if v > 0 or (j == 0) else MINUS_INF
-        if y < 1 or y > n_rows:
-            return MINUS_INF
-        if j == 0:
-            v = X - y * g
-            # the pinned column-0 chain is only reachable while stored
-            k = j - row_base[y - 1]
-            if 0 <= k < W:
-                vv = hist[y - 1, k]
-                return MINUS_INF if vv == 0 else int(vv)
-            return int(v) if v > 0 else MINUS_INF
-        k = j - row_base[y - 1]
-        if k < 0 or k >= W:
-            return MINUS_INF
-        v = hist[y - 1, k]
-        return MINUS_INF if v == 0 else int(v)
-
-    def sub(y: int, j: int) -> int:
-        if j < 1 or j > m:
-            return pad_sc
-        if mat is not None:
-            return int(mat[q[y - 1], t[j - 1]])
-        return match if q[y - 1] == t[j - 1] else pad_sc
-
-    if max_y == 0 and max_j == 0:
-        path = [(0, 0)]
-    else:
-        path = [(max_y, max_j)]
-        i, j = max_y, max_j
-        while i or j:
-            v = get(i, j)
-            if i and j and get(i - 1, j - 1) > MINUS_INF and v == get(
-                i - 1, j - 1
-            ) + sub(i, j):
-                i, j = i - 1, j - 1
-            elif i and get(i - 1, j) > MINUS_INF and v == get(i - 1, j) - g:
-                i = i - 1
-            elif j and get(i, j - 1) > MINUS_INF and v == get(i, j - 1) - g:
-                j = j - 1
-            else:  # pragma: no cover
-                raise AssertionError("inconsistent block-banded traceback")
-            path.append((i, j))
-        path.reverse()
+    path = walk_block_history(
+        hist[:n_rows],
+        row_base[:n_rows],
+        (max_y, max_j),
+        q,
+        t,
+        match=match,
+        mismatch=mismatch,
+        gap=g,
+        x_threshold=X,
+        matrix=mat,
+    )
 
     if return_state:
         return BandedBlockResult(

@@ -128,6 +128,96 @@ def test_block_oracle_state_geometry(rng):
     assert res.band_history[ey - 1, k] == res.score + 70
 
 
+def _engine_vs_oracle(rng, B, n, m, *, homologous=True, W=32, K=16,
+                      X=40, match=1, mismatch=1, gap=1, matrix=None):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.kernels.pallas.banded_block import (
+        banded_block_batch_pallas,
+        banded_block_traceback_host,
+    )
+
+    qs = random_dna(rng, (B, n))
+    if homologous:
+        ts = np.stack([mutate(rng, q, out_len=m) for q in qs])
+    else:
+        ts = random_dna(rng, (B, m))
+    with pltpu.force_tpu_interpret_mode():
+        res = banded_block_batch_pallas(
+            qs, ts, match=match, mismatch=mismatch, gap=gap, width=W,
+            block=K, x_threshold=X, matrix=matrix, with_history=True,
+            with_meta=True,
+        )
+        paths = banded_block_traceback_host(
+            res, qs, ts, match=match, mismatch=mismatch, gap=gap,
+            block=K, x_threshold=X, matrix=matrix,
+        )
+    for p in range(B):
+        ora = banded_xdrop_block(
+            qs[p], ts[p], match=match, mismatch=mismatch, gap=gap,
+            width=W, block=K, x_threshold=X, matrix=matrix,
+            return_state=True,
+        )
+        assert res.score[p] == ora.score, p
+        assert (res.end_y[p], res.end_j[p]) == ora.end, p
+        assert res.n_rows[p] == ora.n_rows, p
+        nb = -(-ora.n_rows // K)
+        assert np.array_equal(res.bases[:nb, p], ora.bases[:nb]), p
+        assert np.array_equal(res.deltas[:nb, p], ora.deltas[:nb]), p
+        assert np.array_equal(
+            res.band_history[: ora.n_rows, :, p], ora.band_history
+        ), p
+        assert paths[p] == ora.path, p
+
+
+def test_block_engine_matches_oracle_homologous(rng):
+    """Pallas block engine bit-exact vs the oracle: scores, endpoints,
+    band history, bases/deltas, and host-walked paths."""
+    _engine_vs_oracle(rng, B=4, n=96, m=100)
+
+
+def test_block_engine_matches_oracle_random_pairs(rng):
+    """Random (non-homologous) pairs drift differently per pair —
+    exercises per-pair re-centering divergence and the done mask."""
+    _engine_vs_oracle(rng, B=4, n=80, m=64, homologous=False)
+
+
+def test_block_engine_tail_block_and_early_death(rng):
+    """n not a multiple of K (tail-block kernel) + harsh scoring so some
+    pairs die at different blocks (freeze logic)."""
+    _engine_vs_oracle(
+        rng, B=4, n=90, m=60, mismatch=3, gap=2, X=20, K=16
+    )
+
+
+def test_block_engine_tie_rich_scoring(rng):
+    """(2,-1,1)-style tie-rich scoring on a small alphabet stresses the
+    row-major first-max endpoint reduce and the first-argmax re-center
+    (the family's tie-break postmortem, see CLAUDE.md)."""
+    _engine_vs_oracle(rng, B=4, n=64, m=64, match=2, mismatch=1, gap=1)
+
+
+def test_block_engine_matrix_mode(rng):
+    """General-matrix mode (baked packed table) bit-exact vs the
+    oracle's matrix branch."""
+    mat = np.array(
+        [
+            [3, -2, -1, -2],
+            [-2, 3, -2, -1],
+            [-1, -2, 4, -2],
+            [-2, -1, -2, 4],
+        ],
+        dtype=np.int64,
+    )
+    _engine_vs_oracle(rng, B=4, n=64, m=64, matrix=mat)
+
+
+def test_block_engine_batch_padding(rng):
+    """B not a multiple of 128: pad pairs must die early and be sliced
+    off without touching real pairs' results."""
+    _engine_vs_oracle(rng, B=3, n=48, m=48, K=16, W=32)
+
+
 def test_block_oracle_all_dead_start():
     """All-mismatch pair under harsh scoring: nothing ever scores above
     the origin, score 0, path [(0, 0)]."""

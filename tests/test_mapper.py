@@ -126,6 +126,26 @@ def test_locus_recovery_mutation_model(rng, genome):
     assert correct >= 36  # >= 90%
 
 
+def test_pipelined_matches_plain(rng, genome):
+    """map_reads_pipelined is hit-for-hit identical to map_reads: chunks
+    only partition reads, and the seed-ahead thread must not change any
+    result (bit-equality of the whole hit list)."""
+    from swtpu.models.mapper import map_reads_pipelined
+
+    L = 120
+    starts = rng.integers(0, len(genome) - L, size=70)
+    reads = np.stack(
+        [mutate(rng, genome[s : s + L], out_len=L) for s in starts]
+    )
+    idx = build_index([genome], k=9)
+    kw = dict(index=idx, min_score=20, both_strands=True, traceback=True)
+    plain = map_reads(reads, **kw)
+    piped = map_reads_pipelined(reads, chunk_reads=32, **kw)
+    assert len(plain) == len(piped)
+    for a, b in zip(plain, piped):
+        assert a == b
+
+
 def test_both_strands(rng, genome):
     L = 150
     p = 3000
