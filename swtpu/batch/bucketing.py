@@ -98,6 +98,7 @@ def sw_scores_varlen(
     q_pad: int = Q_PAD,
     t_pad: int = T_PAD,
     packed: bool = False,
+    stream_chunks: Optional[int] = None,
 ) -> np.ndarray:
     """Scores for a padded variable-length batch.
 
@@ -147,13 +148,54 @@ def sw_scores_varlen(
         fn = _fused_masked_engine(
             engine, engine_key, bn, bm, q_pad, t_pad, packed
         )
-        return np.asarray(
-            fn(
-                np.ascontiguousarray(qs[:, : bn // div]),
-                np.ascontiguousarray(ts[:, : bm // div]),
-                lq, lt,
-            )
-        ).astype(np.int32)
+        qv = np.ascontiguousarray(qs[:, : bn // div])
+        tv = np.ascontiguousarray(ts[:, : bm // div])
+        # streamed uploads (the search loop's double-buffer idiom,
+        # parallel/search.py): the post-warmup tunnel ingress runs
+        # ~55 MB/s, so at large B the upload IS the wall — split the
+        # batch into same-shape chunks and enqueue chunk c+1's transfer
+        # (async jax.device_put) while the device computes chunk c, then
+        # concatenate scores ON DEVICE and pay ONE fetch. Auto at
+        # B >= 16384 on TPU; chunk count keeps every chunk identical in
+        # shape (one compiled executable, last chunk row-padded).
+        import jax
+
+        sc = stream_chunks
+        if sc is None and B >= 16384 and (
+            jax.devices()[0].platform == "tpu"
+        ):
+            sc = 4
+        if sc and sc > 1:
+            import jax.numpy as jnp
+
+            CH = -(-B // sc)
+            Bp = CH * sc
+            if Bp != B:
+                padr = lambda a: np.concatenate(
+                    [a, np.repeat(a[:1], Bp - B, axis=0)]
+                )
+                qv, tv = padr(qv), padr(tv)
+                lq = np.concatenate([lq, np.zeros(Bp - B, lq.dtype)])
+                lt = np.concatenate([lt, np.zeros(Bp - B, lt.dtype)])
+
+            def put(c):
+                s = slice(c * CH, (c + 1) * CH)
+                return (
+                    jax.device_put(qv[s]),
+                    jax.device_put(tv[s]),
+                    jax.device_put(lq[s]),
+                    jax.device_put(lt[s]),
+                )
+
+            nxt = put(0)
+            outs = []
+            for c in range(sc):
+                cur = nxt
+                if c + 1 < sc:
+                    nxt = put(c + 1)  # streams while chunk c computes
+                outs.append(fn(*cur))
+            return np.asarray(jnp.concatenate(outs))[:B].astype(np.int32)
+        return np.asarray(fn(qv, tv, lq, lt)).astype(np.int32)
 
     # wide spread: sort by query length ONCE (contiguous buckets =
     # zero-copy uploads), dispatch every bucket without syncing, fetch

@@ -74,6 +74,55 @@ def main():
     full = multihost_utils.process_allgather(scores, tiled=True)
     assert (np.asarray(full) == want).all(), "allgather mismatch"
 
+    # 3) longpair across the process boundary: the sequence-parallel
+    # engine's ppermute boundary exchange crosses the two processes
+    # (devices 0-3 live here, 4-7 on the peer). Query sharded over the
+    # global mesh via make_array_from_callback; target replicated.
+    from swtpu.core.scoring import DNA_111
+    from swtpu.oracle import sw_score, sw_traceback
+    from swtpu.parallel.longpair import _merge_device_ends, _run_longpair
+
+    Lq, Lt = 128, 192
+    ql = rng.integers(0, 4, size=(Lq,)).astype(np.uint8)
+    tl = np.concatenate([ql[:96], rng.integers(0, 4, 96).astype(np.uint8)])
+    mesh_sp = make_mesh(axis="sp")
+    q_g = jax.make_array_from_callback(
+        (Lq,),
+        NamedSharding(mesh_sp, P("sp")),
+        lambda i: ql.astype(np.int32)[i],
+    )
+    t_g = jax.make_array_from_callback(
+        (Lt,),
+        NamedSharding(mesh_sp, P(None)),
+        lambda i: tl.astype(np.int32)[i],
+    )
+    out = _run_longpair(q_g, t_g, DNA_111, mesh_sp, "sp", block=64)
+    out_np = np.asarray(
+        multihost_utils.process_allgather(out, tiled=True)
+    ).reshape(-1, 3)[: mesh_sp.devices.size]
+    score_lp, ei, ej = _merge_device_ends(out_np)
+    want_s, want_path = sw_traceback(ql, tl, DNA_111)
+    assert score_lp == want_s, f"longpair score {score_lp} != {want_s}"
+    assert (ei, ej) == want_path[-1], "longpair endpoint mismatch"
+
+    # 4) sharded search top-k: per-shard top-k + cross-process
+    # all_gather merge, vs the oracle's full score matrix
+    from swtpu.parallel.search import sharded_all_vs_all_topk
+
+    Nq, Nt2 = 6, 40
+    sq = rng.integers(0, 4, size=(Nq, 48)).astype(np.uint8)
+    st = rng.integers(0, 4, size=(Nt2, 56)).astype(np.uint8)
+    top, ids = sharded_all_vs_all_topk(
+        sq, st, DNA_10_30_15, mesh, k=5
+    )
+    for qi in range(Nq):
+        full_row = np.array(
+            [sw_score(sq[qi], st[ti], DNA_10_30_15) for ti in range(Nt2)]
+        )
+        order = np.lexsort((np.arange(Nt2), -full_row))[:5]
+        assert (top[qi] == full_row[order]).all(), f"topk scores q{qi}"
+        assert (ids[qi] == order).all(), f"topk ids q{qi}"
+
     print(f"MP_OK {pid}", flush=True)
 
 

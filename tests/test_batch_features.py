@@ -28,6 +28,24 @@ def test_bucket_edges_monotone():
     assert e == sorted(set(e)) and e[-1] == 1000
 
 
+def test_varlen_streamed_chunks_match(rng):
+    """Forced stream_chunks (the double-buffered upload path) is score-
+    identical to the single-dispatch path, incl. the row-padded last
+    chunk."""
+    from swtpu.batch import sw_scores_varlen
+
+    B = 37  # not a multiple of 3: exercises last-chunk padding
+    qs = random_dna(rng, (B, 96))
+    ts = random_dna(rng, (B, 128))
+    lq = rng.integers(5, 97, B)
+    lt = rng.integers(5, 129, B)
+    plain = sw_scores_varlen(qs, ts, DNA_111, lq, lt)
+    streamed = sw_scores_varlen(
+        qs, ts, DNA_111, lq, lt, stream_chunks=3
+    )
+    assert np.array_equal(plain, streamed)
+
+
 def test_varlen_array_scores(rng):
     """sw_scores_varlen (the packed array API): mixed q AND t lengths,
     pad application, sorted-bucket scatter back to input order."""
