@@ -437,7 +437,7 @@ def bench_semiglobal_16k(quick=False):
                 [mutate(rng, qb[b], out_len=L16) for b in range(Bb)]
             )
             qT, trows, _, _, n_, m_, ppg, rpp, Lp = bblock._prep(qb, tb)
-            trows_h = np.asarray(trows)
+            trows_h = np.array(trows)  # writable copy
 
             def dispatch_block(rep):
                 trows_h[-1, -1] = -1 - (rep % 2)  # guard byte, see above
@@ -1022,6 +1022,25 @@ def bench_dist(quick=False, subprocess_virtual=True):
 
 
 def _bench_dist_curve(quick, sizes, virtual):
+    """Weak-scaling curve with self-explaining records (round 4).
+
+    Every record carries: analytic per-step comm bytes for its
+    collective pattern, the host's physical core count, and TWO
+    efficiency figures —
+
+    - ``efficiency_vs_1dev``: classic weak scaling, aps(d) / (d * aps(1)).
+      On a VIRTUAL mesh this is bounded by cores/d (d virtual devices
+      share the physical cores), so its collapse measures host
+      oversubscription, not the framework: on 1 core the ideal virtual
+      curve IS 1/d (r03's committed 0.48/0.185/0.067 ~ 1/d — this field
+      was uninterpretable without that context).
+    - ``aggregate_efficiency``: aps(d) / aps(1) — total throughput
+      retained while the mesh grows. A clean mechanism keeps this ~1.0
+      on an oversubscribed virtual mesh (the collectives and sharding
+      plumbing add nothing); a real pod reads efficiency_vs_1dev.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -1053,11 +1072,21 @@ def _bench_dist_curve(quick, sizes, virtual):
             if anchors.get("dp")
             else None
         )
+        agg = (
+            round(aps / (sizes[0] * anchors["dp"]), 3)
+            if anchors.get("dp")
+            else None
+        )
         rec = dict(
             kernel="dist_dp_weak", devices=d, batch=B,
             alignments_per_s=round(aps, 1),
             gcups=round(B * n * m / per_call / 1e9, 2),
-            efficiency_vs_1dev=eff, virtual=virtual,
+            efficiency_vs_1dev=eff,
+            aggregate_efficiency=agg,
+            comm_bytes_per_step=0,
+            comm_pattern="none (pairs sharded, scores stay sharded)",
+            physical_cores=os.cpu_count(),
+            virtual=virtual,
             device=str(jax.devices()[0].device_kind),
         )
         print(f"dist_dp_weak[{d}dev]: {per_call*1e3:.2f} ms / {B}")
@@ -1083,10 +1112,22 @@ def _bench_dist_curve(quick, sizes, virtual):
             if anchors.get("search")
             else None
         )
+        agg = (
+            round(aps / (sizes[0] * anchors["search"]), 3)
+            if anchors.get("search")
+            else None
+        )
+        # each device all_gathers every shard's [Nq, k] top-k scores+ids
+        comm_b = 2 * Nq * 8 * 4 * d
         rec = dict(
             kernel="dist_search_weak", devices=d, queries=Nq,
             targets=len(T), alignments_per_s=round(aps, 1),
-            efficiency_vs_1dev=eff, virtual=virtual,
+            efficiency_vs_1dev=eff,
+            aggregate_efficiency=agg,
+            comm_bytes_per_device=comm_b,
+            comm_pattern="all_gather of per-shard top-k (scores+ids)",
+            physical_cores=os.cpu_count(),
+            virtual=virtual,
             device=str(jax.devices()[0].device_kind),
         )
         print(f"dist_search_weak[{d}dev]: {wall*1e3:.1f} ms / {Nq*len(T)}")
@@ -1112,9 +1153,23 @@ def _bench_dist_curve(quick, sizes, virtual):
             if anchors.get("sp")
             else None
         )
+        agg = (
+            round(cps / (sizes[0] * anchors["sp"]), 3)
+            if anchors.get("sp")
+            else None
+        )
+        from swtpu.parallel.longpair import _auto_block
+
+        blk = _auto_block(Lq, Lt, d)
+        nsteps = Lt // blk + d - 1
         rec = dict(
             kernel="dist_longpair_weak", devices=d, shape=f"{Lq}x{Lt}",
             gcups=round(cps / 1e9, 2), efficiency_vs_1dev=eff,
+            aggregate_efficiency=agg,
+            pipeline_steps=nsteps,
+            comm_bytes_per_device=nsteps * (blk + 1) * 4,
+            comm_pattern="ppermute of the strip boundary row per step",
+            physical_cores=os.cpu_count(),
             virtual=virtual, device=str(jax.devices()[0].device_kind),
         )
         print(f"dist_longpair_weak[{d}dev]: {wall*1e3:.1f} ms / {Lq}x{Lt}")

@@ -38,6 +38,36 @@ def test_tile_scan_matches_reference(rng):
         assert int(best) == bestref
 
 
+def test_tile_colscan_matches_tile_scan(rng):
+    """The round-4 column-parallel strip engine is bit-equal to the
+    anti-diagonal tile scan on everything it returns — boundaries,
+    score, AND the row-major-first endpoint."""
+    from swtpu.kernels.xla.sw_scan import _extended_table
+    from swtpu.parallel.longpair import _tile_colscan
+
+    table = _extended_table(DNA_10_30_15)
+    for R, C in [(8, 8), (16, 8), (8, 24), (5, 7), (32, 16)]:
+        q = rng.integers(0, 4, R)
+        t = rng.integers(0, 4, C)
+        top = rng.integers(0, 50, C)
+        left = rng.integers(0, 50, R)
+        corner = int(rng.integers(0, 50))
+        args = (
+            jnp.asarray(q, jnp.int32),
+            jnp.asarray(t, jnp.int32),
+            jnp.asarray(top, jnp.int32),
+            jnp.asarray(left, jnp.int32),
+            jnp.asarray(corner, jnp.int32),
+            jnp.asarray(table),
+            4,
+            jnp.int32(15),
+        )
+        ref = _tile_scan(*args)
+        got = _tile_colscan(*args)
+        for a, b in zip(ref, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (R, C)
+
+
 def test_auto_block():
     """_auto_block minimizes (nb + D - 1) * (R + Lt/nb) over divisors."""
     from swtpu.parallel.longpair import _auto_block
