@@ -1078,6 +1078,31 @@ def cmd_selftest(args):
             )
         )
 
+        # block-adaptive banded tier (round 4): forward + history + host
+        # walk AND the device walker, bit-exact vs the block oracle
+        from swtpu.kernels.pallas.banded_block import (
+            banded_block_align_device,
+            banded_block_batch_pallas,
+            banded_block_traceback_host,
+        )
+        from swtpu.oracle.banded_block import banded_xdrop_block
+
+        res = banded_block_batch_pallas(
+            bq, bt, width=64, block=32, with_history=True, with_meta=True
+        )
+        paths = banded_block_traceback_host(res, bq, bt, block=32)
+        ok_blk = True
+        for p in range(len(bq)):
+            os_, op = banded_xdrop_block(bq[p], bt[p], width=64, block=32)
+            ok_blk &= int(res.score[p]) == os_ and paths[p] == op
+        checks.append(("banded_block_vs_oracle", bool(ok_blk)))
+
+        dv = banded_block_align_device(bq, bt, width=64, block=32)
+        ok_blk = all(
+            dv[p] == (int(res.score[p]), paths[p]) for p in range(len(bq))
+        )
+        checks.append(("banded_block_device_walk_vs_host", bool(ok_blk)))
+
         # endpoint kernels (score, end_i, end_j) vs the XLA ends anchor
         from swtpu.kernels.pallas.sw_batch import sw_batch_pallas_ends
         from swtpu.kernels.pallas.sw_affine import sw_affine_pallas_ends

@@ -289,6 +289,65 @@ def _round_banded(rng, stats, rnd, B, save_dir):
     stats.cells += B * 32 * 2 * L  # band cells upper bound
 
 
+def _round_banded_block(rng, stats, rnd, B, use_pallas, save_dir):
+    """Block-adaptive tier vs ITS oracle (oracle/banded_block.py —
+    band-clipped tiers get band-clipped oracles): scores + endpoints on
+    every checked pair, full history + host walk on a few. The Pallas
+    engine runs on TPU only; the round is skipped elsewhere (the CPU
+    pytest suite covers it in interpret mode)."""
+    if not use_pallas:
+        return
+    from swtpu.kernels.pallas.banded_block import (
+        banded_block_batch_pallas,
+        banded_block_traceback_host,
+    )
+    from swtpu.oracle.banded_block import banded_xdrop_block
+
+    # geometry/scoring arms rng-drawn (never rnd residues — see the
+    # round-rotation rule in run())
+    W, K = [(32, 16), (64, 32), (64, 64), (48, 16)][int(rng.integers(4))]
+    L = int(rng.integers(80, 220))
+    match, mismatch, gap, X = [
+        (1, 1, 1, 70), (2, 1, 1, 40), (1, 3, 2, 30)
+    ][int(rng.integers(3))]
+    qs = random_dna(rng, (B, L))
+    ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
+    if rng.integers(2):  # non-homologous arm: per-pair death/freeze
+        ts[: B // 2] = random_dna(rng, (B // 2, L))
+    res = banded_block_batch_pallas(
+        qs, ts, match=match, mismatch=mismatch, gap=gap, width=W,
+        block=K, x_threshold=X, with_history=True, with_meta=True,
+    )
+    paths = banded_block_traceback_host(
+        res, qs, ts, match=match, mismatch=mismatch, gap=gap, block=K,
+        x_threshold=X,
+    )
+    for b in range(min(B, 6)):
+        ora = banded_xdrop_block(
+            qs[b], ts[b], match=match, mismatch=mismatch, gap=gap,
+            width=W, block=K, x_threshold=X, return_state=True,
+        )
+        ok = (
+            int(res.score[b]) == ora.score
+            and (int(res.end_y[b]), int(res.end_j[b])) == ora.end
+            and int(res.n_rows[b]) == ora.n_rows
+            and np.array_equal(
+                res.band_history[: ora.n_rows, :, b], ora.band_history
+            )
+            and paths[b] == ora.path
+        )
+        if not ok:
+            _record_failure(
+                stats, "banded_block", rnd,
+                f"mismatch at pair {b} (W={W} K={K} "
+                f"{match}/{mismatch}/{gap} X={X}): "
+                f"{int(res.score[b])} != {ora.score}",
+                dict(qs=qs[:8], ts=ts[:8]), save_dir,
+            )
+    stats.pairs += B
+    stats.cells += B * W * L
+
+
 def _round_fixed_band(rng, stats, rnd, B, use_pallas, save_dir):
     """Static-corridor (|i-j| <= W) Pallas tier vs its scalar oracle
     (device tier exists on TPU only; the round is skipped elsewhere)."""
@@ -443,7 +502,7 @@ def run_fuzz(
     all_families = [
         "uniform", "tie_rich", "general4", "affine",
         "protein", "semiglobal", "banded", "fixed_band",
-        "search", "cigar",
+        "search", "cigar", "banded_block",
     ]
     families = families or all_families
     for f in families:
@@ -501,6 +560,10 @@ def run_fuzz(
             _round_banded(rng, stats, rnd, max(B // 8, 16), save_dir)
         elif fam == "fixed_band":
             _round_fixed_band(
+                rng, stats, rnd, max(B // 8, 16), use_pallas, save_dir
+            )
+        elif fam == "banded_block":
+            _round_banded_block(
                 rng, stats, rnd, max(B // 8, 16), use_pallas, save_dir
             )
         elif fam == "search":

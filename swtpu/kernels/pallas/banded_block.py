@@ -602,6 +602,231 @@ def banded_block_traceback_host(
     return paths
 
 
+MINF = jnp.int32(-(2**30))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "m", "W", "K", "X", "match", "mismatch", "gap", "D",
+        "table", "ppg", "rpp", "Lp", "max_steps", "b_real",
+    ),
+)
+def _block_fwd_walk_impl(
+    qT, trows, n, m, W, K, X, match, mismatch, gap, D, table,
+    ppg, rpp, Lp, max_steps, b_real=None,
+):
+    """Block-tier forward + DEVICE traceback walk (linear gaps).
+
+    Same motive as the per-round device walker
+    (kernels/xla/banded_scan.py::_banded_fwd_walk_impl): at 16K geometry
+    the history fetch costs ~4x the forward over the ~25 MB/s tunnel, so
+    the walk replays walk_block_history's rules on the HBM-resident
+    history and ships only the 2-bit move wire (decoded by the C++
+    decode_move_wire). Moves 0=diag/1=up/2=left/3=done, tie-break
+    diag -> up -> left; bit-equal to the host walker (tested).
+    """
+    score, end_y, end_j, n_rows, bases, _, hist = _banded_block_impl(
+        qT, trows, n, m, W, K, X, match, mismatch, gap, D, table,
+        True, ppg, rpp, Lp,
+    )
+    S = qT.shape[1]
+    Bp = S * LANE
+    # the walk is plain XLA over [B]-vector gathers whose cost SCALES
+    # with B (TPU gathers are near-serial) — slice every walked buffer
+    # to the real pairs (contiguous: pair p = s*128 + lane) so a batch-8
+    # workload doesn't pay the full padded lane row
+    B = Bp if b_real is None else int(b_real)
+    score = score.reshape(Bp)[:B]
+    end_y = end_y.reshape(Bp)[:B]
+    end_j = end_j.reshape(Bp)[:B]
+    n_rows = n_rows.reshape(Bp)[:B]
+    bases_f = bases.reshape(bases.shape[0], Bp)[:, :B]
+    flat = hist.reshape(n, W, Bp)[:, :, :B].reshape(-1)
+    q_f = qT.reshape(n, Bp)[:, :B].reshape(-1)  # [(y-1) * B + pair]
+    t_f = trows.reshape(Bp, Lp)[:B].reshape(-1)
+    # [pair * Lp + T_GUARD + j - 1]
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    g32 = jnp.int32(gap)
+    X32 = jnp.int32(X)
+
+    def val(raw, y, j, k, nr):
+        """walk_block_history.get as vector ops: in-band cells read the
+        history (0 = dead -> MINF); the y == 0 row and the out-of-band
+        column 0 read the boundary gap chains."""
+        in_band = (y >= 1) & (y <= nr) & (k >= 0) & (k < W)
+        chain0 = X32 - j * g32  # y == 0 top chain
+        top = jnp.where(
+            (j >= 0) & ((chain0 > 0) | (j == 0)), chain0, MINF
+        )
+        chainc = X32 - y * g32  # column-0 chain (only rows <= n_rows)
+        col0 = jnp.where(
+            (j == 0) & (chainc > 0) & (y >= 1) & (y <= nr), chainc, MINF
+        )
+        v = jnp.where(raw != 0, raw, MINF)
+        return jnp.where(
+            y == 0, top, jnp.where(in_band, v, col0)
+        )
+
+    def step(carry, _):
+        i, j, v, qwin, twin, done, ok, nsteps = carry
+        # row bases of rows i-1 and i (one 2-wide gather on bases;
+        # row_base[y-1] = bases[(y-1)//K] + (y-1)%K, tail block included)
+        yc = jnp.clip(jnp.stack([i - 1, i], axis=-1) - 1, 0, n - 1)
+        rb = (
+            jnp.take(
+                bases_f.reshape(-1), (yc // K) * B + bidx[:, None], axis=0
+            )
+            + yc % K
+        )
+        rb_im1, rb_i = rb[:, 0], rb[:, 1]
+        # diag/up live on history row i-2 at adjacent slots (2-wide)
+        k_d = (j - 1) - rb_im1
+        k_u = k_d + 1
+        base_d = jnp.clip(i - 2, 0, n - 1) * W * B + bidx
+        du = jnp.take(
+            flat,
+            jnp.stack(
+                [
+                    base_d + jnp.clip(k_d, 0, W - 1) * B,
+                    base_d + jnp.clip(k_u, 0, W - 1) * B,
+                ],
+                axis=-1,
+            ),
+            axis=0,
+        )
+        k_l = (j - 1) - rb_i
+        lf = jnp.take(
+            flat,
+            jnp.clip(i - 1, 0, n - 1) * W * B
+            + jnp.clip(k_l, 0, W - 1) * B
+            + bidx,
+            axis=0,
+        )
+        diag_v = val(du[:, 0], i - 1, j - 1, k_d, n_rows)
+        up_v = val(du[:, 1], i - 1, j, k_u, n_rows)
+        left_v = val(lf, i, j - 1, k_l, n_rows)
+
+        yc_ = qwin[:, 0]
+        xc_ = twin[:, 0]
+        if table is None:
+            s = jnp.where(
+                (yc_ >= 0) & (xc_ >= 0) & (yc_ == xc_), match, -mismatch
+            )
+        else:
+            s = _table_lookup(yc_, xc_, table)
+        can_d = (i > 0) & (j > 0) & (diag_v > MINF) & (diag_v + s == v)
+        can_u = (i > 0) & (up_v > MINF) & (up_v - g32 == v)
+        can_l = (j > 0) & (left_v > MINF) & (left_v - g32 == v)
+        at0 = (i == 0) & (j == 0)
+        bad = ~(done | at0 | can_d | can_u | can_l)
+        move = jnp.where(
+            done | at0 | bad,
+            3,
+            jnp.where(can_d, 0, jnp.where(can_u, 1, 2)),
+        ).astype(jnp.uint8)
+        ok = ok & ~bad
+        stepped = move < 3
+        dec_i = stepped & ((move == 0) | (move == 1))
+        dec_j = stepped & ((move == 0) | (move == 2))
+        ni = i - dec_i.astype(jnp.int32)
+        nj = j - dec_j.astype(jnp.int32)
+        nv = jnp.where(
+            move == 0,
+            diag_v,
+            jnp.where(move == 1, up_v, jnp.where(move == 2, left_v, v)),
+        )
+        pop = lambda a: jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        qwin = jnp.where(dec_i[:, None], pop(qwin), qwin)
+        twin = jnp.where(dec_j[:, None], pop(twin), twin)
+        return (
+            ni, nj, nv, qwin, twin, done | at0 | bad, ok,
+            nsteps + stepped.astype(jnp.int32),
+        ), move
+
+    # chunked early-exit walk + 2-bit packing: the per-round device
+    # walker's scheme verbatim (banded_scan.py:479-531)
+    CH = 64
+    Sc = -(-max_steps // CH) * CH
+    shifts = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    buf0 = jnp.full((B, Sc // 4), 255, jnp.uint8)
+    koff = jnp.arange(CH, dtype=jnp.int32)[None, :]
+
+    def chunk_body(state):
+        carry, buf, c = state
+        i, j, v, _, _, done, ok, nsteps = carry
+        qwin = jnp.take(
+            q_f,
+            jnp.clip(i[:, None] - 1 - koff, 0, n - 1) * B + bidx[:, None],
+            axis=0,
+        )
+        twin = jnp.take(
+            t_f,
+            bidx[:, None] * Lp
+            + jnp.clip(T_GUARD + j[:, None] - 1 - koff, 0, Lp - 1),
+            axis=0,
+        )
+        carry = (i, j, v, qwin, twin, done, ok, nsteps)
+        carry, mv = jax.lax.scan(step, carry, None, length=CH, unroll=8)
+        packed = (
+            (mv.T.reshape(B, CH // 4, 4) << shifts).sum(
+                axis=-1, dtype=jnp.uint8
+            )
+        )
+        buf = jax.lax.dynamic_update_slice(buf, packed, (0, c * (CH // 4)))
+        return carry, buf, c + 1
+
+    def chunk_cond(state):
+        carry, _, c = state
+        return (c < Sc // CH) & jnp.any(~carry[5])
+
+    at_origin = (end_y == 0) & (end_j == 0)
+    carry0 = (
+        end_y, end_j, score + X32,
+        jnp.zeros((B, CH), jnp.int32), jnp.zeros((B, CH), jnp.int32),
+        at_origin, jnp.ones((B,), bool), jnp.zeros(B, jnp.int32),
+    )
+    (fi, fj, _, _, _, _, ok, nsteps), buf, _ = jax.lax.while_loop(
+        chunk_cond, chunk_body, (carry0, buf0, jnp.int32(0))
+    )
+    ok = ok & (((fi == 0) & (fj == 0)) | at_origin)
+    meta = jnp.stack(
+        [score, end_y, end_j, nsteps, ok.astype(jnp.int32)], axis=1
+    )
+    meta8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(B, 20)
+    return jnp.concatenate([meta8, buf], axis=1)
+
+
+def banded_block_align_device(
+    qs,
+    ts,
+    match: int = 1,
+    mismatch: int = 1,
+    gap: int = 1,
+    width: int = 64,
+    block: int = 32,
+    x_threshold: int = 70,
+    dmax: Optional[int] = None,
+    matrix=None,
+):
+    """Block-tier forward AND traceback on device: only scores + 2-bit
+    move wires cross the host link. Paths bit-equal to
+    banded_block_traceback_host / the oracle (tested). Returns
+    [(score, path)] per pair, path in the oracle's 1-based (y, j)
+    origin -> endpoint convention."""
+    from swtpu.kernels.xla.banded_scan import decode_device_walk
+
+    W, K, X = int(width), int(block), int(x_threshold)
+    D = (min(K, W // 2) if dmax is None else int(dmax))
+    table = None if matrix is None else _packed_banded_table(matrix)
+    qT, trows, B, S, n, m, ppg, rpp, Lp = _prep(qs, ts)
+    wire = _block_fwd_walk_impl(
+        qT, trows, n, m, W, K, X, int(match), int(mismatch), int(gap),
+        D, table, ppg, rpp, Lp, max_steps=n + m + 1, b_real=B,
+    )
+    return decode_device_walk(np.asarray(wire))
+
+
 def bench_forward_fn(
     qs,
     ts,

@@ -218,6 +218,33 @@ def test_block_engine_batch_padding(rng):
     _engine_vs_oracle(rng, B=3, n=48, m=48, K=16, W=32)
 
 
+def test_block_engine_device_walk(rng):
+    """Device traceback (2-bit move wire) bit-equal to the oracle's
+    (score, path) — incl. a pair that dies early and a tie-rich
+    scoring."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.kernels.pallas.banded_block import banded_block_align_device
+
+    for match, mismatch, gap, X in ((1, 1, 1, 40), (2, 1, 1, 20)):
+        B, n, m = 3, 80, 84
+        qs = random_dna(rng, (B, n))
+        ts = np.stack([mutate(rng, q, out_len=m) for q in qs])
+        ts[2] = random_dna(rng, (m,))  # drifts/dies differently
+        with pltpu.force_tpu_interpret_mode():
+            out = banded_block_align_device(
+                qs, ts, match=match, mismatch=mismatch, gap=gap,
+                width=32, block=16, x_threshold=X,
+            )
+        for p in range(B):
+            os_, op = banded_xdrop_block(
+                qs[p], ts[p], match=match, mismatch=mismatch, gap=gap,
+                width=32, block=16, x_threshold=X,
+            )
+            assert out[p][0] == os_, p
+            assert out[p][1] == op, p
+
+
 def test_block_oracle_all_dead_start():
     """All-mismatch pair under harsh scoring: nothing ever scores above
     the origin, score 0, path [(0, 0)]."""
