@@ -241,6 +241,93 @@ def _tile_scan(q, t, top_row, left_col, corner, table, n_codes, gap):
     return bottom_row, right_col, best, bi, bj
 
 
+def _tile_colscan_affine(
+    q, t, top_row, top_row_f, left_col, left_col_e, corner,
+    table, n_codes, go, ge,
+):
+    """AFFINE (Gotoh) R x C tile on the column-parallel schedule — the
+    affine twin of `_tile_colscan` (same contract and returns as
+    `_tile_scan_affine`, bit-equal, tested).
+
+    The intra-column F chain has the same closed form as the linear
+    chain: F[i,j] = max(F[i-1,j]-ge, H[i-1,j]-go) unrolls to a max-plus
+    prefix over X[k] = pre[k] - go (plus the F boundary folded into
+    X[0]), because the F-from-F branch routes H[k] = max(pre[k], F[k])
+    through an extra -go and is dominated whenever go >= 0 — the
+    colscan-affine decoupling (kernels/xla/colscan.py), here with
+    explicit tile boundaries. E stays a carried per-slot horizontal
+    recurrence; H itself has no direct vertical dependence.
+    """
+    R, C = q.shape[0], t.shape[0]
+    stride = table.shape[0]
+    iota = jnp.arange(R + 1)
+    ghost_q, ghost_t = stride - 2, stride - 1
+    q_slot = jnp.concatenate(
+        [jnp.array([ghost_q], jnp.int32), jnp.minimum(q, ghost_q)]
+    )
+    prof = _tile_profile(q_slot, table)
+    left_ext = jnp.concatenate([corner[None], left_col])
+    left_ext_e = jnp.concatenate(
+        [jnp.array([NEGB], jnp.int32), left_col_e]
+    )
+    go32, ge32 = jnp.int32(go), jnp.int32(ge)
+
+    shifts = []
+    sh = 1
+    while sh <= R:
+        shifts.append(sh)
+        sh *= 2
+
+    def step(carry, xs):
+        hprev, eprev, best_vec, bestj_vec = carry
+        t_j, top_j, top_f_j, j = xs
+        s = _prof_select(prof, jnp.broadcast_to(t_j, (R + 1,)), n_codes)
+        diag = jnp.concatenate([jnp.array([NEGB], jnp.int32), hprev[:-1]])
+        e_cur = jnp.maximum(eprev - ge32, hprev - go32)
+        pre = jnp.maximum(jnp.maximum(diag + s, e_cur), 0)
+        pre = jnp.where(iota == 0, top_j, pre)
+        # F chain: prefix over X (slot 0 folds the F boundary)
+        x = pre - go32
+        x = jnp.where(
+            iota == 0, jnp.maximum(top_j - go32, top_f_j - ge32), x
+        )
+        p = x
+        for shv in shifts:
+            shifted = jnp.concatenate(
+                [jnp.full((shv,), NEGB, jnp.int32), p[:-shv]]
+            )
+            p = jnp.maximum(p, shifted - shv * ge32)
+        f_cur = jnp.concatenate(
+            [jnp.array([NEGB], jnp.int32), p[:-1]]
+        )
+        f_cur = jnp.where(iota == 0, top_f_j, f_cur)
+        h = jnp.maximum(pre, f_cur)
+        h = jnp.where(iota == 0, top_j, h)
+        masked = jnp.where(iota > 0, h, NEGB)
+        upd = masked > best_vec
+        best_vec = jnp.where(upd, masked, best_vec)
+        bestj_vec = jnp.where(upd, j, bestj_vec)
+        return (h, e_cur, best_vec, bestj_vec), (h[R], f_cur[R])
+
+    init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
+    top_f_ext = top_row_f
+    (hlast, elast, best_vec, bestj_vec), (bots, bots_f) = jax.lax.scan(
+        step,
+        (left_ext, left_ext_e, init_vec, jnp.zeros((R + 1,), jnp.int32)),
+        (t, top_row, top_f_ext, jnp.arange(1, C + 1)),
+        unroll=8,
+    )
+    big = jnp.int32(1 << 30)
+    vmax = best_vec.max()
+    i_at = jnp.where(best_vec == vmax, iota, big).min()
+    bj = jax.lax.dynamic_index_in_dim(bestj_vec, i_at, keepdims=False)
+    zero = vmax <= 0
+    best = jnp.maximum(vmax, 0)
+    bi = jnp.where(zero, 0, i_at)
+    bj = jnp.where(zero, 0, bj)
+    return bots, bots_f, hlast[1:], elast[1:], best, bi, bj
+
+
 def _tile_scan_affine(
     q, t, top_row, top_row_f, left_col, left_col_e, corner,
     table, n_codes, go, ge,
@@ -496,7 +583,7 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis, n_codes):
                 (my == 0) | (b == 0), jnp.int32(0), prev_top_last
             )
             bot, bot_f, right, right_e, tile_best, tbi, tbj = (
-                _tile_scan_affine(
+                _tile_colscan_affine(
                     q_strip, t_block, top, top_f, left, left_e, corner,
                     table, n_codes, jnp.int32(go), jnp.int32(ge),
                 )

@@ -68,6 +68,47 @@ def test_tile_colscan_matches_tile_scan(rng):
             assert np.array_equal(np.asarray(a), np.asarray(b)), (R, C)
 
 
+def test_tile_colscan_affine_matches_tile_scan(rng):
+    """Affine column tile bit-equal to the anti-diagonal affine tile on
+    every return (H/F boundary rows, right H/E columns, score,
+    endpoint) — incl. the F-boundary fold into the prefix seed."""
+    from swtpu.kernels.xla.sw_scan import _extended_table
+    from swtpu.parallel.longpair import (
+        _tile_colscan_affine,
+        _tile_scan_affine,
+    )
+
+    from swtpu.core.scoring import ScoringParams, dna_matrix
+
+    params = ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
+    table = _extended_table(params)
+    for R, C in [(8, 8), (16, 8), (8, 24), (5, 7), (32, 16)]:
+        q = rng.integers(0, 4, R)
+        t = rng.integers(0, 4, C)
+        top = rng.integers(0, 90, C)
+        top_f = rng.integers(-60, 40, C)
+        left = rng.integers(0, 90, R)
+        left_e = rng.integers(-60, 40, R)
+        corner = int(rng.integers(0, 90))
+        args = (
+            jnp.asarray(q, jnp.int32),
+            jnp.asarray(t, jnp.int32),
+            jnp.asarray(top, jnp.int32),
+            jnp.asarray(top_f, jnp.int32),
+            jnp.asarray(left, jnp.int32),
+            jnp.asarray(left_e, jnp.int32),
+            jnp.asarray(corner, jnp.int32),
+            jnp.asarray(table),
+            4,
+            40,
+            15,
+        )
+        ref = _tile_scan_affine(*args)
+        got = _tile_colscan_affine(*args)
+        for a, b in zip(ref, got):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), (R, C)
+
+
 def test_auto_block():
     """_auto_block minimizes (nb + D - 1) * (R + Lt/nb) over divisors."""
     from swtpu.parallel.longpair import _auto_block
