@@ -93,12 +93,22 @@ def _block_kernel(
     D,
     table,
     with_history,
+    go=None,
+    ge=None,
 ):
     """One K-row block for all pairs: rows y0+1 .. y0+K.
 
     state rows in: 0 base, 1 max, 2 end_y, 3 end_j;
     state rows out: + 4 alive, 5 delta.
+
+    Affine (Gotoh) mode when go is not None: the oracle twin is
+    banded_xdrop_block_affine — F rides prev[k+1] exactly like the
+    linear up (static slot re-index), E joins the serial chain, both
+    with the EF_DEAD dead-blocking convention; history stays H-only
+    (E/F host-reconstructible, oracle.banded_block.reconstruct_block_ef).
+    The carried state doubles to [2W]: H rows then F rows.
     """
+    affine = go is not None
     if with_history:
         hist_ref, hrow_ref, sem, prev_ref, bv_ref, rb_ref, ra_ref = rest
     else:
@@ -110,23 +120,43 @@ def _block_kernel(
     mm32 = jnp.int32(-mismatch)
     g32 = jnp.int32(gap)
     X32 = jnp.int32(X)
+    MINF = jnp.int32(-(2**30))
+    EFD = jnp.int32(-(2**28))
+    EFC = jnp.int32(-(2**27))
+    go32 = jnp.int32(go if affine else 0)
+    ge32 = jnp.int32(ge if affine else 0)
     n_chunks = W // CHUNK
+    # prev_ref layout: rows [0, W] = H slots 0..W (slot W dead pad);
+    # affine adds rows [W+1, 2W+1] = F slots 0..W (slot W = EF_DEAD)
+    FOFF = W + 1
+
+    def chain_a(y):
+        # affine leading-gap boundary chain (X at the origin)
+        return jnp.where(y == 0, X32, X32 - go32 - (y - 1) * ge32)
 
     base = state_ref[0]
     y0 = y0_ref[0]
 
-    prev_ref[pl.ds(0, W)] = carried_ref[:]
+    prev_ref[pl.ds(0, W)] = carried_ref[pl.ds(0, W)]
     prev_ref[pl.ds(W, 1)] = zrow  # slot W: dead up-neighbor of slot W-1
+    if affine:
+        prev_ref[pl.ds(FOFF, W)] = carried_ref[pl.ds(W, W)]
+        prev_ref[pl.ds(FOFF + W, 1)] = jnp.full((1, S, LANE), EFD, jnp.int32)
     bv_ref[:] = jnp.zeros((W, S, LANE), jnp.int32)
     rb_ref[:] = jnp.zeros((W, S, LANE), jnp.int32)
 
     def row_body(r, _):
         y = y0 + r + 1
-        pin = jnp.maximum(X32 - y * g32, 0)  # column-0 gap chain value
+        if affine:
+            pin = jnp.maximum(chain_a(y), 0)  # column-0 pin (H)
+            pin_f = chain_a(y)  # raw chain rides the F state
+        else:
+            pin = jnp.maximum(X32 - y * g32, 0)  # column-0 gap chain
         bpr = base + r
         # left of slot 0 is column base+r-1: the chain when that is
         # column 0, else out-of-corridor (dead)
         h = jnp.where(bpr == 1, pin, zero)
+        e = jnp.full((S, LANE), EFD, jnp.int32)  # E left of slot 0: dead
         qrow = q_ref[pl.ds(r, 1)][0]
         for jc in range(n_chunks):
             j0 = jc * CHUNK
@@ -142,15 +172,38 @@ def _block_kernel(
             pre2 = jnp.maximum(jnp.where(prev_a > 0, prev_a + s, 0), 0)
             kio = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, S, LANE), 0)
             pin_mask = (bpr[None] + (kio + j0)) == 0  # slot holds column 0
+            if affine:
+                # F off the previous row's slot k+1 (chunk-wide): the
+                # affine up, with dead blocking on both branches
+                pf = prev_ref[pl.ds(FOFF + j0 + 1, CHUNK)]
+                Fc = jnp.maximum(
+                    jnp.where(pf > EFC, pf - ge32, MINF),
+                    jnp.where(prev_b > 0, prev_b - go32, MINF),
+                )
             hs = []
             for k in range(CHUNK):
-                h = jnp.maximum(
-                    _at(pre2, k), jnp.maximum(_at(prev_b, k), h) - g32
-                )
-                # column-0 pin INSIDE the chain: the pinned value is the
-                # left neighbor of the next slot (oracle sets left = v
-                # after pinning)
-                h = jnp.where(_at(pin_mask, k), pin, h)
+                if affine:
+                    e = jnp.maximum(
+                        jnp.where(e > EFC, e - ge32, MINF),
+                        jnp.where(h > 0, h - go32, MINF),
+                    )
+                    h = jnp.maximum(
+                        _at(pre2, k), jnp.maximum(_at(Fc, k), e)
+                    )
+                    h = jnp.where(_at(pin_mask, k), pin, h)
+                    # dead blocks E propagation; pin column E is dead
+                    e = jnp.where(
+                        _at(pin_mask, k) | (h == 0), EFD,
+                        jnp.maximum(e, EFD),
+                    )
+                else:
+                    h = jnp.maximum(
+                        _at(pre2, k), jnp.maximum(_at(prev_b, k), h) - g32
+                    )
+                    # column-0 pin INSIDE the chain: the pinned value is
+                    # the left neighbor of the next slot (oracle sets
+                    # left = v after pinning)
+                    h = jnp.where(_at(pin_mask, k), pin, h)
                 hs.append(h)
             Hc = jnp.stack(hs)
             # per-slot block max with first-row tie-break (strict >)
@@ -160,7 +213,14 @@ def _block_kernel(
             rb_ref[pl.ds(j0, CHUNK)] = jnp.where(
                 upd, r, rb_ref[pl.ds(j0, CHUNK)]
             )
+            if affine:
+                # F pin + death, then store (writes must follow the
+                # chunk's prev-row reads of slots j0..j0+CHUNK)
+                Fc = jnp.where(pin_mask, pin_f, Fc)
+                Fc = jnp.where(Hc == 0, EFD, jnp.maximum(Fc, EFD))
             prev_ref[pl.ds(j0, CHUNK)] = Hc
+            if affine:
+                prev_ref[pl.ds(FOFF + j0, CHUNK)] = Fc
             if with_history:
                 hrow_ref[0, pl.ds(j0, CHUNK)] = Hc
         if with_history:
@@ -205,6 +265,12 @@ def _block_kernel(
         c = prev_ref[pl.ds(j0, CHUNK)]
         z = jnp.where(c < cutoff[None], 0, c)
         ra_ref[pl.ds(D + j0, CHUNK)] = z
+        if affine:
+            # F dies with H (the affine family's dead-blocking rule)
+            fz = jnp.where(
+                z == 0, EFD, prev_ref[pl.ds(FOFF + j0, CHUNK)]
+            )
+            prev_ref[pl.ds(FOFF + j0, CHUNK)] = fz
         if with_history:
             hrow_ref[0, pl.ds(j0, CHUNK)] = z
         for k in range(CHUNK):
@@ -228,15 +294,32 @@ def _block_kernel(
     u = delta + D  # dead pairs: delta 0 -> u = D keeps the row unshifted
     nbits = max(1, (2 * D).bit_length())
     span = W + 2 * D
-    for i in range(nbits):
-        sh = 1 << i
-        bit = ((u >> i) & 1) > 0
-        for p0 in range(0, span - sh, CHUNK):
-            cw = min(CHUNK, span - sh - p0)
-            a = ra_ref[pl.ds(p0, cw)]
-            b = ra_ref[pl.ds(p0 + sh, cw)]
-            ra_ref[pl.ds(p0, cw)] = jnp.where(bit[None], b, a)
-    carried_out[:] = ra_ref[pl.ds(0, W)]
+
+    def barrel():
+        for i in range(nbits):
+            sh = 1 << i
+            bit = ((u >> i) & 1) > 0
+            for p0 in range(0, span - sh, CHUNK):
+                cw = min(CHUNK, span - sh - p0)
+                a = ra_ref[pl.ds(p0, cw)]
+                b = ra_ref[pl.ds(p0 + sh, cw)]
+                ra_ref[pl.ds(p0, cw)] = jnp.where(bit[None], b, a)
+
+    barrel()
+    carried_out[pl.ds(0, W)] = ra_ref[pl.ds(0, W)]
+    if affine:
+        # same realign for the carried F row, EF_DEAD outside
+        efrow = jnp.full((1, S, LANE), EFD, jnp.int32)
+        for p0 in range(0, D):
+            ra_ref[pl.ds(p0, 1)] = efrow
+            ra_ref[pl.ds(D + W + p0, 1)] = efrow
+        for jc in range(n_chunks):
+            j0 = jc * CHUNK
+            ra_ref[pl.ds(D + j0, CHUNK)] = prev_ref[
+                pl.ds(FOFF + j0, CHUNK)
+            ]
+        barrel()
+        carried_out[pl.ds(W, W)] = ra_ref[pl.ds(0, W)]
 
     st = jnp.stack(
         [
@@ -255,16 +338,17 @@ def _block_kernel(
     jax.jit,
     static_argnames=(
         "W", "K", "X", "match", "mismatch", "gap", "D", "table",
-        "with_history",
+        "with_history", "go", "ge",
     ),
 )
 def _block_call(
     y0, qb, twin, carried, state4, W, K, X, match, mismatch, gap, D,
-    table, with_history,
+    table, with_history, go=None, ge=None,
 ):
     S = qb.shape[1]
+    CW = 2 * W if go is not None else W  # affine carries (H, F)
     out_shape = [
-        jax.ShapeDtypeStruct((W, S, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((CW, S, LANE), jnp.int32),
         jax.ShapeDtypeStruct((6, S, LANE), jnp.int32),
     ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -278,7 +362,8 @@ def _block_call(
             pltpu.SemaphoreType.DMA,
         ]
     scratch += [
-        pltpu.VMEM((W + 1, S, LANE), jnp.int32),  # prev row
+        pltpu.VMEM((CW + (2 if go is not None else 1), S, LANE),
+                   jnp.int32),  # prev H (+F) rows
         pltpu.VMEM((W, S, LANE), jnp.int32),  # per-slot block max
         pltpu.VMEM((W, S, LANE), jnp.int32),  # its first row
         pltpu.VMEM((W + 2 * D, S, LANE), jnp.int32),  # realign barrel
@@ -287,7 +372,7 @@ def _block_call(
         functools.partial(
             _block_kernel,
             W=W, K=K, X=X, match=match, mismatch=mismatch, gap=gap, D=D,
-            table=table, with_history=with_history,
+            table=table, with_history=with_history, go=go, ge=ge,
         ),
         out_shape=tuple(out_shape),
         in_specs=[
@@ -363,11 +448,12 @@ def _gather_twin(trows, base_flat, C, m, ppg, rpp, Lp):
     static_argnames=(
         "n", "m", "W", "K", "X", "match", "mismatch", "gap", "D",
         "table", "with_history", "ppg", "rpp", "Lp", "early_exit",
+        "go", "ge",
     ),
 )
 def _banded_block_impl(
     qT, trows, n, m, W, K, X, match, mismatch, gap, D, table,
-    with_history, ppg, rpp, Lp, early_exit=True,
+    with_history, ppg, rpp, Lp, early_exit=True, go=None, ge=None,
 ):
     """Full forward: lax.while_loop over blocks, early exit when every
     pair is done. Carries are frozen per pair via the done mask — the
@@ -377,11 +463,21 @@ def _banded_block_impl(
     NBf, K_tail = n // K, n % K
     NB = NBf + (1 if K_tail else 0)
     base0 = 1 - W // 2
+    affine = go is not None
+    EFD = -(2**28)
     j0s = base0 - 1 + np.arange(W)
-    carried0 = np.where(j0s >= 0, X - j0s * gap, 0)
-    carried0 = np.maximum(carried0, 0).astype(np.int32)
+    if affine:
+        chain0 = np.where(j0s == 0, X, X - go - (j0s - 1) * ge)
+        carried0 = np.where(j0s >= 0, np.maximum(chain0, 0), 0)
+        carried0 = np.concatenate(
+            [carried0, np.full(W, EFD)]
+        ).astype(np.int32)
+    else:
+        carried0 = np.where(j0s >= 0, X - j0s * gap, 0)
+        carried0 = np.maximum(carried0, 0).astype(np.int32)
+    CW = carried0.shape[0]
     carried = jnp.broadcast_to(
-        jnp.asarray(carried0)[:, None, None], (W, S, L)
+        jnp.asarray(carried0)[:, None, None], (CW, S, L)
     ).astype(jnp.int32)
     state = jnp.stack(
         [
@@ -410,7 +506,7 @@ def _banded_block_impl(
         twin = twin.T.reshape(Kb + W - 1, S, L)
         outs = _block_call(
             y0, qb, twin, carried, state, W, Kb, X, match, mismatch,
-            gap, D, table, with_history,
+            gap, D, table, with_history, go=go, ge=ge,
         )
         c_new, st_new = outs[0], outs[1]
         dmask = done > 0
@@ -518,17 +614,23 @@ def banded_block_batch_pallas(
     matrix=None,
     with_history: bool = False,
     with_meta: bool = False,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
 ) -> BandedBlockBatchResult:
     """Batched block-adaptive banded X-drop forward pass.
 
     qs [B, n] / ts [B, m] int codes (uniform lengths; any alphabet with
     ``matrix``, 0-3 DNA without). Bit-exact per pair against
-    ``oracle.banded_block.banded_xdrop_block`` with the same
+    ``oracle.banded_block.banded_xdrop_block`` (linear) /
+    ``banded_xdrop_block_affine`` (``gap_open != gap_extend``; history
+    stays H-only, E/F host-reconstructible) with the same
     (width, block, x_threshold, dmax). ``with_meta`` also returns the
     per-block bases/deltas; ``with_history`` the int32 band history
     [n, W, B] for the host walker.
     """
     W, K, X = int(width), int(block), int(x_threshold)
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None  # exactly linear
     if W % CHUNK:
         raise ValueError(f"width must be a multiple of {CHUNK}")
     D = (min(K, W // 2) if dmax is None else int(dmax))
@@ -543,6 +645,8 @@ def banded_block_batch_pallas(
     score, end_y, end_j, n_rows, bases, deltas, hist = _banded_block_impl(
         qT, trows, n, m, W, K, X, int(match), int(mismatch), int(gap), D,
         table, bool(with_history), ppg, rpp, Lp,
+        go=None if gap_open is None else int(gap_open),
+        ge=None if gap_extend is None else int(gap_extend),
     )
     sl = lambda a: np.asarray(a).reshape(a.shape[:-2] + (-1,))[..., :B]
     return BandedBlockBatchResult(
@@ -570,11 +674,20 @@ def banded_block_traceback_host(
     block: int = 32,
     x_threshold: int = 70,
     matrix=None,
+    gap_open: Optional[int] = None,
+    gap_extend: Optional[int] = None,
 ) -> List[List[Tuple[int, int]]]:
     """Host walk over a with_history+with_meta forward result: the
-    oracle's shared walker per pair (paths bit-equal to the oracle)."""
-    from swtpu.oracle.banded_block import walk_block_history
+    oracle's shared walker per pair (paths bit-equal to the oracle).
+    Affine results (gap_open != gap_extend) walk the Gotoh three-state
+    path over host-reconstructed E/F bands."""
+    from swtpu.oracle.banded_block import (
+        walk_block_history,
+        walk_block_history_affine,
+    )
 
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None
     qs = np.asarray(qs)
     ts = np.asarray(ts)
     K = int(block)
@@ -585,6 +698,17 @@ def banded_block_traceback_host(
             res.bases[(np.arange(nr)) // K, p]
             + (np.arange(nr) % K)
         )
+        if gap_open is not None:
+            paths.append(
+                walk_block_history_affine(
+                    res.band_history[:nr, :, p], rb,
+                    (int(res.end_y[p]), int(res.end_j[p])),
+                    qs[p], ts[p], match=match, mismatch=mismatch,
+                    gap_open=gap_open, gap_extend=gap_extend,
+                    x_threshold=x_threshold, matrix=matrix,
+                )
+            )
+            continue
         paths.append(
             walk_block_history(
                 res.band_history[:nr, :, p],
@@ -839,6 +963,8 @@ def bench_forward_fn(
     dmax=None,
     matrix=None,
     with_history=False,
+    gap_open=None,
+    gap_extend=None,
 ):
     """(fn, devargs) for honest timing via swtpu.utils.time_kernel.
 
@@ -846,6 +972,8 @@ def bench_forward_fn(
     block kernels) on pre-staged device arrays and returns [Bp] scores.
     """
     W, K, X = int(width), int(block), int(x_threshold)
+    if gap_open is not None and gap_open == gap_extend:
+        gap, gap_open, gap_extend = gap_open, None, None
     D = (min(K, W // 2) if dmax is None else int(dmax))
     table = None if matrix is None else _packed_banded_table(matrix)
     qT, trows, B, S, n, m, ppg, rpp, Lp = _prep(qs, ts)
@@ -855,6 +983,8 @@ def bench_forward_fn(
             qT_d, t_d, n, m, W, K, X, int(match), int(mismatch),
             int(gap), D, table, bool(with_history), ppg, rpp, Lp,
             early_exit=False,
+            go=None if gap_open is None else int(gap_open),
+            ge=None if gap_extend is None else int(gap_extend),
         )[0]
 
     return fn, (qT, trows)

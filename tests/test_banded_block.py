@@ -245,6 +245,138 @@ def test_block_engine_device_walk(rng):
             assert out[p][1] == op, p
 
 
+def test_block_affine_equals_linear_when_open_eq_extend(rng):
+    """gap_open == gap_extend degenerates Gotoh to linear: the affine
+    block oracle must be bit-identical to the linear one (scores, paths,
+    histories) — the affine family's standard consistency check."""
+    from swtpu.oracle.banded_block import banded_xdrop_block_affine
+
+    for _ in range(4):
+        L = int(rng.integers(80, 220))
+        q = random_dna(rng, (L,))
+        t = mutate(rng, q, out_len=L)
+        lin = banded_xdrop_block(
+            q, t, match=2, mismatch=1, gap=2, x_threshold=40,
+            return_state=True,
+        )
+        aff = banded_xdrop_block_affine(
+            q, t, match=2, mismatch=1, gap_open=2, gap_extend=2,
+            x_threshold=40, return_state=True,
+        )
+        assert aff.score == lin.score
+        assert aff.end == lin.end
+        assert aff.path == lin.path
+        assert np.array_equal(aff.band_history, lin.band_history)
+        assert np.array_equal(aff.bases, lin.bases)
+
+
+def test_block_affine_matches_full_on_homologous(rng):
+    """~70% identity pairs stay in-corridor: the affine block tier
+    equals the full-matrix Gotoh semiglobal (scores and endpoints)."""
+    from swtpu.oracle.banded_block import banded_xdrop_block_affine
+    from swtpu.oracle.semiglobal import semiglobal_affine_full
+
+    for _ in range(5):
+        L = int(rng.integers(100, 320))
+        q = random_dna(rng, (L,))
+        t = mutate(rng, q, out_len=L)
+        fs, fpath = semiglobal_affine_full(
+            q, t, match=2, mismatch=1, gap_open=3, gap_extend=1
+        )
+        bs, bpath = banded_xdrop_block_affine(
+            q, t, match=2, mismatch=1, gap_open=3, gap_extend=1,
+            x_threshold=70,
+        )
+        assert bs == fs
+        assert bpath[-1] == fpath[-1]
+
+
+def test_block_affine_path_rescores(rng):
+    """Affine path rescoring: run-length gap accounting under Gotoh."""
+    from swtpu.oracle.banded_block import banded_xdrop_block_affine
+
+    go, ge = 3, 1
+    for _ in range(5):
+        L = int(rng.integers(80, 260))
+        q = random_dna(rng, (L,))
+        t = mutate(rng, q, out_len=L)
+        s, path = banded_xdrop_block_affine(
+            q, t, match=2, mismatch=1, gap_open=go, gap_extend=ge
+        )
+        total, prev_move = 0, None
+        for (i0, j0), (i1, j1) in zip(path, path[1:]):
+            d = (i1 - i0, j1 - j0)
+            if d == (1, 1):
+                total += 2 if q[i1 - 1] == t[j1 - 1] else -1
+            else:
+                total -= go if d != prev_move else ge
+            prev_move = d if d != (1, 1) else None
+        assert total == s
+
+
+def test_block_engine_affine_matches_oracle(rng):
+    """Affine (Gotoh) block engine bit-exact vs banded_xdrop_block_affine:
+    scores, endpoints, H history, and the three-state host walk over
+    reconstructed E/F bands."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.kernels.pallas.banded_block import (
+        banded_block_batch_pallas,
+        banded_block_traceback_host,
+    )
+    from swtpu.oracle.banded_block import banded_xdrop_block_affine
+
+    B, n, m, W, K, X = 4, 90, 96, 32, 16, 30
+    go, ge = 3, 1
+    qs = random_dna(rng, (B, n))
+    ts = np.stack([mutate(rng, q, out_len=m) for q in qs])
+    ts[3] = random_dna(rng, (m,))  # early-death pair
+    with pltpu.force_tpu_interpret_mode():
+        res = banded_block_batch_pallas(
+            qs, ts, match=2, mismatch=1, gap_open=go, gap_extend=ge,
+            width=W, block=K, x_threshold=X, with_history=True,
+            with_meta=True,
+        )
+        paths = banded_block_traceback_host(
+            res, qs, ts, match=2, mismatch=1, gap_open=go,
+            gap_extend=ge, block=K, x_threshold=X,
+        )
+    for p in range(B):
+        ora = banded_xdrop_block_affine(
+            qs[p], ts[p], match=2, mismatch=1, gap_open=go,
+            gap_extend=ge, width=W, block=K, x_threshold=X,
+            return_state=True,
+        )
+        assert res.score[p] == ora.score, p
+        assert (res.end_y[p], res.end_j[p]) == ora.end, p
+        assert res.n_rows[p] == ora.n_rows, p
+        assert np.array_equal(
+            res.band_history[: ora.n_rows, :, p], ora.band_history
+        ), p
+        assert paths[p] == ora.path, p
+
+
+def test_block_engine_affine_open_eq_extend_routes_linear(rng):
+    """gap_open == gap_extend must route to (and bit-match) the linear
+    engine path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.kernels.pallas.banded_block import banded_block_batch_pallas
+
+    qs = random_dna(rng, (2, 64))
+    ts = np.stack([mutate(rng, q, out_len=64) for q in qs])
+    with pltpu.force_tpu_interpret_mode():
+        lin = banded_block_batch_pallas(
+            qs, ts, gap=2, width=32, block=16, x_threshold=30
+        )
+        aff = banded_block_batch_pallas(
+            qs, ts, gap_open=2, gap_extend=2, width=32, block=16,
+            x_threshold=30,
+        )
+    assert np.array_equal(lin.score, aff.score)
+    assert np.array_equal(lin.end_j, aff.end_j)
+
+
 def test_block_oracle_all_dead_start():
     """All-mismatch pair under harsh scoring: nothing ever scores above
     the origin, score 0, path [(0, 0)]."""
