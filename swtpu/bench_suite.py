@@ -225,6 +225,67 @@ def bench_semiglobal(quick=False):
             print("JSON:", json.dumps(rec))
             out.append(rec)
 
+        # affine (Gotoh 3/1) and protein (BLOSUM62 + 11/1, X=120) on the
+        # block tier — the engine-matrix cells, same honest timing
+        from swtpu.core.protein import BLOSUM62
+        from swtpu.oracle.banded_block import banded_xdrop_block_affine
+
+        res = bblock.banded_block_batch_pallas(
+            qs, ts, width=64, block=64, gap_open=3, gap_extend=1
+        )
+        parity = all(
+            int(res.score[p]) == banded_xdrop_block_affine(
+                qs[p], ts[p], gap_open=3, gap_extend=1, width=64, block=64
+            )[0]
+            for p in range(2)
+        )
+        fn, args = bblock.bench_forward_fn(
+            qs, ts, width=64, block=64, gap_open=3, gap_extend=1
+        )
+        per = time_kernel(fn, args, k=8)
+        rec = dict(
+            kernel="banded_block_affine_w64_k64", batch=B, seq_len=L,
+            wall_ms=round(per * 1e3, 2),
+            band_gcups=round(
+                int(res.n_rows.astype(np.int64).sum()) * 64 / per / 1e9, 1
+            ),
+            alignments_per_s=round(B / per, 1),
+            parity_vs_block_oracle=parity,
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(f"banded_block_affine_w64_k64: {per*1e3/B*1e4:.1f} ms / 10K")
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+
+        pq64 = rng.integers(0, 24, size=(B, L)).astype(np.uint8)
+        pt64 = pq64.copy()
+        for b in range(B):
+            idx = rng.integers(0, L, L // 3)
+            pt64[b, idx] = rng.integers(0, 24, L // 3)
+        res = bblock.banded_block_batch_pallas(
+            pq64, pt64, width=64, block=64, matrix=BLOSUM62,
+            x_threshold=120,
+        )
+        fn, args = bblock.bench_forward_fn(
+            pq64, pt64, width=64, block=64, matrix=BLOSUM62,
+            x_threshold=120,
+        )
+        per = time_kernel(fn, args, k=8)
+        rec = dict(
+            kernel="banded_block_blosum62_w64_k64", batch=B, seq_len=L,
+            wall_ms=round(per * 1e3, 2),
+            band_gcups=round(
+                int(res.n_rows.astype(np.int64).sum()) * 64 / per / 1e9, 1
+            ),
+            alignments_per_s=round(B / per, 1),
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(
+            f"banded_block_blosum62_w64_k64: {per*1e3/B*1e4:.1f} ms / 10K"
+        )
+        print("JSON:", json.dumps(rec))
+        out.append(rec)
+
     # fixed-band rowscan (the issue-bound banded tier, BASELINE configs
     # 1-2 geometry): band cells at full-rowscan efficiency
     if jax.devices()[0].platform == "tpu":
