@@ -310,11 +310,10 @@ def _tile_colscan_affine(
         return (h, e_cur, best_vec, bestj_vec), (h[R], f_cur[R])
 
     init_vec = jnp.full((R + 1,), NEGB, jnp.int32)
-    top_f_ext = top_row_f
     (hlast, elast, best_vec, bestj_vec), (bots, bots_f) = jax.lax.scan(
         step,
         (left_ext, left_ext_e, init_vec, jnp.zeros((R + 1,), jnp.int32)),
-        (t, top_row, top_f_ext, jnp.arange(1, C + 1)),
+        (t, top_row, top_row_f, jnp.arange(1, C + 1)),
         unroll=8,
     )
     big = jnp.int32(1 << 30)
