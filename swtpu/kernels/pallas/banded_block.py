@@ -596,8 +596,14 @@ def _prep(qs, ts, q_fill=0):
     # pairs per gather grid step: largest tile whose target rows fit a
     # ~2 MB VMEM slice (long targets get more, smaller steps)
     ppg = 128
-    while ppg > 8 and ppg * rpp * LANE * 4 > 2 * 1024 * 1024:
+    while ppg > 1 and ppg * rpp * LANE * 4 > 2 * 1024 * 1024:
         ppg //= 2
+    if ppg * rpp * LANE * 4 > 8 * 1024 * 1024:
+        # one pair's rows alone exceed a sane VMEM slice (~8 Mbp target)
+        raise ValueError(
+            f"target length {m} too long for the gather kernel's VMEM "
+            "window; shard the target (parallel/longpair) instead"
+        )
     return jnp.asarray(qT), jnp.asarray(trows), B, S, n, m, ppg, rpp, Lp
 
 

@@ -653,6 +653,8 @@ def map_reads_pipelined(
         else np.asarray(lens, dtype=np.int64)
     )
     if index is None:
+        if "contigs" not in kw:
+            raise ValueError("need index= or contigs=")
         index = build_index(
             kw.pop("contigs"), kw.pop("contig_names", None),
             k=kw.get("k", 13),
