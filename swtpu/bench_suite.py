@@ -728,8 +728,10 @@ def bench_varlen(quick=False):
             (jax.device_put(qf), jax.device_put(tf))
         )
         floors.append(time.perf_counter() - t0)
+    fetch_fn = jax.jit(lambda v: jnp.zeros(B, jnp.int32) + v)
+    np.asarray(fetch_fn(jnp.int32(0)))  # compile + warm the fetch path
     t0 = time.perf_counter()
-    np.asarray(jnp.zeros(B, jnp.int32) + 1)  # fixed fetch round-trip
+    np.asarray(fetch_fn(jnp.int32(1)))  # fixed fetch round-trip
     t_fetch = time.perf_counter() - t0
     floor = min(floors) + t_fetch
     out.append(
