@@ -266,6 +266,77 @@ def cmd_banded(args):
         for name, s in zip(names, scores):
             print(json.dumps(dict(pair=name, score=int(s))))
         return
+    if args.block_adaptive:
+        # round-4 block-adaptive tier: uniform lengths (the engine's
+        # contract), linear/affine/protein, device walk for paths
+        import jax
+
+        if not (np.all(ql == ql[0]) and np.all(tl == tl[0])):
+            raise SystemExit(
+                "--block-adaptive needs uniform sequence lengths "
+                "(the block tier's batch contract); use the default "
+                "engine for mixed lengths"
+            )
+        if jax.devices()[0].platform != "tpu":
+            raise SystemExit(
+                "--block-adaptive is the Pallas tier (TPU only); the "
+                "default engine has a portable XLA path"
+            )
+        from swtpu.kernels.pallas.banded_block import (
+            banded_block_align_device,
+            banded_block_batch_pallas,
+        )
+
+        kw = dict(
+            match=match, mismatch=abs(mismatch),
+            width=args.bandwidth * 2, block=args.bandwidth,
+            x_threshold=args.x_drop,
+            matrix=(
+                _scoring(args).matrix
+                if args.alphabet == "protein" else None
+            ),
+        )
+        qs2 = qs[:, : int(ql[0])]
+        ts2 = ts[:, : int(tl[0])]
+        if args.traceback or args.cigar:
+            if args.gap_open is not None:
+                raise SystemExit(
+                    "--block-adaptive affine traceback: use the python "
+                    "API (banded_block_traceback_host); the CLI device "
+                    "walk is linear-gap"
+                )
+            out = banded_block_align_device(qs2, ts2, gap=args.gap, **kw)
+            for k, (name, (score, path)) in enumerate(zip(names, out)):
+                rec = dict(
+                    pair=name, score=score, start=path[0], end=path[-1]
+                )
+                if args.traceback:
+                    rec["path"] = path
+                if args.cigar:
+                    from swtpu.core.cigar import path_to_cigar
+
+                    rec["cigar"] = path_to_cigar(path, qs2[k], ts2[k])
+                print(json.dumps(rec))
+            return
+        res = banded_block_batch_pallas(
+            qs2, ts2,
+            gap=args.gap if args.gap_open is None else 1,
+            gap_open=args.gap_open,
+            gap_extend=(
+                args.gap_extend if args.gap_open is not None else None
+            ),
+            **kw,
+        )
+        for k, name in enumerate(names):
+            print(
+                json.dumps(
+                    dict(
+                        pair=name, score=int(res.score[k]),
+                        end=[int(res.end_y[k]), int(res.end_j[k])],
+                    )
+                )
+            )
+        return
     from swtpu.batch import banded_align_batch
 
     # linear and affine ride the same device forward pass; affine paths
@@ -1321,6 +1392,14 @@ def build_parser():
         action="store_true",
         help="fixed diagonal corridor |i-j| <= bandwidth (local SW, "
         "score-only, issue-bound engine)",
+    )
+    p.add_argument(
+        "--block-adaptive",
+        action="store_true",
+        help="the round-4 block-adaptive tier (TPU, uniform lengths): "
+        "corridor width 2*bandwidth re-centered per bandwidth-row "
+        "block — ~8-25x the per-round tier's throughput; scores follow "
+        "oracle/banded_block.py, not the per-round X-drop contract",
     )
     p.set_defaults(fn=cmd_banded)
 
