@@ -1203,17 +1203,35 @@ def _bench_dist_curve(quick, sizes, virtual):
         print("JSON:", json.dumps(rec))
         results.append(rec)
 
-        # --- sp axis (longpair): query length grows with the mesh
+        # --- sp axis (longpair): query length grows with the mesh.
+        # engine='auto' rides the Pallas strip tiles on TPU (round 5)
+        # and the XLA column scan on the virtual CPU mesh.
+        from swtpu.parallel.longpair import (
+            _run_longpair,
+            _strip_engine_ok,
+        )
+
         Lq = (2048 if quick else 4096) * d
         Lt = 2048 if quick else 4096
         q1 = rng.integers(0, 4, size=Lq).astype(np.uint8)
         t1 = rng.integers(0, 4, size=Lt).astype(np.uint8)
         spmesh = make_mesh(d, axis="sp")
+        sp_engine = "pallas" if _strip_engine_ok() else "xla"
         longpair_sw_score(q1, t1, params, spmesh)  # compile
         t0 = time.perf_counter()
         longpair_sw_score(q1, t1, params, spmesh)
         wall = time.perf_counter() - t0
-        cps = Lq * Lt / wall
+        # honest device time (salted in-jit chain): the wall figure over
+        # the tunnel is dispatch-bound once the engine runs sub-ms
+        run_lp = lambda q_, t_: _run_longpair(
+            q_, t_, params, spmesh, "sp", None
+        )[:, 0]
+        per_dev_sec = time_kernel(
+            run_lp,
+            (jnp.asarray(q1, jnp.int32), jnp.asarray(t1, jnp.int32)),
+            k=4,
+        )
+        cps = Lq * Lt / per_dev_sec
         anchors.setdefault(
             "sp", cps / d if d == sizes[0] and d == 1 else None
         )
@@ -1235,6 +1253,9 @@ def _bench_dist_curve(quick, sizes, virtual):
             kernel="dist_longpair_weak", devices=d, shape=f"{Lq}x{Lt}",
             gcups=round(cps / 1e9, 2), efficiency_vs_1dev=eff,
             aggregate_efficiency=agg,
+            engine=sp_engine,
+            wall_ms=round(wall * 1e3, 1),
+            honest_ms=round(per_dev_sec * 1e3, 2),
             pipeline_steps=nsteps,
             comm_bytes_per_device=nsteps * (blk + 1) * 4,
             comm_pattern="ppermute of the strip boundary row per step",
@@ -1242,6 +1263,90 @@ def _bench_dist_curve(quick, sizes, virtual):
             virtual=virtual, device=str(jax.devices()[0].device_kind),
         )
         print(f"dist_longpair_weak[{d}dev]: {wall*1e3:.1f} ms / {Lq}x{Lt}")
+        print("JSON:", json.dumps(rec))
+        results.append(rec)
+
+    # --- fixed-work strong-scaling shape check (round 5, VERDICT #7):
+    # the same TOTAL work on a d-device mesh vs the 1-device mesh. On a
+    # 1-core virtual mesh the ideal ratio is ~1.0 (one core executes the
+    # same flops either way), so wall(d)/wall(1) >> 1 falsifies the
+    # sharding mechanism (duplicated compute, extra copies, bad
+    # collectives) in a way the oversubscribed weak-scaling rows cannot.
+    # Pipeline bubbles make longpair's analytic ideal (nb+d-1)/nb.
+    if len(sizes) > 1:
+        d_hi = sizes[-1]
+        B = per_dev_b * 2  # fixed total batch, divisible by every d
+        qs, ts = _inputs(B, n, m)
+        engine = best_engine(params)
+        walls = {}
+        for d in (1, d_hi):
+            mesh = make_mesh(d)
+            run = lambda a, b: data_parallel_scores(
+                a, b, params, mesh, engine=engine
+            )
+            walls[d] = time_kernel(
+                run, (jnp.asarray(qs), jnp.asarray(ts)), k=4
+            )
+        ratio = walls[d_hi] / walls[1]
+        rec = dict(
+            kernel="dist_fixed_work_dp", devices=d_hi, batch=B,
+            wall_1dev_ms=round(walls[1] * 1e3, 2),
+            wall_ddev_ms=round(walls[d_hi] * 1e3, 2),
+            ratio=round(ratio, 3),
+            ideal_ratio=1.0,
+            sharding_clean=bool(ratio < 1.5),
+            note=(
+                "fixed total work; on a 1-core virtual mesh ideal ~1.0 "
+                "— a ratio >> 1 falsifies the dp sharding mechanism"
+            ),
+            physical_cores=os.cpu_count(), virtual=virtual,
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(
+            f"dist_fixed_work_dp[{d_hi}dev]: ratio "
+            f"{ratio:.2f} (ideal 1.0)"
+        )
+        print("JSON:", json.dumps(rec))
+        results.append(rec)
+
+        Lqf, Ltf = (2048, 2048) if quick else (4096, 4096)
+        q1 = rng.integers(0, 4, size=Lqf).astype(np.uint8)
+        t1 = rng.integers(0, 4, size=Ltf).astype(np.uint8)
+        walls = {}
+        nb = {}
+        for d in (1, d_hi):
+            spmesh = make_mesh(d, axis="sp")
+            run_lp = lambda q_, t_: _run_longpair(
+                q_, t_, params, spmesh, "sp", None
+            )[:, 0]
+            walls[d] = time_kernel(
+                run_lp,
+                (jnp.asarray(q1, jnp.int32), jnp.asarray(t1, jnp.int32)),
+                k=4,
+            )
+            blk = _auto_block(Lqf, Ltf, d)
+            nb[d] = Ltf // blk
+        ratio = walls[d_hi] / walls[1]
+        ideal = (nb[d_hi] + d_hi - 1) / nb[d_hi]
+        rec = dict(
+            kernel="dist_fixed_work_longpair", devices=d_hi,
+            shape=f"{Lqf}x{Ltf}",
+            wall_1dev_ms=round(walls[1] * 1e3, 2),
+            wall_ddev_ms=round(walls[d_hi] * 1e3, 2),
+            ratio=round(ratio, 3),
+            ideal_ratio=round(ideal, 3),
+            sharding_clean=bool(ratio < 2.0 * ideal),
+            note=(
+                "fixed 4096^2 matrix; virtual-mesh ideal = pipeline "
+                "bubble factor (nb+d-1)/nb"
+            ),
+            physical_cores=os.cpu_count(), virtual=virtual,
+            device=str(jax.devices()[0].device_kind),
+        )
+        print(
+            f"dist_fixed_work_longpair[{d_hi}dev]: ratio {ratio:.2f} "
+            f"(ideal {ideal:.2f})"
+        )
         print("JSON:", json.dumps(rec))
         results.append(rec)
     return results

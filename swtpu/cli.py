@@ -1174,6 +1174,59 @@ def cmd_selftest(args):
         )
         checks.append(("banded_block_device_walk_vs_host", bool(ok_blk)))
 
+        # longpair Pallas strip tile (round 5): one hardware tile vs the
+        # XLA column-scan tile, every return (boundaries, best, endpoint)
+        from swtpu.kernels.pallas.longpair_strip import (
+            strip_tile,
+            strip_tile_affine,
+        )
+        from swtpu.kernels.xla.sw_scan import _extended_table
+        from swtpu.parallel.longpair import (
+            _tile_colscan,
+            _tile_colscan_affine,
+        )
+        import jax.numpy as jnp
+
+        Rs, Cs = 512, 384
+        sq = rng.integers(0, 4, Rs)
+        st = rng.integers(0, 4, Cs)
+        stop = rng.integers(0, 50, Cs)
+        sleft = rng.integers(0, 50, Rs)
+        scorn = int(rng.integers(0, 50))
+        tbl = jnp.asarray(_extended_table(DNA_10_30_15))
+        ref_t = _tile_colscan(
+            jnp.asarray(sq, jnp.int32), jnp.asarray(st, jnp.int32),
+            jnp.asarray(stop, jnp.int32), jnp.asarray(sleft, jnp.int32),
+            jnp.asarray(scorn, jnp.int32), tbl, 4, jnp.int32(15),
+        )
+        got_t = strip_tile(sq, st, stop, sleft, scorn, DNA_10_30_15)
+        ok_st = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(ref_t, got_t)
+        )
+        checks.append(("longpair_strip_tile_vs_xla", bool(ok_st)))
+        saff = ScoringParams(
+            matrix=DNA_10_30_15.matrix, gap_open=40, gap_extend=15
+        )
+        stopf = rng.integers(-30, 40, Cs)
+        slefte = rng.integers(-30, 40, Rs)
+        tbla = jnp.asarray(_extended_table(saff))
+        ref_t = _tile_colscan_affine(
+            jnp.asarray(sq, jnp.int32), jnp.asarray(st, jnp.int32),
+            jnp.asarray(stop, jnp.int32), jnp.asarray(stopf, jnp.int32),
+            jnp.asarray(sleft, jnp.int32), jnp.asarray(slefte, jnp.int32),
+            jnp.asarray(scorn, jnp.int32), tbla, 4,
+            jnp.int32(40), jnp.int32(15),
+        )
+        got_t = strip_tile_affine(
+            sq, st, stop, stopf, sleft, slefte, scorn, saff
+        )
+        ok_st = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(ref_t, got_t)
+        )
+        checks.append(("longpair_strip_affine_tile_vs_xla", bool(ok_st)))
+
         # endpoint kernels (score, end_i, end_j) vs the XLA ends anchor
         from swtpu.kernels.pallas.sw_batch import sw_batch_pallas_ends
         from swtpu.kernels.pallas.sw_affine import sw_affine_pallas_ends

@@ -638,14 +638,196 @@ def _longpair_affine_impl(q, t, table, go, ge, block, mesh, axis, n_codes):
     return fn(q)
 
 
-def _run_longpair(q, t, params, mesh, axis, block):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gap", "go", "ge", "block", "mesh", "axis", "n_codes",
+        "match", "mismatch",
+    ),
+)
+def _longpair_strip_impl(
+    q, t, table, gap, go, ge, block, mesh, axis, n_codes, match, mismatch
+):
+    """The ppermute sweep on the Pallas strip-tile engine
+    (kernels/pallas/longpair_strip.py) — same pipeline, carries, and
+    endpoint merge as `_longpair_impl`/`_longpair_affine_impl`, with the
+    per-tile XLA column scan replaced by one pallas_call per tile (the
+    tile outputs are bit-equal, so the sweep composition is too).
+    Affine when ``go is not None``: the inter-device exchange carries
+    stacked (H, F) rows exactly like `_longpair_affine_impl`."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from swtpu.kernels.pallas import longpair_strip as lps
+
+    affine = go is not None
+    n_dev = mesh.devices.size
+    R = q.shape[0] // n_dev
+    C = block
+    n_blocks = t.shape[0] // C
+    n_steps = n_blocks + n_dev - 1
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    br = lps.choose_br(R)
+    slots = R // br
+    Sp_tile = lps.n_steps(C, slots)
+    Sp_full = (n_blocks - 1) * C + Sp_tile
+    ghost = n_codes
+
+    def per_device(q_strip):
+        q_strip = q_strip.reshape(-1).astype(jnp.int32)
+        my = jax.lax.axis_index(axis)
+        tt = t.astype(jnp.int32)
+        # per-device one-time staging: full-target skew (tile b reads
+        # rows [b*C, b*C + Sp_tile)) and the per-(row, slot) query layout
+        skew_full = lps.skew_target(tt, Sp_full, ghost)
+        qsl = lps.q_slots_layout(q_strip, br, n_codes)
+        if match is None:
+            scq = lps.build_profile(qsl, table, n_codes)
+        else:
+            scq = qsl[:, None]
+        zero_c = jnp.zeros((C,), jnp.int32)
+        zero_r = jnp.zeros((R,), jnp.int32)
+        negb_c = jnp.full((C,), NEGB, jnp.int32)
+        negb_r = jnp.full((R,), NEGB, jnp.int32)
+
+        def step(carry, s):
+            if affine:
+                (top_in, prev_top_last, left_col, left_col_e,
+                 best, gbi, gbj) = carry
+            else:
+                top_in, prev_top_last, left_col, best, gbi, gbj = carry
+            b = s - my
+            active = (b >= 0) & (b < n_blocks)
+            bsafe = jnp.clip(b, 0, n_blocks - 1)
+            tsk_b = jax.lax.dynamic_slice_in_dim(
+                skew_full, bsafe * C, Sp_tile
+            )
+            left = jnp.where(b == 0, zero_r, left_col)
+            corner = jnp.where(
+                (my == 0) | (b == 0), jnp.int32(0), prev_top_last
+            )
+            left_ext = jnp.concatenate([corner[None], left])
+            if affine:
+                top = jnp.where(my == 0, zero_c, top_in[0])
+                top_f = jnp.where(my == 0, negb_c, top_in[1])
+                left_e = jnp.where(b == 0, negb_r, left_col_e)
+                left_ext_e = jnp.concatenate(
+                    [jnp.full((1,), NEGB, jnp.int32), left_e]
+                )
+                (bot, bot_f, right, right_e, tile_best, tbi, tbj) = (
+                    lps.tile_strip_affine(
+                        scq, tsk_b, top, top_f, left_ext, left_ext_e,
+                        br, R, C, slots, n_codes, go, ge, match, mismatch,
+                    )
+                )
+            else:
+                top = jnp.where(my == 0, zero_c, top_in)
+                bot, right, tile_best, tbi, tbj = lps.tile_strip_linear(
+                    scq, tsk_b, top, left_ext,
+                    br, R, C, slots, n_codes, gap, match, mismatch,
+                )
+            gi = my * R + tbi
+            gj = bsafe * C + tbj
+            upd = active & (
+                (tile_best > best)
+                | (
+                    (tile_best == best)
+                    & ((gi < gbi) | ((gi == gbi) & (gj < gbj)))
+                )
+            )
+            best = jnp.where(upd, tile_best, best)
+            gbi = jnp.where(upd, gi, gbi)
+            gbj = jnp.where(upd, gj, gbj)
+            left_new = jnp.where(active, right, left_col)
+            ptl_new = jnp.where(active, top[C - 1], prev_top_last)
+            if affine:
+                left_e_new = jnp.where(active, right_e, left_col_e)
+                send = jnp.where(
+                    active,
+                    jnp.stack([bot, bot_f]),
+                    jnp.stack([zero_c, negb_c]),
+                )
+                top_next = jax.lax.ppermute(send, axis, perm)
+                return (
+                    top_next, ptl_new, left_new, left_e_new,
+                    best, gbi, gbj,
+                ), None
+            send = jnp.where(active, bot, zero_c)
+            top_next = jax.lax.ppermute(send, axis, perm)
+            return (top_next, ptl_new, left_new, best, gbi, gbj), None
+
+        big = jnp.int32(1 << 30)
+        if affine:
+            init = (
+                jnp.stack([zero_c, negb_c]), jnp.int32(0),
+                zero_r, negb_r, jnp.int32(0), big, big,
+            )
+        else:
+            init = (zero_c, jnp.int32(0), zero_r, jnp.int32(0), big, big)
+        carry, _ = jax.lax.scan(step, init, jnp.arange(n_steps))
+        best, gbi, gbj = carry[-3], carry[-2], carry[-1]
+        gbi = jnp.where(best > 0, gbi, 0)
+        gbj = jnp.where(best > 0, gbj, 0)
+        return jnp.stack([best, gbi, gbj])[None]
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(q)
+
+
+def _strip_engine_ok() -> bool:
+    """Pallas strip tiles need a TPU backend (CPU tests run them via
+    interpret mode and pass engine='pallas' explicitly)."""
+    return jax.default_backend() not in ("cpu",)
+
+
+def _run_longpair(q, t, params, mesh, axis, block, engine="auto"):
     """Sharded forward: [n_dev, 3] per-device (best, end_i, end_j).
-    block=None picks the step-count-optimal width (_auto_block)."""
-    if block is None:
-        block = _auto_block(len(q), len(t), mesh.devices.size)
+    block=None picks the step-count-optimal width (_auto_block /
+    _auto_block_strip). engine: 'auto' (Pallas strip tiles on TPU, XLA
+    column scan elsewhere), 'pallas', or 'xla'."""
     from swtpu.kernels.xla.sw_scan import _extended_table
 
+    if engine == "auto":
+        engine = "pallas" if _strip_engine_ok() else "xla"
+    n_dev = mesh.devices.size
+    if block is None:
+        if engine == "pallas":
+            from swtpu.kernels.pallas.longpair_strip import choose_br
+
+            R = max(len(q) // n_dev, 1)
+            block = _auto_block(
+                len(q), len(t), n_dev, rows=R // choose_br(R), cap=4096
+            )
+        else:
+            block = _auto_block(len(q), len(t), n_dev)
     table = jnp.asarray(_extended_table(params))
+    if engine == "pallas":
+        from swtpu.kernels.pallas.longpair_strip import _uniform_mm
+
+        mm = _uniform_mm(table, int(params.alphabet_size))
+        match, mismatch = mm if mm is not None else (None, None)
+        if params.is_linear:
+            gap, go, ge = int(params.gap), None, None
+        else:
+            gap, go, ge = 0, int(params.gap_open), int(params.gap_extend)
+        return _longpair_strip_impl(
+            jnp.asarray(q, dtype=jnp.int32),
+            jnp.asarray(t, dtype=jnp.int32),
+            table,
+            gap, go, ge,
+            block,
+            mesh,
+            axis,
+            int(params.alphabet_size),
+            match,
+            mismatch,
+        )
     if not params.is_linear:
         return _longpair_affine_impl(
             jnp.asarray(q, dtype=jnp.int32),
@@ -670,7 +852,7 @@ def _run_longpair(q, t, params, mesh, axis, block):
     )
 
 
-def _auto_block(Lq: int, Lt: int, n_dev: int) -> int:
+def _auto_block(Lq: int, Lt: int, n_dev: int, rows=None, cap=None) -> int:
     """Column-block width minimizing total anti-diagonal steps.
 
     The sharded sweep runs (n_blocks + n_dev - 1) pipeline steps of one
@@ -680,8 +862,12 @@ def _auto_block(Lq: int, Lt: int, n_dev: int) -> int:
     against fill/drain bubbles (continuous optimum nb* ~
     sqrt(Lt*(n_dev-1)/R)). Only divisors of Lt are candidates (the sweep
     needs Lt % block == 0); measured on v5e at 4096x4096/1dev: block 256
-    -> 336 ms, 4096 -> 70 ms."""
-    R = max(Lq // n_dev, 1)
+    -> 336 ms, 4096 -> 70 ms.
+
+    For the Pallas strip engine, pass rows = R // br (a tile costs
+    slots + C column steps, not R + C) and cap = 4096 (the tile's top
+    boundary row rides SMEM)."""
+    R = rows if rows is not None else max(Lq // n_dev, 1)
     # enumerate divisors in O(sqrt(Lt)) — an O(Lt) scan costs seconds of
     # host time on multi-megabase targets with sparse divisors
     divisors = set()
@@ -691,13 +877,21 @@ def _auto_block(Lq: int, Lt: int, n_dev: int) -> int:
             divisors.add(d)
             divisors.add(Lt // d)
         d += 1
-    best_nb, best_cost = 1, None
-    for nb in sorted(divisors):
-        if Lt // nb < 64:  # thinner blocks only add step overhead
-            continue
-        cost = (nb + n_dev - 1) * (R + Lt // nb)
-        if best_cost is None or cost < best_cost:
-            best_nb, best_cost = nb, cost
+    def pick(use_cap):
+        best_nb, best_cost = None, None
+        for nb in sorted(divisors):
+            if Lt // nb < 64:  # thinner blocks only add step overhead
+                continue
+            if use_cap and cap is not None and Lt // nb > cap:
+                continue
+            cost = (nb + n_dev - 1) * (R + Lt // nb)
+            if best_cost is None or cost < best_cost:
+                best_nb, best_cost = nb, cost
+        return best_nb
+
+    # no divisor passes (tiny target, or cap excludes everything and the
+    # capless retry also fails): one whole-target block
+    best_nb = pick(True) or pick(False) or 1
     return Lt // best_nb
 
 
@@ -718,6 +912,7 @@ def longpair_sw_score(
     mesh,
     axis: str = "sp",
     block: int = None,
+    engine: str = "auto",
 ) -> int:
     """Local-alignment score of ONE long pair, query sharded over `axis`.
 
@@ -726,7 +921,7 @@ def longpair_sw_score(
     Scoring is fully general (any substitution matrix incl. BLOSUM62).
     """
     return _merge_device_ends(
-        _run_longpair(q, t, params, mesh, axis, block)
+        _run_longpair(q, t, params, mesh, axis, block, engine)
     )[0]
 
 
@@ -737,13 +932,14 @@ def longpair_sw_ends(
     mesh,
     axis: str = "sp",
     block: int = None,
+    engine: str = "auto",
 ) -> tuple:
     """(score, end_i, end_j) of ONE long pair from the sharded forward:
     each device tracks its tiles' argmax under the row-major-first rule
     (the batch ends engines' tie-break); the per-device candidates merge
     on host. Score 0 maps to (0, 0)."""
     return _merge_device_ends(
-        _run_longpair(q, t, params, mesh, axis, block)
+        _run_longpair(q, t, params, mesh, axis, block, engine)
     )
 
 
@@ -755,6 +951,7 @@ def longpair_sw_align(
     axis: str = "sp",
     block: int = None,
     row_block: int = 512,
+    engine: str = "auto",
 ):
     """Local alignment of ONE long pair with traceback: sharded device
     forward (score + argmax endpoint) + low-memory host walk.
@@ -773,7 +970,7 @@ def longpair_sw_align(
     from swtpu.batch.lowmem import sw_traceback_lowmem
 
     score, ei, ej = longpair_sw_ends(
-        q, t, params, mesh, axis=axis, block=block
+        q, t, params, mesh, axis=axis, block=block, engine=engine
     )
     if score == 0:
         return 0, [(0, 0)]

@@ -209,3 +209,117 @@ def test_longpair_align_traceback(rng):
     aff = ScoringParams(dna_matrix(10, -30), gap_open=40, gap_extend=15)
     got = longpair_sw_align(q, t, aff, mesh, block=64)
     assert got == sw_affine_traceback(q, t, aff)
+
+
+def test_strip_tile_pallas_matches_colscan(rng):
+    """The Pallas strip-tile engine (kernels/pallas/longpair_strip.py)
+    is bit-equal to _tile_colscan on every return — boundaries, score,
+    endpoint — across uniform, general-matrix, and odd geometries
+    (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.kernels.pallas.longpair_strip import strip_tile
+    from swtpu.kernels.xla.sw_scan import _extended_table
+    from swtpu.parallel.longpair import _tile_colscan
+
+    gen = ScoringParams.linear(
+        np.array(
+            [[5, -4, -2, -4], [-4, 5, -4, -2],
+             [-2, -4, 5, -4], [-4, -2, -4, 5]]
+        ),
+        3,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        for params in (DNA_10_30_15, gen):
+            table = jnp.asarray(_extended_table(params))
+            for R, C in [(8, 8), (16, 24), (5, 7), (17, 9)]:
+                q = rng.integers(0, 4, R)
+                t = rng.integers(0, 4, C)
+                top = rng.integers(0, 50, C)
+                left = rng.integers(0, 50, R)
+                corner = int(rng.integers(0, 50))
+                ref = _tile_colscan(
+                    jnp.asarray(q, jnp.int32), jnp.asarray(t, jnp.int32),
+                    jnp.asarray(top, jnp.int32),
+                    jnp.asarray(left, jnp.int32),
+                    jnp.asarray(corner, jnp.int32), table, 4,
+                    jnp.int32(params.gap),
+                )
+                got = strip_tile(q, t, top, left, corner, params)
+                for i, (a, b) in enumerate(zip(ref, got)):
+                    assert np.array_equal(
+                        np.asarray(a), np.asarray(b)
+                    ), (R, C, i)
+
+
+def test_strip_tile_affine_pallas_matches_colscan(rng):
+    """Affine Pallas strip tile vs _tile_colscan_affine (all 7 returns,
+    interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.kernels.pallas.longpair_strip import strip_tile_affine
+    from swtpu.kernels.xla.sw_scan import _extended_table
+    from swtpu.parallel.longpair import _tile_colscan_affine
+
+    aff = ScoringParams(
+        matrix=DNA_10_30_15.matrix, gap_open=12, gap_extend=3
+    )
+    table = jnp.asarray(_extended_table(aff))
+    with pltpu.force_tpu_interpret_mode():
+        for R, C in [(8, 8), (16, 24), (5, 7)]:
+            q = rng.integers(0, 4, R)
+            t = rng.integers(0, 4, C)
+            top = rng.integers(0, 50, C)
+            topf = rng.integers(-30, 40, C)
+            left = rng.integers(0, 50, R)
+            lefte = rng.integers(-30, 40, R)
+            corner = int(rng.integers(0, 50))
+            ref = _tile_colscan_affine(
+                jnp.asarray(q, jnp.int32), jnp.asarray(t, jnp.int32),
+                jnp.asarray(top, jnp.int32), jnp.asarray(topf, jnp.int32),
+                jnp.asarray(left, jnp.int32),
+                jnp.asarray(lefte, jnp.int32),
+                jnp.asarray(corner, jnp.int32), table, 4,
+                jnp.int32(12), jnp.int32(3),
+            )
+            got = strip_tile_affine(
+                q, t, top, topf, left, lefte, corner, aff
+            )
+            for i, (a, b) in enumerate(zip(ref, got)):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (
+                    R, C, i,
+                )
+
+
+def test_longpair_strip_sweep_matches_xla(rng):
+    """The full sharded sweep on the Pallas strip engine returns the
+    same merged (score, end_i, end_j) as the XLA engine (2 virtual
+    devices — enough to exercise the ppermute top exchange and the
+    my>0 boundary injects; interpret-mode Pallas callbacks deadlock
+    inside >=4-device SPMD programs on this 1-core CI host, so the
+    8-device sweep is validated with the XLA tile engine + the
+    bit-equal tile parity tests above): linear uniform + affine."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.scoring import ScoringParams
+    from swtpu.parallel.longpair import _merge_device_ends, _run_longpair
+
+    mesh = make_mesh(2, axis="sp")
+    aff = ScoringParams(
+        matrix=DNA_10_30_15.matrix, gap_open=12, gap_extend=3
+    )
+    with pltpu.force_tpu_interpret_mode():
+        for params in (DNA_111, aff):
+            q = rng.integers(0, 4, 32)
+            t = rng.integers(0, 4, 48)
+            ref = _merge_device_ends(
+                _run_longpair(q, t, params, mesh, "sp", 16, engine="xla")
+            )
+            got = _merge_device_ends(
+                _run_longpair(
+                    q, t, params, mesh, "sp", 16, engine="pallas"
+                )
+            )
+            assert ref == got
