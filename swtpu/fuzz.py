@@ -314,17 +314,27 @@ def _round_banded_block(rng, stats, rnd, B, use_pallas, save_dir):
     ts = np.stack([mutate(rng, qs[b], out_len=L) for b in range(B)])
     if rng.integers(2):  # non-homologous arm: per-pair death/freeze
         ts[: B // 2] = random_dna(rng, (B // 2, L))
+    # varlen arm (round 5): rng-drawn per-pair lens exercise the kernel
+    # row freezes, per-pair n_rows, and the final-row X-drop fixup
+    varlen = bool(rng.integers(2))
+    lens_q = lens_t = None
+    if varlen:
+        lens_q = rng.integers(max(K // 2, 8), L + 1, B).astype(np.int64)
+        lens_t = rng.integers(max(L // 2, 8), L + 1, B).astype(np.int64)
     res = banded_block_batch_pallas(
         qs, ts, match=match, mismatch=mismatch, gap=gap, width=W,
         block=K, x_threshold=X, with_history=True, with_meta=True,
+        lens_q=lens_q, lens_t=lens_t,
     )
     paths = banded_block_traceback_host(
         res, qs, ts, match=match, mismatch=mismatch, gap=gap, block=K,
         x_threshold=X,
     )
     for b in range(min(B, 6)):
+        oq = qs[b] if not varlen else qs[b][: lens_q[b]]
+        ot = ts[b] if not varlen else ts[b][: lens_t[b]]
         ora = banded_xdrop_block(
-            qs[b], ts[b], match=match, mismatch=mismatch, gap=gap,
+            oq, ot, match=match, mismatch=mismatch, gap=gap,
             width=W, block=K, x_threshold=X, return_state=True,
         )
         ok = (

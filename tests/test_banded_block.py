@@ -385,3 +385,105 @@ def test_block_oracle_all_dead_start():
     s, path = banded_xdrop_block(q, t, mismatch=100, gap=100, x_threshold=5)
     assert s == 0
     assert path == [(0, 0)]
+
+
+def _engine_vs_oracle_varlen(rng, B, n, m, *, W=32, K=16, X=40,
+                             match=1, mismatch=1, gap=1, matrix=None):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.kernels.pallas.banded_block import (
+        banded_block_batch_pallas,
+        banded_block_traceback_host,
+    )
+    from swtpu.oracle.banded_block import banded_xdrop_block
+
+    lens_q = rng.integers(max(K // 2, 8), n + 1, B).astype(np.int64)
+    lens_q[0] = (n // K) * K  # one block-boundary ender
+    lens_t = rng.integers(max(m // 2, 8), m + 1, B).astype(np.int64)
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, m))  # junk beyond lens_t must be ignored
+    for p in range(B):
+        tt = mutate(rng, qs[p][: lens_q[p]], out_len=int(lens_t[p]))
+        ts[p, : lens_t[p]] = tt[: lens_t[p]]
+    with pltpu.force_tpu_interpret_mode():
+        res = banded_block_batch_pallas(
+            qs, ts, match=match, mismatch=mismatch, gap=gap, width=W,
+            block=K, x_threshold=X, matrix=matrix, with_history=True,
+            with_meta=True, lens_q=lens_q, lens_t=lens_t,
+        )
+        paths = banded_block_traceback_host(
+            res, qs, ts, match=match, mismatch=mismatch, gap=gap,
+            block=K, x_threshold=X, matrix=matrix,
+        )
+    for p in range(B):
+        ora = banded_xdrop_block(
+            qs[p][: lens_q[p]], ts[p][: lens_t[p]], match=match,
+            mismatch=mismatch, gap=gap, width=W, block=K, x_threshold=X,
+            matrix=matrix, return_state=True,
+        )
+        assert res.score[p] == ora.score, p
+        assert (res.end_y[p], res.end_j[p]) == ora.end, p
+        assert res.n_rows[p] == ora.n_rows, p
+        nb = -(-ora.n_rows // K)
+        assert np.array_equal(res.bases[:nb, p], ora.bases[:nb]), p
+        assert np.array_equal(res.deltas[:nb, p], ora.deltas[:nb]), p
+        assert np.array_equal(
+            res.band_history[: ora.n_rows, :, p], ora.band_history
+        ), p
+        assert paths[p] == ora.path, p
+
+
+def test_block_engine_varlen(rng):
+    """Per-pair lens_q/lens_t (round 5): each pair bit-equal to the
+    oracle run at ITS OWN lengths — scores, endpoints, n_rows, meta,
+    history (incl. the mid-block final-row X-drop fixup applied after
+    the fetch), and walked paths. Folded small-batch kernel path."""
+    _engine_vs_oracle_varlen(rng, B=5, n=96, m=100)
+
+
+def test_block_engine_varlen_tie_rich(rng):
+    """Varlen + tie-rich scoring (endpoint reduce under per-pair row
+    freezes)."""
+    _engine_vs_oracle_varlen(
+        rng, B=4, n=80, m=80, match=2, mismatch=1, gap=1
+    )
+
+
+def test_block_engine_varlen_straight_kernel(rng, monkeypatch):
+    """The straight (unfolded) kernel's varlen path: force G=1 via
+    _fold_G (a fresh geometry avoids the jit cache of the folded
+    runs)."""
+    import swtpu.kernels.pallas.banded_block as bb
+
+    monkeypatch.setattr(bb, "_fold_G", lambda S, W, go: 1)
+    _engine_vs_oracle_varlen(rng, B=3, n=72, m=68, W=32, K=16)
+
+
+def test_block_engine_varlen_device_walk(rng):
+    """Device traceback with per-pair lens: the walker's y == n_rows
+    cutoff rule reproduces the host fixup — (score, path) bit-equal to
+    the per-pair oracle."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.kernels.pallas.banded_block import banded_block_align_device
+    from swtpu.oracle.banded_block import banded_xdrop_block
+
+    B, n, m, W, K, X = 3, 80, 84, 32, 16, 40
+    lens_q = np.array([66, (n // K) * K, 41], np.int64)
+    lens_t = np.array([70, 80, 50], np.int64)
+    qs = random_dna(rng, (B, n))
+    ts = random_dna(rng, (B, m))
+    for p in range(B):
+        tt = mutate(rng, qs[p][: lens_q[p]], out_len=int(lens_t[p]))
+        ts[p, : lens_t[p]] = tt[: lens_t[p]]
+    with pltpu.force_tpu_interpret_mode():
+        dv = banded_block_align_device(
+            qs, ts, width=W, block=K, x_threshold=X,
+            lens_q=lens_q, lens_t=lens_t,
+        )
+    for p in range(B):
+        score, path = banded_xdrop_block(
+            qs[p][: lens_q[p]], ts[p][: lens_t[p]], width=W, block=K,
+            x_threshold=X,
+        )
+        assert dv[p] == (score, path), p
