@@ -78,7 +78,7 @@ _SEARCH_STEP_CACHE: dict = {}
 _ID_SENTINEL = np.iinfo(np.int32).max
 
 
-def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt):
+def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt, packed=False):
     """Jitted per-chunk search step: score the chunk, reduce it to its
     top-kk on device, and merge into the running [Nq, k] state — all in
     one executable, so the host loop moves only the chunk itself (and,
@@ -87,13 +87,22 @@ def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt):
     asc) with two stable sorts; chunk-internal ties are safe because
     lax.top_k prefers the lower index, which here is the lower target id.
     Pad targets past the database end are masked by id (score -1 /
-    id INT32_MAX, the state sentinels)."""
+    id INT32_MAX, the state sentinels).
+
+    ``packed``: the chunk arrives as the 2-bit wire ([C, ceil(m/4)]
+    uint8, the reference's unpack discipline, source.cpp:1580-1774) and
+    is decoded on device — a 4x cut of the upload bytes that bound the
+    streaming loop's e2e wall on the ~55 MB/s tunnel link."""
     from swtpu.ops.variants import cached_build
 
-    cache_key = (engine_key, Nq, n, C, m, k, kk, Nt)
+    cache_key = (engine_key, Nq, n, C, m, k, kk, Nt, packed)
 
     @jax.jit
     def step(qs_dev, chunk_dev, state_s, state_i, c0):
+        if packed:
+            from swtpu.kernels.xla.unpack import unpack_2bit_device
+
+            chunk_dev = unpack_2bit_device(chunk_dev)[:, :m]
         qq = jnp.broadcast_to(qs_dev[:, None, :], (Nq, C, n)).reshape(-1, n)
         tt = jnp.broadcast_to(chunk_dev[None, :, :], (Nq, C, m)).reshape(-1, m)
         scores = engine(qq, tt).reshape(Nq, C).astype(jnp.int32)
@@ -150,6 +159,7 @@ def all_vs_all_topk(
     max_retries: int = 2,
     sync_every: int = 16,
     log: Optional[Callable[[str], None]] = None,
+    packed: str | bool = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k target hits per query over the (locally sharded) database.
 
@@ -173,12 +183,41 @@ def all_vs_all_topk(
     restarted host resumes at its cursor. ``max_retries=0`` with no
     checkpoint never syncs mid-run (max-throughput mode: errors surface
     at the final fetch).
+
+    ``packed``: ship DB chunks as the 2-bit wire with device-side decode
+    (True / False / "auto" = DNA codes only). The loop is upload-bound
+    on the tunnel link, so the 4x byte cut is a direct e2e win; replay,
+    checkpoint, and merge semantics are unchanged (the snapshot replays
+    re-pack nothing — the packed DB is staged once up front).
     """
     from swtpu.ops.variants import resolve_engine
 
     engine, engine_key = resolve_engine(params, engine)
 
     Nq, Nt = queries.shape[0], targets.shape[0]
+    if packed == "auto":
+        packed = bool(
+            params.alphabet_size == 4
+            and targets.dtype == np.uint8
+            and (targets.size == 0 or int(targets.max()) < 4)
+        )
+    if packed and targets.size and (
+        params.alphabet_size != 4 or int(targets.max()) >= 4
+    ):
+        raise ValueError(
+            "packed=True needs 2-bit-encodable targets (DNA codes 0-3)"
+        )
+    if packed:
+        from swtpu.core.encode import pack_2bit
+
+        m4 = -(-targets.shape[1] // 4) * 4
+        tp = targets
+        if m4 != targets.shape[1]:
+            tp = np.concatenate(
+                [tp, np.zeros((Nt, m4 - tp.shape[1]), tp.dtype)], axis=1
+            )
+        # one pass over the DB; chunk staging below just slices rows
+        targets_packed = pack_2bit(tp.reshape(-1)).reshape(Nt, m4 // 4)
     best_s = np.full((Nq, k), -1, np.int32)
     best_i = np.full((Nq, k), _ID_SENTINEL, np.int32)
     start = 0
@@ -192,22 +231,24 @@ def all_vs_all_topk(
     t_pad = params.alphabet_size + 1
     step = _search_step(
         engine, engine_key, Nq, queries.shape[1], chunk_size,
-        targets.shape[1], k, kk, Nt,
+        targets.shape[1], k, kk, Nt, packed=bool(packed),
     )
     sync = checkpoint is not None or max_retries > 0
 
     def padded(c0):
-        chunk = targets[c0 : c0 + chunk_size]
+        src = targets_packed if packed else targets
+        chunk = src[c0 : c0 + chunk_size]
         # pad the tail chunk so compiled shapes stay constant; pad rows
-        # are masked out by id (>= Nt) inside the step
+        # are masked out by id (>= Nt) inside the step (packed wire: pad
+        # rows decode to code 0 — equally id-masked)
         if chunk.shape[0] < chunk_size:
             pad = np.full(
                 (chunk_size - chunk.shape[0], chunk.shape[1]),
-                t_pad,
+                0 if packed else t_pad,
                 dtype=chunk.dtype,
             )
             chunk = np.concatenate([chunk, pad])
-        return jax.device_put(chunk)
+        return jax.device_put(np.ascontiguousarray(chunk))
 
     queries_dev = jax.device_put(queries)
     state_s = jnp.asarray(best_s)

@@ -216,3 +216,26 @@ def test_search_affine_scoring(rng):
     assert np.array_equal(
         scores, np.take_along_axis(ref, order, axis=1).astype(np.int32)
     )
+
+
+def test_search_packed_wire_matches_raw(rng):
+    """all_vs_all_topk with the 2-bit packed wire (device decode) is
+    bit-identical to the raw-byte path — scores, ids, tie order —
+    including a non-multiple-of-4 target length and a tail chunk."""
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.parallel.search import all_vs_all_topk
+
+    Nq, Nt, n, m = 4, 70, 32, 33  # m % 4 != 0; Nt % chunk != 0
+    qs = rng.integers(0, 4, (Nq, n)).astype(np.uint8)
+    ts = rng.integers(0, 4, (Nt, m)).astype(np.uint8)
+    s0, i0 = all_vs_all_topk(
+        qs, ts, DNA_10_30_15, k=5, chunk_size=32, packed=False
+    )
+    s1, i1 = all_vs_all_topk(
+        qs, ts, DNA_10_30_15, k=5, chunk_size=32, packed=True
+    )
+    assert np.array_equal(s0, s1)
+    assert np.array_equal(i0, i1)
+    # auto engages the packed wire for DNA codes
+    s2, i2 = all_vs_all_topk(qs, ts, DNA_10_30_15, k=5, chunk_size=32)
+    assert np.array_equal(s0, s2) and np.array_equal(i0, i2)
