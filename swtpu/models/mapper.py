@@ -644,6 +644,16 @@ def map_reads_pipelined(
     device's critical path. Hit-for-hit identical to ``map_reads``
     (chunks only partition reads; per-read results are independent) —
     asserted by test_mapper.py.
+
+    Chunk-size adaptation (round 5): every extra ``map_reads`` call pays
+    a FIXED tunnel cost (several ~30 ms fetch round-trips), so the r4
+    4-way split LOST 19 ms despite balanced stages (seed 121 ms /
+    extend ~127 ms — BENCHSUITE_r04_all.txt:149-152). The pipeline now
+    runs at most TWO chunks: one extra fixed cost against a reclaim of
+    min(seed, extend)/2, which wins whenever half a stage exceeds one
+    round-trip and degrades to a tie (never a 4x fixed-cost loss)
+    otherwise. ``chunk_reads`` remains the engage threshold: workloads
+    of <= chunk_reads reads take the plain sync path.
     """
     reads = np.asarray(reads, dtype=np.uint8)
     R, L = reads.shape
@@ -661,6 +671,7 @@ def map_reads_pipelined(
         )
     if R <= chunk_reads:
         return map_reads(reads, lens, index=index, **kw)
+    chunk_reads = max(chunk_reads, -(-R // 2))  # at most two chunks
     import concurrent.futures as cf
 
     seed_kw = dict(
