@@ -190,7 +190,25 @@ def sw_wavefront_pallas(qs, ts, params: ScoringParams):
     B, n = qs.shape
     m = ts.shape[1]
     if n > LANE:
-        raise NotImplementedError("strip decomposition for n > 128 pending")
+        # Strip decomposition for long queries (the reference's strip
+        # loop, source.cpp:126, generalized past its fixed 128-mers):
+        # served by the round-5 slot-pipelined strip tile
+        # (kernels/pallas/longpair_strip.py), which IS this family's
+        # strip-decomposed form — block-rows of the query as the vector
+        # axis, the ``yoko`` boundary carried in-register between the
+        # 1-column-skewed slots — and runs 34.8 GCUPS/device vs the
+        # 128-wide parallelogram's 11.2 ceiling (PARITY.md §2.3).
+        # Long single pairs are few by definition: route per pair.
+        from swtpu.kernels.pallas.longpair_strip import strip_tile
+
+        outs = []
+        zc = np.zeros(ts.shape[1], np.int32)
+        zr = np.zeros(n, np.int32)
+        for b in range(B):
+            outs.append(
+                int(strip_tile(qs[b], ts[b], zc, zr, 0, params)[2])
+            )
+        return np.asarray(outs, dtype=np.int32)
     A = params.alphabet_size
     qs = jnp.asarray(qs)
     ts = jnp.asarray(ts)

@@ -543,3 +543,21 @@ print("packed-general-matrix-ok")
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "packed-general-matrix-ok" in proc.stdout
+
+
+def test_wavefront_long_query_strips(rng):
+    """n > 128 wavefront routing: the strip-decomposed path (the
+    round-5 longpair strip tile) equals the oracle at n = 512/1024."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.kernels.pallas.sw_wavefront import sw_wavefront_pallas
+    from swtpu.oracle import sw_score
+
+    with pltpu.force_tpu_interpret_mode():
+        for n, m in ((512, 384), (1024, 256)):
+            qs = rng.integers(0, 4, (2, n)).astype(np.uint8)
+            ts = rng.integers(0, 4, (2, m)).astype(np.uint8)
+            got = sw_wavefront_pallas(qs, ts, DNA_10_30_15)
+            for b in range(2):
+                assert int(got[b]) == sw_score(qs[b], ts[b], DNA_10_30_15)
