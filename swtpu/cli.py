@@ -267,15 +267,15 @@ def cmd_banded(args):
             print(json.dumps(dict(pair=name, score=int(s))))
         return
     if args.block_adaptive:
-        # round-4 block-adaptive tier: uniform lengths (the engine's
-        # contract), linear/affine/protein, device walk for paths
+        # block-adaptive tier (round 4; round 5 adds per-pair varlen
+        # on the linear engines): linear/affine/protein, device walk
         import jax
 
-        if not (np.all(ql == ql[0]) and np.all(tl == tl[0])):
+        varlen = not (np.all(ql == ql[0]) and np.all(tl == tl[0]))
+        if varlen and args.gap_open is not None:
             raise SystemExit(
-                "--block-adaptive needs uniform sequence lengths "
-                "(the block tier's batch contract); use the default "
-                "engine for mixed lengths"
+                "--block-adaptive affine needs uniform lengths; the "
+                "linear engines take per-pair lens (round 5)"
             )
         if jax.devices()[0].platform != "tpu":
             raise SystemExit(
@@ -296,8 +296,11 @@ def cmd_banded(args):
                 if args.alphabet == "protein" else None
             ),
         )
-        qs2 = qs[:, : int(ql[0])]
-        ts2 = ts[:, : int(tl[0])]
+        qs2 = qs[:, : int(ql.max())]
+        ts2 = ts[:, : int(tl.max())]
+        if varlen:
+            kw["lens_q"] = ql
+            kw["lens_t"] = tl
         if args.traceback or args.cigar:
             if args.gap_open is not None:
                 raise SystemExit(
