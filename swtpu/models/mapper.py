@@ -741,7 +741,10 @@ def map_reads(
     default "auto" runs the fixed-corridor kernel on TPU (hit scores
     then follow the fixed-band local oracle) and the adaptive X-drop
     tier elsewhere. With ``traceback=True`` the winners re-run through
-    the adaptive banded engine either way, so hits with paths always
+    the banded family's traceback engine — the block-adaptive tier with
+    per-pair lens + device move-wire walk on TPU (round 5; scores/paths
+    carry the block-oracle X-drop contract), the per-round adaptive
+    engine elsewhere — so hits with paths always
     carry X-drop-contract scores.
 
     ``_seeded`` (internal, used by :func:`map_reads_pipelined`) injects
@@ -821,23 +824,53 @@ def map_reads(
                 for w, r in zip(win, win_reads)
             ]
         )
-        kw = dict(bandwidth=bandwidth, x_threshold=x_threshold)
-        if gap_open is not None and gap_open != gap_extend:
-            kw.update(gap_open=gap_open, gap_extend=gap_extend)
-        elif gap_open is not None:
-            kw["gap"] = gap_open
-        out = banded_align_batch(
-            qsel,
-            windows,
-            [int(lens[r]) for r in win_reads],
-            list(np.minimum(Lw, len(index.ref) - w_tstart)),
-            match=match,
-            mismatch=mismatch,
-            gap=gap,
-            **kw,
-        )
-        # winners carry the adaptive X-drop score (same window): equal to
-        # the screening score in adaptive mode, a rescore in fixed mode
+        import jax as _jax
+
+        w_lens_q = [int(lens[r]) for r in win_reads]
+        w_lens_t = list(np.minimum(Lw, len(index.ref) - w_tstart))
+        linear = gap_open is None or gap_open == gap_extend
+        g_eff = gap if gap_open is None else gap_open
+        if linear and _jax.devices()[0].platform == "tpu":
+            # round 5: winners walk on the BLOCK-ADAPTIVE tier (the
+            # banded family's flagship — kernels/pallas/banded_block.py,
+            # per-pair varlen, device 2-bit move wire), so hit+path
+            # scores carry the block-oracle X-drop contract
+            # (oracle/banded_block.py: pruning at block granularity)
+            from swtpu.kernels.pallas.banded_block import (
+                banded_block_align_device,
+            )
+
+            out = banded_block_align_device(
+                qsel,
+                windows,
+                match=match,
+                mismatch=mismatch,
+                gap=g_eff,
+                width=bandwidth * 2,
+                block=bandwidth,
+                x_threshold=x_threshold,
+                lens_q=w_lens_q,
+                lens_t=w_lens_t,
+            )
+        else:
+            kw = dict(bandwidth=bandwidth, x_threshold=x_threshold)
+            if gap_open is not None and gap_open != gap_extend:
+                kw.update(gap_open=gap_open, gap_extend=gap_extend)
+            elif gap_open is not None:
+                kw["gap"] = gap_open
+            out = banded_align_batch(
+                qsel,
+                windows,
+                w_lens_q,
+                w_lens_t,
+                match=match,
+                mismatch=mismatch,
+                gap=gap,
+                **kw,
+            )
+        # winners carry the banded-family X-drop score for the same
+        # window (block-oracle contract on TPU, per-round elsewhere):
+        # a rescore of the screening stage's fixed-corridor score
         scores = scores.copy()
         for w, (s, _) in zip(win, out):
             scores[w] = s
