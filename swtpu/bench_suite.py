@@ -1466,6 +1466,46 @@ def bench_search(quick=False):
     )
     print("JSON:", json.dumps(rec))
     out.append(rec)
+
+    # round 5: the 2-bit packed wire cut chunk-upload BYTES 4x, but the
+    # loop turned out to be bound by the tunnel's PER-UPLOAD fixed cost
+    # (16 chunk round-trips ~ the whole wall; the byte cut alone moved
+    # nothing). The win the wire actually buys: 4x bigger chunks at the
+    # SAME wire bytes per upload as the old raw chunks -> 4x fewer
+    # round-trips. Recorded as its own row (the 8192 row stays
+    # comparable with r4).
+    Ce2e2 = 32768 if not quick else 8192
+    walls2 = []
+    for rep in range(3):
+        Qr = np.random.default_rng(1777 + rep).integers(
+            0, 4, size=(Nq, L)
+        ).astype(np.uint8)
+        t0 = time.perf_counter()
+        all_vs_all_topk(
+            Qr, T2, DNA_111, k=k, chunk_size=Ce2e2, engine=engine
+        )
+        if rep:
+            walls2.append(time.perf_counter() - t0)
+    wall2 = min(walls2)
+    rec = dict(
+        kernel="search_e2e_wall_c32k", queries=Nq, targets=Nt_e2e,
+        chunk=Ce2e2, topk=k,
+        wall_ms=round(wall2 * 1e3, 1),
+        aln_per_s=round(pairs_e2e / wall2),
+        gcups=round(pairs_e2e * L * L / wall2 / 1e9, 1),
+        packed_wire=True,
+        note=(
+            "2-bit wire at 4x chunk: same bytes/upload as the r4 raw "
+            "8192 chunk, 4x fewer fixed-cost round-trips"
+        ),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"search_e2e_wall_c32k: {wall2*1e3:.1f} ms / {pairs_e2e} pairs "
+        f"= {pairs_e2e/wall2/1e6:.2f} M aln/s wall"
+    )
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
     return out
 
 
