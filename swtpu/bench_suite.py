@@ -1446,7 +1446,8 @@ def bench_search(quick=False):
         ).astype(np.uint8)
         t0 = time.perf_counter()
         all_vs_all_topk(
-            Qr, T2, DNA_111, k=k, chunk_size=Ce2e, engine=engine
+            Qr, T2, DNA_111, k=k, chunk_size=Ce2e, engine=engine,
+            resident=False,
         )
         if rep:
             walls.append(time.perf_counter() - t0)
@@ -1467,14 +1468,14 @@ def bench_search(quick=False):
     print("JSON:", json.dumps(rec))
     out.append(rec)
 
-    # round 5: the 2-bit packed wire cut chunk-upload BYTES 4x, but the
-    # loop turned out to be bound by the tunnel's PER-UPLOAD fixed cost
-    # (16 chunk round-trips ~ the whole wall; the byte cut alone moved
-    # nothing). The win the wire actually buys: 4x bigger chunks at the
-    # SAME wire bytes per upload as the old raw chunks -> 4x fewer
-    # round-trips. Recorded as its own row (the 8192 row stays
-    # comparable with r4).
-    Ce2e2 = 32768 if not quick else 8192
+    # round 5 postmortem: the 2-bit wire alone moved the streaming wall
+    # NOT AT ALL (measured 4.7-6.0 M aln/s across runs, vs r4's raw
+    # 5.5-5.9M), and neither did 4x chunks — the loop is bound by
+    # per-upload costs the tunnel charges regardless of bytes. The
+    # production answer for DBs that fit HBM: keep the packed DB
+    # DEVICE-RESIDENT (uploaded once, id-cached) and slice chunks
+    # in-jit — zero per-chunk wire. Steady-state row (DB upload
+    # amortized across query sets, the warmup rep pays it):
     walls2 = []
     for rep in range(3):
         Qr = np.random.default_rng(1777 + rep).integers(
@@ -1482,27 +1483,64 @@ def bench_search(quick=False):
         ).astype(np.uint8)
         t0 = time.perf_counter()
         all_vs_all_topk(
-            Qr, T2, DNA_111, k=k, chunk_size=Ce2e2, engine=engine
+            Qr, T2, DNA_111, k=k, chunk_size=Ce2e, engine=engine,
+            resident=True,
         )
         if rep:
             walls2.append(time.perf_counter() - t0)
     wall2 = min(walls2)
     rec = dict(
-        kernel="search_e2e_wall_c32k", queries=Nq, targets=Nt_e2e,
-        chunk=Ce2e2, topk=k,
+        kernel="search_e2e_resident", queries=Nq, targets=Nt_e2e,
+        chunk=Ce2e, topk=k,
         wall_ms=round(wall2 * 1e3, 1),
         aln_per_s=round(pairs_e2e / wall2),
         gcups=round(pairs_e2e * L * L / wall2 / 1e9, 1),
         packed_wire=True,
         note=(
-            "2-bit wire at 4x chunk: same bytes/upload as the r4 raw "
-            "8192 chunk, 4x fewer fixed-cost round-trips"
+            "packed DB device-resident (4 MB, uploaded once + "
+            "id-cached), chunks sliced in-jit: zero per-chunk wire"
         ),
         device=str(jax.devices()[0].device_kind),
     )
     print(
-        f"search_e2e_wall_c32k: {wall2*1e3:.1f} ms / {pairs_e2e} pairs "
+        f"search_e2e_resident: {wall2*1e3:.1f} ms / {pairs_e2e} pairs "
         f"= {pairs_e2e/wall2/1e6:.2f} M aln/s wall"
+    )
+    print("JSON:", json.dumps(rec))
+    out.append(rec)
+
+    # ...and the remaining ~90 ms were 16 per-chunk dispatches: the
+    # max-throughput config (no mid-sweep checkpoint) runs the whole
+    # resident sweep as ONE jitted lax.scan — one dispatch, one fetch
+    walls3 = []
+    for rep in range(3):
+        Qr = np.random.default_rng(2777 + rep).integers(
+            0, 4, size=(Nq, L)
+        ).astype(np.uint8)
+        t0 = time.perf_counter()
+        all_vs_all_topk(
+            Qr, T2, DNA_111, k=k, chunk_size=Ce2e, engine=engine,
+            resident=True, max_retries=0,
+        )
+        if rep:
+            walls3.append(time.perf_counter() - t0)
+    wall3 = min(walls3)
+    rec = dict(
+        kernel="search_e2e_fused_sweep", queries=Nq, targets=Nt_e2e,
+        chunk=Ce2e, topk=k,
+        wall_ms=round(wall3 * 1e3, 1),
+        aln_per_s=round(pairs_e2e / wall3),
+        gcups=round(pairs_e2e * L * L / wall3 / 1e9, 1),
+        packed_wire=True,
+        note=(
+            "resident DB + whole sweep in one lax.scan executable "
+            "(max-throughput: no mid-sweep checkpoint windows)"
+        ),
+        device=str(jax.devices()[0].device_kind),
+    )
+    print(
+        f"search_e2e_fused_sweep: {wall3*1e3:.1f} ms / {pairs_e2e} "
+        f"pairs = {pairs_e2e/wall3/1e6:.2f} M aln/s wall"
     )
     print("JSON:", json.dumps(rec))
     out.append(rec)

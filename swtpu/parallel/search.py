@@ -131,6 +131,95 @@ def _search_step(engine, engine_key, Nq, n, C, m, k, kk, Nt, packed=False):
     return cached_build(_SEARCH_STEP_CACHE, cache_key, lambda: step)
 
 
+def _search_step_resident(
+    engine, engine_key, Nq, n, C, m, k, kk, Nt, packed
+):
+    """Chunk step over a DEVICE-RESIDENT database: the (packed) DB is
+    uploaded once and each step slices its chunk in-jit — zero
+    per-chunk wire traffic. Same merge/masking semantics as
+    `_search_step` (measured round 5: the streaming loop's wall on the
+    tunnel is per-upload-cost-bound, so for DBs that fit HBM the
+    resident sweep is the production configuration — 131K x 128 packed
+    is 4 MB)."""
+    from swtpu.ops.variants import cached_build
+
+    cache_key = (
+        "resident", engine_key, Nq, n, C, m, k, kk, Nt, packed
+    )
+
+    @jax.jit
+    def step(qs_dev, db_dev, state_s, state_i, c0):
+        chunk = jax.lax.dynamic_slice_in_dim(db_dev, c0, C, axis=0)
+        if packed:
+            from swtpu.kernels.xla.unpack import unpack_2bit_device
+
+            chunk = unpack_2bit_device(chunk)[:, :m]
+        qq = jnp.broadcast_to(qs_dev[:, None, :], (Nq, C, n)).reshape(-1, n)
+        tt = jnp.broadcast_to(chunk[None, :, :], (Nq, C, m)).reshape(-1, m)
+        scores = engine(qq, tt).reshape(Nq, C).astype(jnp.int32)
+        ids = c0 + jnp.arange(C, dtype=jnp.int32)
+        valid = ids < Nt
+        s = jnp.where(valid[None, :], scores, jnp.int32(-1))
+        ids_m = jnp.where(valid, ids, jnp.int32(_ID_SENTINEL))
+        cs, cidx = jax.lax.top_k(s, kk)
+        cid = jnp.take_along_axis(
+            jnp.broadcast_to(ids_m[None, :], (Nq, C)), cidx, axis=1
+        )
+        ms = jnp.concatenate([state_s, cs], axis=1)
+        mi = jnp.concatenate([state_i, cid], axis=1)
+        o1 = jnp.argsort(mi, axis=1, stable=True)
+        s1 = jnp.take_along_axis(ms, o1, axis=1)
+        i1 = jnp.take_along_axis(mi, o1, axis=1)
+        o2 = jnp.argsort(-s1, axis=1, stable=True)[:, :k]
+        return (
+            jnp.take_along_axis(s1, o2, axis=1),
+            jnp.take_along_axis(i1, o2, axis=1),
+        )
+
+    return cached_build(_SEARCH_STEP_CACHE, cache_key, lambda: step)
+
+
+_RESIDENT_DB_CACHE = None  # (key, device_array) — one resident DB
+
+
+def _search_sweep_fused(
+    engine, engine_key, Nq, n, C, m, k, kk, Nt, n_chunks, packed
+):
+    """The WHOLE resident sweep as one jitted lax.scan over chunks —
+    one dispatch, one tiny fetch (max-throughput mode: no mid-sweep
+    checkpoint/replay windows, so it engages only when the caller asked
+    for none). Removes the last host-loop cost: 16 per-chunk dispatches
+    were ~90 ms of the 168 ms resident wall."""
+    from swtpu.ops.variants import cached_build
+
+    cache_key = (
+        "fused", engine_key, Nq, n, C, m, k, kk, Nt, n_chunks, packed
+    )
+
+    def build():
+        step = _search_step_resident(
+            engine, engine_key, Nq, n, C, m, k, kk, Nt, packed
+        )
+
+        @jax.jit
+        def sweep(qs_dev, db_dev, state_s, state_i):
+            def body(carry, c0):
+                ss, si = carry
+                ss, si = step(qs_dev, db_dev, ss, si, c0)
+                return (ss, si), None
+
+            (ss, si), _ = jax.lax.scan(
+                body,
+                (state_s, state_i),
+                jnp.arange(n_chunks, dtype=jnp.int32) * C,
+            )
+            return ss, si
+
+        return sweep
+
+    return cached_build(_SEARCH_STEP_CACHE, cache_key, build)
+
+
 def _retry_or_raise(e, attempt, max_retries, cursor, log):
     """Log a chunk failure; re-raise once retries are exhausted, otherwise
     sleep with exponential backoff and return (caller loops)."""
@@ -162,6 +251,7 @@ def all_vs_all_topk(
     sync_every: int = 16,
     log: Optional[Callable[[str], None]] = None,
     packed: str | bool = "auto",
+    resident: str | bool = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Top-k target hits per query over the (locally sharded) database.
 
@@ -169,6 +259,14 @@ def all_vs_all_topk(
     the database (each host passes its own shard plus an id offset via
     `SearchCheckpoint`/caller bookkeeping; single-host: the whole DB).
     Returns (scores [Nq, k], target_ids [Nq, k]) int32/int64, deterministic.
+
+    ``resident``: keep the whole (packed) DB on device and slice chunks
+    in-jit — zero per-chunk wire traffic; the DB upload itself is cached
+    by array identity, so repeated query sets against one DB pay no
+    wire at all. "auto" engages when the staged DB fits a 256 MB HBM
+    budget. The chunk loop, checkpoint cursor, and windowed-replay
+    semantics are unchanged (a replay re-dispatches from the snapshot;
+    nothing re-uploads).
 
     The loop is double-buffered: the running top-k state lives ON DEVICE
     (per-chunk device top-k + deterministic merge fused into one jitted
@@ -200,6 +298,7 @@ def all_vs_all_topk(
     engine, engine_key = resolve_engine(params, engine)
 
     Nq, Nt = queries.shape[0], targets.shape[0]
+    targets_packed = None
     if packed == "auto":
         packed = bool(
             params.alphabet_size == 4
@@ -247,13 +346,61 @@ def all_vs_all_topk(
 
     kk = min(k, chunk_size)
     t_pad = params.alphabet_size + 1
-    step = _search_step(
-        engine, engine_key, Nq, queries.shape[1], chunk_size,
-        targets.shape[1], k, kk, Nt, packed=bool(packed),
-    )
+    staged = targets_packed if packed else targets
+    if resident == "auto":
+        resident = staged.nbytes <= 256 * 1024 * 1024
+    if resident:
+        global _RESIDENT_DB_CACHE
+        Ntp = -(-Nt // chunk_size) * chunk_size
+        rkey = (id(targets), staged.shape, chunk_size, bool(packed))
+        if (
+            _RESIDENT_DB_CACHE is not None
+            and _RESIDENT_DB_CACHE[0] == rkey
+        ):
+            db_dev = _RESIDENT_DB_CACHE[1]
+        else:
+            pad_rows = Ntp - Nt
+            db_host = staged
+            if pad_rows:
+                db_host = np.concatenate(
+                    [
+                        db_host,
+                        np.full(
+                            (pad_rows, db_host.shape[1]),
+                            0 if packed else t_pad,
+                            db_host.dtype,
+                        ),
+                    ]
+                )
+            db_dev = jax.device_put(np.ascontiguousarray(db_host))
+            _RESIDENT_DB_CACHE = (rkey, db_dev)
+        step = _search_step_resident(
+            engine, engine_key, Nq, queries.shape[1], chunk_size,
+            targets.shape[1], k, kk, Nt, bool(packed),
+        )
+        if checkpoint is None and max_retries == 0 and start == 0:
+            # max-throughput mode: nothing needs mid-sweep host
+            # visibility — run the whole sweep as one executable
+            sweep = _search_sweep_fused(
+                engine, engine_key, Nq, queries.shape[1], chunk_size,
+                targets.shape[1], k, kk, Nt,
+                -(-Nt // chunk_size), bool(packed),
+            )
+            ss, si = sweep(
+                jax.device_put(queries), db_dev,
+                jnp.asarray(best_s), jnp.asarray(best_i),
+            )
+            return np.asarray(ss), np.asarray(si)
+    else:
+        step = _search_step(
+            engine, engine_key, Nq, queries.shape[1], chunk_size,
+            targets.shape[1], k, kk, Nt, packed=bool(packed),
+        )
     sync = checkpoint is not None or max_retries > 0
 
     def padded(c0):
+        if resident:
+            return db_dev  # chunk sliced in-jit by c0
         src = targets_packed if packed else targets
         chunk = src[c0 : c0 + chunk_size]
         # pad the tail chunk so compiled shapes stay constant; pad rows

@@ -239,3 +239,45 @@ def test_search_packed_wire_matches_raw(rng):
     # auto engages the packed wire for DNA codes
     s2, i2 = all_vs_all_topk(qs, ts, DNA_10_30_15, k=5, chunk_size=32)
     assert np.array_equal(s0, s2) and np.array_equal(i0, i2)
+
+
+def test_search_resident_matches_streaming(rng):
+    """Device-resident DB sweep (in-jit chunk slices, zero per-chunk
+    wire) is bit-identical to the streaming path, packed and raw."""
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.parallel.search import all_vs_all_topk
+
+    qs = rng.integers(0, 4, (3, 24)).astype(np.uint8)
+    ts = rng.integers(0, 4, (50, 26)).astype(np.uint8)
+    ref = all_vs_all_topk(
+        qs, ts, DNA_10_30_15, k=4, chunk_size=16, resident=False,
+        packed=False,
+    )
+    for packed in (False, True):
+        got = all_vs_all_topk(
+            qs, ts, DNA_10_30_15, k=4, chunk_size=16, resident=True,
+            packed=packed,
+        )
+        assert np.array_equal(ref[0], got[0])
+        assert np.array_equal(ref[1], got[1])
+
+
+def test_search_fused_sweep_matches_streaming(rng):
+    """Max-throughput fused sweep (one jitted scan over a resident DB,
+    engaged at max_retries=0 with no checkpoint) is bit-identical to
+    the streaming loop."""
+    from swtpu.core.scoring import DNA_10_30_15
+    from swtpu.parallel.search import all_vs_all_topk
+
+    qs = rng.integers(0, 4, (3, 24)).astype(np.uint8)
+    ts = rng.integers(0, 4, (50, 26)).astype(np.uint8)
+    ref = all_vs_all_topk(
+        qs, ts, DNA_10_30_15, k=4, chunk_size=16, resident=False,
+        packed=False,
+    )
+    got = all_vs_all_topk(
+        qs, ts, DNA_10_30_15, k=4, chunk_size=16, resident=True,
+        packed=True, max_retries=0,
+    )
+    assert np.array_equal(ref[0], got[0])
+    assert np.array_equal(ref[1], got[1])
