@@ -806,11 +806,15 @@ def _run_longpair(q, t, params, mesh, axis, block, engine="auto"):
             )
         else:
             block = _auto_block(len(q), len(t), n_dev)
-    table = jnp.asarray(_extended_table(params))
+    # classify scoring on the HOST numpy table (under a trace — e.g.
+    # time_kernel's salted chain — jnp.asarray constants are tracers,
+    # and np.asarray(tracer) raises)
+    table_np = _extended_table(params)
+    table = jnp.asarray(table_np)
     if engine == "pallas":
         from swtpu.kernels.pallas.longpair_strip import _uniform_mm
 
-        mm = _uniform_mm(table, int(params.alphabet_size))
+        mm = _uniform_mm(table_np, int(params.alphabet_size))
         match, mismatch = mm if mm is not None else (None, None)
         if params.is_linear:
             gap, go, ge = int(params.gap), None, None
