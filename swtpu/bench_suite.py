@@ -1099,6 +1099,27 @@ def bench_dist(quick=False, subprocess_virtual=True):
     return results
 
 
+def _dist_time(fn, args, k=4):
+    """Honest chain timing on the tunnel; plain min-wall on the CPU
+    mesh (the virtual mesh doesn't lie about completion, and chaining
+    k x 5 reps of 1-core 8-device sweeps costs minutes per row)."""
+    import jax
+
+    from swtpu.utils import time_kernel
+
+    if jax.devices()[0].platform == "tpu":
+        return time_kernel(fn, args, k=k)
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def _bench_dist_curve(quick, sizes, virtual):
     """Weak-scaling curve with self-explaining records (round 4).
 
@@ -1235,10 +1256,9 @@ def _bench_dist_curve(quick, sizes, virtual):
         run_lp = lambda q_, t_: _run_longpair(
             q_, t_, params, spmesh, "sp", None
         )[:, 0]
-        per_dev_sec = time_kernel(
+        per_dev_sec = _dist_time(
             run_lp,
             (jnp.asarray(q1, jnp.int32), jnp.asarray(t1, jnp.int32)),
-            k=4,
         )
         cps = Lq * Lt / per_dev_sec
         anchors.setdefault(
@@ -1293,8 +1313,8 @@ def _bench_dist_curve(quick, sizes, virtual):
             run = lambda a, b: data_parallel_scores(
                 a, b, params, mesh, engine=engine
             )
-            walls[d] = time_kernel(
-                run, (jnp.asarray(qs), jnp.asarray(ts)), k=4
+            walls[d] = _dist_time(
+                run, (jnp.asarray(qs), jnp.asarray(ts))
             )
         ratio = walls[d_hi] / walls[1]
         rec = dict(
@@ -1328,10 +1348,9 @@ def _bench_dist_curve(quick, sizes, virtual):
             run_lp = lambda q_, t_: _run_longpair(
                 q_, t_, params, spmesh, "sp", None
             )[:, 0]
-            walls[d] = time_kernel(
+            walls[d] = _dist_time(
                 run_lp,
                 (jnp.asarray(q1, jnp.int32), jnp.asarray(t1, jnp.int32)),
-                k=4,
             )
             blk = _auto_block(Lqf, Ltf, d)
             nb[d] = Ltf // blk
