@@ -317,9 +317,12 @@ def all_vs_all_topk(
         # by array identity: production streams MANY query sets against
         # ONE resident DB, so the pack amortizes to zero like
         # jax.device_put's own id-keyed staging
+        # identity check via a HELD reference — a bare id() key is
+        # unsound: CPython recycles a freed array's address, and the
+        # round-5 fuzz caught exactly that (12 stale-DB top-k
+        # mismatches across 2376 rounds of same-shaped fresh DBs)
         global _PACK_CACHE
-        key = (id(targets), targets.shape, Nt)
-        if _PACK_CACHE is not None and _PACK_CACHE[0] == key:
+        if _PACK_CACHE is not None and _PACK_CACHE[0] is targets:
             targets_packed = _PACK_CACHE[1]
         else:
             from swtpu.core.encode import pack_2bit
@@ -334,7 +337,7 @@ def all_vs_all_topk(
             targets_packed = pack_2bit(tp.reshape(-1)).reshape(
                 Nt, m4 // 4
             )
-            _PACK_CACHE = (key, targets_packed)
+            _PACK_CACHE = (targets, targets_packed)
     best_s = np.full((Nq, k), -1, np.int32)
     best_i = np.full((Nq, k), _ID_SENTINEL, np.int32)
     start = 0
@@ -352,12 +355,13 @@ def all_vs_all_topk(
     if resident:
         global _RESIDENT_DB_CACHE
         Ntp = -(-Nt // chunk_size) * chunk_size
-        rkey = (id(targets), staged.shape, chunk_size, bool(packed))
+        rkey = (staged.shape, chunk_size, bool(packed))
         if (
             _RESIDENT_DB_CACHE is not None
-            and _RESIDENT_DB_CACHE[0] == rkey
+            and _RESIDENT_DB_CACHE[0] is targets
+            and _RESIDENT_DB_CACHE[1] == rkey
         ):
-            db_dev = _RESIDENT_DB_CACHE[1]
+            db_dev = _RESIDENT_DB_CACHE[2]
         else:
             pad_rows = Ntp - Nt
             db_host = staged
@@ -373,7 +377,7 @@ def all_vs_all_topk(
                     ]
                 )
             db_dev = jax.device_put(np.ascontiguousarray(db_host))
-            _RESIDENT_DB_CACHE = (rkey, db_dev)
+            _RESIDENT_DB_CACHE = (targets, rkey, db_dev)
         step = _search_step_resident(
             engine, engine_key, Nq, queries.shape[1], chunk_size,
             targets.shape[1], k, kk, Nt, bool(packed),
